@@ -1,0 +1,163 @@
+"""Host tick loop — the MSTicker re-designed for one-device-step-per-tick.
+
+Reference: src/base/msticker.c — one POSIX thread per ticker, every 10 ms
+(`TICKER_INTERVAL`, :46) it runs attached graphs by DFS, measures load
+(EWMA of time-in-tick / interval, :486-491) and late ticks (:505-515).
+
+TPU-native design: the graph is already compiled into one device program,
+so the ticker is a host loop that
+
+  1. gathers host-boundary inputs (RTP jitter buffers, files, sound I/O),
+  2. launches the (async-dispatched) device step,
+  3. publishes outputs/events,
+  4. sleeps until the next tick edge.
+
+Scaling doesn't add tickers (reference spawns a thread per stream,
+mediastream.c:227-239) — it adds *rows to the batch*.  Throughput mode
+(files, tests, benchmarks) free-runs with K ticks fused per device call via
+``CompiledGraph.run_scan``.
+
+The reference's MSTickerSynchronizer (slaving the tick clock to a sound
+card's sample clock, msticker.c:614-713) is `TickerSynchronizer` below.
+"""
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from mediastreamer2_tpu.core.block import TICK_MS
+from mediastreamer2_tpu.core.events import EventQueue
+
+
+@dataclasses.dataclass
+class TickerStats:
+    ticks: int = 0
+    late_ticks: int = 0
+    last_late_tick: int = 0          # cf. ms_ticker_get_last_late_tick
+    avg_load: float = 0.0            # EWMA, cf. msticker.c:486-491 (coef 0.9)
+    max_step_ms: float = 0.0
+    total_step_ms: float = 0.0
+
+    @property
+    def mean_step_ms(self) -> float:
+        return self.total_step_ms / max(self.ticks, 1)
+
+
+class Ticker:
+    def __init__(self, graph, name: str = "ticker", interval_ms: int = TICK_MS,
+                 realtime: bool = True, event_queue: Optional[EventQueue] = None):
+        self.graph = graph
+        self.name = name
+        self.interval_ms = interval_ms
+        self.realtime = realtime
+        self.stats = TickerStats()
+        self.event_queue = event_queue or EventQueue()
+        self.time_ms = 0             # virtual stream clock, cf. ticker->time
+        self.state = graph.init_state()
+        self.params = graph.init_params()
+        self._step = jax.jit(graph.step)
+        self._io_pull: Optional[Callable[[int], Dict]] = None
+        self._io_push: Optional[Callable[[int, Dict], None]] = None
+        self._run_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # host I/O callbacks: pull(tick)->ext_in dict, push(tick, ext_out)
+    def set_io(self, pull: Optional[Callable] = None, push: Optional[Callable] = None):
+        self._io_pull = pull
+        self._io_push = push
+
+    def warm_up(self):
+        """Pre-compile so the first real tick doesn't blow the deadline
+        (the TPU analogue of the reference attaching filters with
+        ``preprocess`` before the first tick, msticker.c:145-185)."""
+        ext_in = {k: np.zeros(shape, dtype) for k, (shape, dtype) in
+                  self.graph.ext_inputs.items()}
+        st, out, ev = self._step(self.state, self.params, ext_in)
+        jax.block_until_ready(st)
+
+    def do_tick(self) -> Dict:
+        t0 = time.perf_counter()
+        ext_in = self._io_pull(self.stats.ticks) if self._io_pull else {
+            k: np.zeros(shape, dtype) for k, (shape, dtype) in self.graph.ext_inputs.items()}
+        self.state, ext_out, events = self._step(self.state, self.params, ext_in)
+        ext_out = jax.block_until_ready(ext_out)
+        if self._io_push:
+            self._io_push(self.stats.ticks, ext_out)
+        if events:
+            self.event_queue.post_tensor_events(
+                {k: np.asarray(v) for k, v in events.items()}, self.stats.ticks)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        s = self.stats
+        s.ticks += 1
+        self.time_ms += self.interval_ms
+        s.total_step_ms += dt_ms
+        s.max_step_ms = max(s.max_step_ms, dt_ms)
+        load = dt_ms / self.interval_ms
+        s.avg_load = 0.9 * s.avg_load + 0.1 * load     # parity: msticker.c EWMA
+        if dt_ms > self.interval_ms:
+            s.late_ticks += 1
+            s.last_late_tick = s.ticks
+        return ext_out
+
+    def run(self, n_ticks: int):
+        """Run n ticks; paced to the interval if realtime, else free-run."""
+        next_edge = time.perf_counter()
+        for _ in range(n_ticks):
+            if self._stop.is_set():
+                break
+            self.do_tick()
+            if self.realtime:
+                next_edge += self.interval_ms / 1e3
+                now = time.perf_counter()
+                if now < next_edge:
+                    time.sleep(next_edge - now)   # cf. wait_next_tick msticker.c:419-445
+                else:
+                    next_edge = now
+
+    def start(self, n_ticks: int = 10**9):
+        self._stop.clear()
+        self._run_thread = threading.Thread(
+            target=self.run, args=(n_ticks,), name=self.name, daemon=True)
+        self._run_thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._run_thread:
+            self._run_thread.join()
+            self._run_thread = None
+
+    def get_average_load(self) -> float:
+        return self.stats.avg_load
+
+
+class TickerSynchronizer:
+    """Skew estimator slaving tick time to an external sample clock.
+
+    cf. ms_ticker_synchronizer_update (reference: msticker.c:673-698):
+    given cumulative samples consumed by a sound device at rate R, estimate
+    the offset between the device clock and the wall clock with an EWMA, so
+    the tick loop can resample/drop to stay locked.
+    """
+    def __init__(self, alpha: float = 0.01):
+        self.alpha = alpha
+        self.skew_ms = 0.0
+        self._init = False
+
+    def update(self, nb_samples: int, rate: int, host_time_ms: float) -> float:
+        device_time_ms = nb_samples * 1000.0 / rate
+        off = host_time_ms - device_time_ms
+        if not self._init:
+            self.skew_ms = off
+            self._init = True
+        else:
+            self.skew_ms = (1 - self.alpha) * self.skew_ms + self.alpha * off
+        return self.skew_ms
+
+    def drift_ms(self, nb_samples: int, rate: int, host_time_ms: float) -> float:
+        """Positive => device clock is slow relative to host."""
+        return (host_time_ms - nb_samples * 1000.0 / rate) - self.skew_ms

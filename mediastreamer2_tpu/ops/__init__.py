@@ -1,0 +1,8 @@
+"""Filter library — importing this package registers all builtin filters
+(the analogue of the reference's awk-generated basedescs.h/voipdescs.h
+tables, src/base/msfactory.c:193-194, src/voip/msvoip.c:297-298)."""
+
+from mediastreamer2_tpu.ops import boundary    # noqa: F401
+from mediastreamer2_tpu.ops import misc        # noqa: F401
+from mediastreamer2_tpu.ops import g711        # noqa: F401
+from mediastreamer2_tpu.ops import fileio      # noqa: F401
