@@ -6,3 +6,12 @@ from mediastreamer2_tpu.ops import boundary    # noqa: F401
 from mediastreamer2_tpu.ops import misc        # noqa: F401
 from mediastreamer2_tpu.ops import g711        # noqa: F401
 from mediastreamer2_tpu.ops import fileio      # noqa: F401
+from mediastreamer2_tpu.ops import resample    # noqa: F401
+from mediastreamer2_tpu.ops import volume      # noqa: F401
+from mediastreamer2_tpu.ops import mixer       # noqa: F401
+from mediastreamer2_tpu.ops import tones       # noqa: F401
+from mediastreamer2_tpu.ops import aec         # noqa: F401
+from mediastreamer2_tpu.ops import plc         # noqa: F401
+from mediastreamer2_tpu.ops import vad         # noqa: F401
+from mediastreamer2_tpu.ops import flowcontrol # noqa: F401
+from mediastreamer2_tpu.ops import eq          # noqa: F401

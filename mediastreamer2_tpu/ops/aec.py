@@ -1,0 +1,187 @@
+"""Acoustic echo canceller — batched two-path partitioned-block FDAF.
+
+Reference: MSSpeexEC wraps speexdsp's MDF adaptive filter + preprocess
+denoiser (src/audiofilters/speexec.c:395-412; 64-sample frames, state blob
+serialization at :119-150).  The algorithm family is the same here —
+multi-delay-block frequency-domain adaptive filter (NLMS in the frequency
+domain, overlap-save) — but re-architected for TPU:
+
+* block size = one 10 ms tick (not 64 samples): fewer, bigger FFTs;
+* every leg adapts **in parallel** as a batch dim of the FFTs/updates —
+  [B, P, F] complex tap tensors, so thousands of echo cancellers run as a
+  handful of fused XLA ops per tick;
+* double-talk robustness via the classic **two-path** scheme (the same idea
+  speex MDF's leak estimator serves): a *shadow* filter adapts with a fast
+  unguarded NLMS step and is copied into the *main* (filtering) path only
+  when its smoothed error energy is measurably lower; a diverged shadow
+  (double-talk) is re-seeded from main.  All transfer logic is per-leg
+  masked `where` — no branches;
+* a spectral residual-echo suppressor (over-subtraction with a floor)
+  replaces the speex-preprocess nonlinear stage.
+
+State serialization parity (speexec.c:119-150): the whole state pytree is
+arrays — `get_state_blob`/`set_state_blob` round-trip it for warm restart.
+
+Inputs: pin 0 = near-end (mic), pin 1 = far-end reference (speaker).
+Output: echo-cancelled near-end.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mediastreamer2_tpu.core.filter import FilterDef, register_filter
+
+DEFAULT_TAIL_MS = 80
+POW_EWMA = 0.65        # far-end PSD smoothing
+MU = 0.6               # shadow NLMS step
+ERR_EWMA = 0.6         # error-energy smoothing for transfer logic
+COPY_RATIO = 0.5       # shadow must (sustainably) halve the error -> promote
+ERLE_GATE = 0.25       # ...and cancel >=6 dB of the mic signal (blocks
+                       # promotion during double-talk, when the best any
+                       # filter can do is leave the near speech intact)
+RESET_RATIO = 1.5      # shadow (sustainably) worse than main -> re-seed
+HOLD_TICKS = 5         # hysteresis: condition must hold 50 ms
+SUPPRESS_BETA = 3.0    # over-subtraction factor (on the *residual* estimate)
+SUPPRESS_FLOOR = 0.15  # spectral floor (limits musical noise / distortion)
+LEAK_RISE = 1.01       # min-statistics leak tracker creep-up per tick
+
+
+def _partitions(ctx):
+    tail_ms = int(ctx.params.get("tail_ms", DEFAULT_TAIL_MS))
+    return max(1, -(-tail_ms // 10))       # ceil(tail / tick)
+
+
+def _aec_init(ctx):
+    B = ctx.batch
+    S = ctx.in_formats[0].samples_per_tick
+    P = _partitions(ctx)
+    F = S + 1                              # rfft bins of a 2S block
+    return {
+        "Wm": jnp.zeros((B, P, F), jnp.complex64),    # main (filtering) taps
+        "Ws": jnp.zeros((B, P, F), jnp.complex64),    # shadow (adapting) taps
+        "X_hist": jnp.zeros((B, P, F), jnp.complex64),  # far-end block spectra
+        "far_prev": jnp.zeros((B, S), jnp.float32),   # last far tick (overlap-save)
+        "Pxx": jnp.full((B, F), 1e-6, jnp.float32),   # far PSD estimate
+        "Em": jnp.full((B,), 1e-6, jnp.float32),      # smoothed main error energy
+        "Es": jnp.full((B,), 1e-6, jnp.float32),      # smoothed shadow error energy
+        "Dn": jnp.full((B,), 1e-6, jnp.float32),      # smoothed near (mic) energy
+        "promote_cnt": jnp.zeros((B,), jnp.int32),    # hysteresis counters
+        "reseed_cnt": jnp.zeros((B,), jnp.int32),
+        # echo leak-through estimate (residual/echo power ratio), tracked as a
+        # slow minimum so near-end speech never inflates it
+        "leak": jnp.ones((B,), jnp.float32),
+    }
+
+
+def _aec_params(ctx):
+    B = ctx.batch
+    return {
+        "enabled": jnp.ones((B,), jnp.bool_),
+        "adapt": jnp.ones((B,), jnp.bool_),
+        "mu": jnp.full((B,), MU, jnp.float32),
+        "suppress": jnp.ones((B,), jnp.bool_),
+    }
+
+
+def _aec_process(state, ins, params, ctx):
+    near, far = ins
+    B, S = near.shape
+    two_s = 2 * S
+    P = state["Wm"].shape[1]
+
+    far_blk = jnp.concatenate([state["far_prev"], far], axis=1)     # [B, 2S]
+    X = jnp.fft.rfft(far_blk, axis=1).astype(jnp.complex64)         # [B, F]
+    X_hist = jnp.concatenate([X[:, None, :], state["X_hist"][:, :-1]], axis=1)
+
+    def apply(W):
+        Yf = jnp.sum(W * X_hist, axis=1)
+        y = jnp.fft.irfft(Yf, n=two_s, axis=1)[:, S:]               # overlap-save
+        return y
+
+    y_m = apply(state["Wm"])
+    y_s = apply(state["Ws"])
+    e_m = near - y_m
+    e_s = near - y_s
+
+    # --- shadow adaptation: frequency-domain NLMS, gradient-constrained ----
+    Ef = jnp.fft.rfft(jnp.concatenate([jnp.zeros_like(e_s), e_s], axis=1),
+                      axis=1).astype(jnp.complex64)
+    Pxx = POW_EWMA * state["Pxx"] + (1 - POW_EWMA) * (jnp.abs(X) ** 2)
+    norm = (P * Pxx + 1e-6)[:, None, :]
+    mu = params["mu"] * params["adapt"].astype(jnp.float32)
+    grad = jnp.conj(X_hist) * Ef[:, None, :] / norm
+    g_t = jnp.fft.irfft(grad, n=two_s, axis=2)
+    g_t = g_t.at[:, :, S:].set(0.0)                 # causality constraint
+    grad_c = jnp.fft.rfft(g_t, axis=2).astype(jnp.complex64)
+    Ws = state["Ws"] + mu[:, None, None].astype(jnp.complex64) * grad_c
+
+    # --- two-path transfer logic (per-leg, hysteretic) ---------------------
+    # promote only on *sustained* clear improvement: transient near-speech
+    # absorption by the shadow during double-talk never reaches the main path.
+    Em = ERR_EWMA * state["Em"] + (1 - ERR_EWMA) * (e_m * e_m).mean(axis=1)
+    Es = ERR_EWMA * state["Es"] + (1 - ERR_EWMA) * (e_s * e_s).mean(axis=1)
+    Dn = ERR_EWMA * state["Dn"] + (1 - ERR_EWMA) * (near * near).mean(axis=1)
+    better = (Es < COPY_RATIO * Em) & (Es < ERLE_GATE * Dn)
+    worse = Es > RESET_RATIO * Em
+    promote_cnt = jnp.where(better, state["promote_cnt"] + 1, 0)
+    reseed_cnt = jnp.where(worse, state["reseed_cnt"] + 1, 0)
+    promote = promote_cnt >= HOLD_TICKS
+    reseed = reseed_cnt >= HOLD_TICKS
+    promote_cnt = jnp.where(promote, 0, promote_cnt)
+    reseed_cnt = jnp.where(reseed, 0, reseed_cnt)
+    Wm = jnp.where(promote[:, None, None], Ws, state["Wm"])
+    Ws = jnp.where(reseed[:, None, None], state["Wm"], Ws)
+    Em = jnp.where(promote, Es, Em)
+    Es = jnp.where(reseed, Em, Es)
+
+    e = jnp.where(promote[:, None], e_s, e_m)
+    y = jnp.where(promote[:, None], y_s, y_m)
+    e = jnp.where(params["enabled"][:, None], e, near)
+
+    # --- residual echo suppression ------------------------------------------
+    # over-subtract only the *estimated residual* (leak * |Y|), not the full
+    # echo estimate — otherwise near-end speech sharing bins with the echo is
+    # destroyed during double-talk. `leak` = residual/echo power ratio,
+    # tracked as a slow minimum so near speech never inflates it.
+    Ey = (y * y).mean(axis=1)
+    inst_leak = (e * e).mean(axis=1) / (Ey + 1e-9)
+    # creep up only while the mic is echo-dominated (Dn ~ Ey); during near
+    # activity (Dn >> Ey) the estimate holds, so double-talk never inflates it
+    rise = jnp.where(Dn < 1.5 * Ey, LEAK_RISE, 1.0)
+    leak = jnp.clip(jnp.minimum(state["leak"] * rise, inst_leak), 0.01, 1.0)
+    E_half = jnp.fft.rfft(e, axis=1)
+    mag_e = jnp.abs(E_half)
+    mag_y = jnp.abs(jnp.fft.rfft(y, axis=1))
+    resid_mag = jnp.sqrt(leak)[:, None] * mag_y
+    gain = jnp.clip((mag_e - SUPPRESS_BETA * resid_mag) / (mag_e + 1e-9),
+                    SUPPRESS_FLOOR, 1.0)
+    e_sup = jnp.fft.irfft(E_half * gain, n=S, axis=1)
+    out = jnp.where((params["suppress"] & params["enabled"])[:, None], e_sup, e)
+
+    new_state = {"Wm": Wm, "Ws": Ws, "X_hist": X_hist, "far_prev": far,
+                 "Pxx": Pxx, "Em": Em, "Es": Es, "Dn": Dn, "leak": leak,
+                 "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt}
+    return new_state, (out,), {}
+
+
+register_filter(FilterDef(
+    name="echo_canceller", ninputs=2, noutputs=1,
+    out_formats=lambda ctx: (ctx.in_formats[0],),
+    init=_aec_init, runtime_params=_aec_params, process=_aec_process,
+    interfaces=("echo_canceller",),
+))
+
+
+def get_state_blob(state_entry) -> bytes:
+    """Serialize EC state for warm restart (parity: speexec.c:119-150)."""
+    import io
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in state_entry.items()})
+    return buf.getvalue()
+
+
+def set_state_blob(blob: bytes):
+    import io
+    data = np.load(io.BytesIO(blob))
+    return {k: jnp.asarray(data[k]) for k in data.files}
