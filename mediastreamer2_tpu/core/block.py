@@ -64,6 +64,15 @@ class Format:
         return dataclasses.replace(self, **kw)
 
 
+def block_dtype(fmt: Format):
+    """Numpy/JAX dtype of a tick block: float32 PCM/video, int32 for encoded
+    codes (host narrows to uint8/int16 at the RTP boundary)."""
+    import jax.numpy as jnp
+    if fmt.kind in ("ulaw", "alaw", "g722", "gsm", "l16"):
+        return jnp.int32
+    return jnp.float32
+
+
 def block_shape(batch: int, fmt: Format) -> tuple:
     """Shape of one tick block on an edge with format ``fmt``."""
     if fmt.kind in ("yuv420",):

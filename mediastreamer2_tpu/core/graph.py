@@ -29,7 +29,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from mediastreamer2_tpu.core.block import Format, block_shape
+from mediastreamer2_tpu.core.block import Format, block_shape, block_dtype
 from mediastreamer2_tpu.core.filter import FilterCtx, FilterDef
 
 
@@ -155,7 +155,8 @@ class CompiledGraph:
         for i, node in enumerate(self.nodes):
             if node.fdef.name == "ext_source":
                 fmt = self.out_formats[i][0]
-                self.ext_inputs[node.name] = (block_shape(gb.batch, fmt), jnp.float32)
+                self.ext_inputs[node.name] = (block_shape(gb.batch, fmt),
+                                              block_dtype(fmt))
             elif node.fdef.name == "ext_sink":
                 self.ext_outputs.append(node.name)
 

@@ -1,0 +1,220 @@
+"""AudioStreamBatch — the session-level duplex audio call builder.
+
+Reference: ``audio_stream_start_full`` (src/voip/audiostream.c:1884 →
+:1267) builds one send chain soundread→…→encoder→rtpsend and one recv chain
+rtprecv→decoder→…→soundwrite per call (graph shapes at :1796-1832), spawns
+a ticker thread per stream, and the app pumps ``media_stream_iterate``.
+
+TPU-native re-design: **one AudioStreamBatch hosts N call legs** sharing a
+single compiled graph — the batch dimension replaces per-stream tickers.
+Feature flags (echo cancellation, AGC, noise gate, PLC, VAD/DTX, DTMF —
+cf. AUDIO_STREAM_FEATURE_* bits) select which nodes are built; per-leg
+enable masks in params switch them at run time without recompiling.
+
+Graph (builds the reference's chains in SSA form; EC far-end reference is
+the recv-side speaker signal, same coupling as audiostream.c's EC wiring):
+
+    recv:  rtp_rx -> decoder -> plc -> dtmf_gen -> vol_recv ==> spk
+    send:  mic -> ec(near=mic, far=spk) -> vol_send -> vad -> enc -> rtp_tx
+
+Host side, per tick: drain transports -> jitter buffers -> rx payload block
+(+ lost mask for PLC); tx payload block -> RTP packetize/send.  DTX: VAD
+silence gates packet emission (clock still advances).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from mediastreamer2_tpu.core.block import Format, tick_samples
+from mediastreamer2_tpu.core.graph import GraphBuilder
+from mediastreamer2_tpu.core.ticker import Ticker
+from mediastreamer2_tpu.net.jitter import JitterBuffer, JBParams
+from mediastreamer2_tpu.net.rtp import RtpSession, Transport
+
+# payload-type profile (RFC 3551 static types + our dynamic ones)
+PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11}
+CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2}
+
+
+@dataclasses.dataclass
+class AudioStreamFeatures:
+    """cf. AUDIO_STREAM_FEATURE_* bitmask (audiostream.c)."""
+    echo_canceller: bool = False
+    agc: bool = False
+    noise_gate: bool = False
+    plc: bool = True
+    vad_dtx: bool = False
+    dtmf: bool = False
+    volume: bool = True
+
+
+class AudioStreamBatch:
+    """N duplex audio legs, one device program."""
+
+    def __init__(self, factory, batch: int, codec: str = "ulaw",
+                 rate: int = 8000,
+                 features: Optional[AudioStreamFeatures] = None,
+                 mic_signal: Optional[np.ndarray] = None,
+                 record_ticks: int = 0,
+                 jb_params: Optional[JBParams] = None):
+        self.factory = factory
+        self.batch = batch
+        self.codec = codec
+        self.rate = rate
+        self.S = tick_samples(rate)
+        self.features = features or AudioStreamFeatures()
+        self.record_ticks = record_ticks
+        fmt = Format(kind="pcm", rate=rate)
+        ft = self.features
+
+        g = GraphBuilder(factory, batch=batch)
+        # ---- recv chain (built first: its output feeds the EC far pin) ----
+        rx = g.add("ext_source", "rtp_rx", fmt=fmt.with_(kind=codec))
+        dec = g.add(f"{codec}_dec", "dec")
+        g.link(rx, 0, dec, 0)
+        last = dec
+        if ft.plc:
+            plc = g.add("generic_plc", "plc")
+            g.link(last, 0, plc, 0)
+            last = plc
+        if ft.dtmf:
+            dg = g.add("dtmf_gen", "dtmf")
+            g.link(last, 0, dg, 0)
+            last = dg
+        if ft.volume:
+            vr = g.add("volume", "vol_recv")
+            g.link(last, 0, vr, 0)
+            last = vr
+        spk_tee = g.add("tee", "spk_tee")
+        g.link(last, 0, spk_tee, 0)
+        g.link(spk_tee, 0, g.add("ext_sink", "spk"), 0)
+        if record_ticks:
+            g.link(spk_tee, 1, g.add("file_recorder", "rec",
+                                     max_ticks=record_ticks), 0)
+
+        # ---- send chain ----------------------------------------------------
+        if mic_signal is not None:
+            mic = g.add("file_player", "mic", fmt=fmt, signal=mic_signal)
+        else:
+            mic = g.add("ext_source", "mic", fmt=fmt)
+        last = mic
+        if ft.echo_canceller:
+            ec = g.add("echo_canceller", "ec")
+            g.link(last, 0, ec, 0)
+            g.link(spk_tee, 2, ec, 1)          # far-end reference = speaker
+            last = ec
+        if ft.volume or ft.agc or ft.noise_gate:
+            vs = g.add("volume", "vol_send")
+            g.link(last, 0, vs, 0)
+            last = vs
+        if ft.vad_dtx:
+            vad = g.add("vad_dtx", "vad")
+            g.link(last, 0, vad, 0)
+            last = vad
+        enc = g.add(f"{codec}_enc", "enc")
+        g.link(last, 0, enc, 0)
+        g.link(enc, 0, g.add("ext_sink", "rtp_tx"), 0)
+
+        self.graph = g.build()
+        self.ticker = Ticker(self.graph, name=f"audio[{batch}]", realtime=True)
+        self.ticker.set_io(pull=self._pull, push=self._push)
+        if ft.agc:
+            self.ticker.params["vol_send"]["agc_enabled"] = jnp.ones((batch,), bool)
+        if ft.noise_gate:
+            self.ticker.params["vol_send"]["ng_enabled"] = jnp.ones((batch,), bool)
+
+        # host-side per-leg sessions (bound later via set_transport)
+        self.sessions: List[Optional[RtpSession]] = [None] * batch
+        self.jb_params = jb_params or JBParams()
+        self._dtx_silent = np.zeros(batch, bool)
+        self._lost_mask = np.zeros(batch, bool)
+
+    # ------------------------------------------------------------------
+    def set_transport(self, leg: int, transport: Transport):
+        jb = JitterBuffer(self.jb_params)
+        self.sessions[leg] = RtpSession(
+            transport, payload_type=PAYLOAD_TYPES[self.codec],
+            clock_rate=self.rate, jitter_buffer=jb)
+
+    # ------------------------------------------------------------------
+    def _decode_payload(self, payload: bytes) -> np.ndarray:
+        if self.codec in ("ulaw", "alaw"):
+            return np.frombuffer(payload, np.uint8).astype(np.int32)
+        if self.codec == "l16":
+            return np.frombuffer(payload, ">i2").astype(np.int32)
+        raise ValueError(self.codec)
+
+    def _encode_payload(self, row: np.ndarray) -> bytes:
+        if self.codec in ("ulaw", "alaw"):
+            return row.astype(np.uint8).tobytes()
+        if self.codec == "l16":
+            return row.astype(">i2").tobytes()
+        raise ValueError(self.codec)
+
+    def _pull(self, tick: int) -> Dict[str, np.ndarray]:
+        B, S = self.batch, self.S
+        rx = np.zeros((B, S), np.int32)
+        lost = np.zeros(B, bool)
+        for i, sess in enumerate(self.sessions):
+            if sess is None:
+                lost[i] = True
+                continue
+            sess.poll()
+            payload = sess.jitter_buffer.get_tick()
+            if payload is None or len(payload) != S * CODEC_BYTES_PER_SAMPLE[self.codec]:
+                lost[i] = True
+            else:
+                rx[i] = self._decode_payload(payload)
+        self._lost_mask = lost
+        if self.features.plc:
+            self.ticker.params["plc"]["lost"] = jnp.asarray(lost)
+        ext = {"rtp_rx": rx}
+        if "mic" in self.graph.ext_inputs:
+            ext["mic"] = np.zeros((B, S), np.float32)
+        return ext
+
+    def _push(self, tick: int, ext_out: Dict):
+        tx = np.asarray(ext_out["rtp_tx"])
+        if self.features.vad_dtx:
+            voice = np.asarray(self.ticker.state["vad"]["voice"])
+        else:
+            voice = np.ones(self.batch, bool)
+        for i, sess in enumerate(self.sessions):
+            if sess is None:
+                continue
+            if voice[i]:
+                sess.send_payload(self._encode_payload(tx[i]), ts_increment=self.S)
+            else:
+                sess.skip_payload(ts_increment=self.S)   # DTX
+
+    # ------------------------------------------------------------------
+    def start(self, n_ticks: int = 10 ** 9):
+        self.ticker.warm_up()
+        self.ticker.start(n_ticks)
+
+    def run(self, n_ticks: int):
+        self.ticker.warm_up()
+        self.ticker.run(n_ticks)
+
+    def stop(self):
+        self.ticker.stop()
+
+    def iterate(self):
+        """cf. media_stream_iterate — app-thread event pump."""
+        return self.ticker.event_queue.pump()
+
+    # -- observability (cf. media_stream_get_*, audio_stream_get_quality) --
+    def get_stats(self, leg: int):
+        sess = self.sessions[leg]
+        return None if sess is None else sess.stats
+
+    def get_recording(self) -> Optional[np.ndarray]:
+        if "rec" not in self.ticker.state:
+            return None
+        from mediastreamer2_tpu.ops.fileio import recorder_get_audio
+        return recorder_get_audio(self.ticker.state["rec"],
+                                  self.record_ticks, self.S)

@@ -1,0 +1,214 @@
+"""RTP (RFC 3550) packetization and sessions — host side.
+
+The reference delegates RTP to the external oRTP library (RtpSession held by
+every stream, reference include/mediastreamer2/mediastream.h:100; the graph
+edge filters are src/otherfilters/msrtp.c).  Sequential, byte-oriented and
+branchy, this layer is the wrong shape for a TPU — so, as in the reference,
+it lives on the host CPU: sessions packetize device-produced payload blocks
+into RTP and feed received packets into the jitter buffer, which assembles
+the fixed-shape tick tensors the device graph consumes.
+
+Transports: real UDP sockets (localhost/WAN) or an in-process loopback pair
+(for tests and SFU-style routing), both optionally shaped by
+:mod:`mediastreamer2_tpu.net.netsim` (parity with oRTP's network simulator).
+"""
+from __future__ import annotations
+
+import dataclasses
+import random
+import socket
+import struct
+import threading
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+RTP_VERSION = 2
+_HDR = struct.Struct("!BBHII")      # V/P/X/CC, M/PT, seq, timestamp, ssrc
+
+
+@dataclasses.dataclass
+class RtpPacket:
+    payload_type: int
+    seq: int
+    timestamp: int
+    ssrc: int
+    payload: bytes
+    marker: bool = False
+    csrcs: Tuple[int, ...] = ()
+
+    def pack(self) -> bytes:
+        b0 = (RTP_VERSION << 6) | (len(self.csrcs) & 0x0F)
+        b1 = ((1 if self.marker else 0) << 7) | (self.payload_type & 0x7F)
+        hdr = _HDR.pack(b0, b1, self.seq & 0xFFFF,
+                        self.timestamp & 0xFFFFFFFF, self.ssrc & 0xFFFFFFFF)
+        csrc = b"".join(struct.pack("!I", c) for c in self.csrcs)
+        return hdr + csrc + self.payload
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "RtpPacket":
+        if len(data) < _HDR.size:
+            raise ValueError("short RTP packet")
+        b0, b1, seq, ts, ssrc = _HDR.unpack_from(data)
+        if b0 >> 6 != RTP_VERSION:
+            raise ValueError("bad RTP version")
+        cc = b0 & 0x0F
+        has_ext = (b0 >> 4) & 1
+        off = _HDR.size + 4 * cc
+        csrcs = tuple(struct.unpack_from("!I", data, _HDR.size + 4 * i)[0]
+                      for i in range(cc))
+        if has_ext:
+            _, ext_len = struct.unpack_from("!HH", data, off)
+            off += 4 + 4 * ext_len
+        payload = data[off:]
+        if (b0 >> 5) & 1:                      # padding
+            payload = payload[: -payload[-1]] if payload else payload
+        return cls(payload_type=b1 & 0x7F, seq=seq, timestamp=ts, ssrc=ssrc,
+                   payload=payload, marker=bool(b1 >> 7), csrcs=csrcs)
+
+
+@dataclasses.dataclass
+class RtpStats:
+    """cf. oRTP rtp_stats_t surfaced via media_stream_get_*"""
+    sent_packets: int = 0
+    sent_bytes: int = 0
+    recv_packets: int = 0
+    recv_bytes: int = 0
+    lost: int = 0
+    late: int = 0
+    discarded: int = 0
+    out_of_order: int = 0
+
+
+class Transport:
+    """Abstract datagram transport; subclasses: UDP, loopback."""
+    def send(self, data: bytes): ...
+    def recv_all(self) -> List[bytes]: ...
+    def close(self): ...
+
+
+class UdpTransport(Transport):
+    def __init__(self, local_port: int = 0, remote: Optional[Tuple[str, int]] = None):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(("127.0.0.1", local_port))
+        self.sock.setblocking(False)
+        self.local_port = self.sock.getsockname()[1]
+        self.remote = remote
+
+    def set_remote(self, host: str, port: int):
+        self.remote = (host, port)
+
+    def send(self, data: bytes):
+        if self.remote:
+            try:
+                self.sock.sendto(data, self.remote)
+            except (BlockingIOError, OSError):
+                pass
+
+    def recv_all(self) -> List[bytes]:
+        out = []
+        while True:
+            try:
+                data, _ = self.sock.recvfrom(65536)
+                out.append(data)
+            except (BlockingIOError, OSError):
+                break
+        return out
+
+    def close(self):
+        self.sock.close()
+
+
+class LoopbackPair:
+    """Two in-process endpoints with optional network simulation."""
+    def __init__(self, netsim=None):
+        self.queues = ([], [])
+        self.lock = threading.Lock()
+        self.netsim = netsim        # applied on both directions
+
+    def endpoint(self, idx: int) -> "LoopbackTransport":
+        return LoopbackTransport(self, idx)
+
+    def _send(self, from_idx: int, data: bytes):
+        now = time.monotonic()
+        items = [(now, data)]
+        if self.netsim is not None:
+            items = self.netsim.shape(now, data)
+        with self.lock:
+            self.queues[1 - from_idx].extend(items)
+
+    def _recv(self, idx: int) -> List[bytes]:
+        now = time.monotonic()
+        with self.lock:
+            q = self.queues[idx]
+            ready = [d for t, d in q if t <= now]
+            self.queues[idx][:] = [(t, d) for t, d in q if t > now]
+        return ready
+
+
+class LoopbackTransport(Transport):
+    def __init__(self, pair: LoopbackPair, idx: int):
+        self.pair = pair
+        self.idx = idx
+
+    def send(self, data: bytes):
+        self.pair._send(self.idx, data)
+
+    def recv_all(self) -> List[bytes]:
+        return self.pair._recv(self.idx)
+
+    def close(self):
+        pass
+
+
+class RtpSession:
+    """Per-leg RTP send/recv state (the host half of MSRtpSend/MSRtpRecv,
+    reference src/otherfilters/msrtp.c:705-714 send, :1050-1091 recv)."""
+
+    def __init__(self, transport: Transport, payload_type: int = 0,
+                 clock_rate: int = 8000, ssrc: Optional[int] = None,
+                 jitter_buffer=None):
+        self.transport = transport
+        self.payload_type = payload_type
+        self.clock_rate = clock_rate
+        self.ssrc = ssrc if ssrc is not None else random.getrandbits(32)
+        self.seq = random.getrandbits(16)
+        self.ts = random.getrandbits(31)
+        self.stats = RtpStats()
+        self.jitter_buffer = jitter_buffer
+        self.recv_ssrc: Optional[int] = None
+        self.on_packet: Optional[Callable[[RtpPacket], None]] = None
+
+    # -- send path ------------------------------------------------------
+    def send_payload(self, payload: bytes, ts_increment: int, marker: bool = False):
+        pkt = RtpPacket(self.payload_type, self.seq, self.ts, self.ssrc,
+                        payload, marker)
+        self.transport.send(pkt.pack())
+        self.seq = (self.seq + 1) & 0xFFFF
+        self.ts = (self.ts + ts_increment) & 0xFFFFFFFF
+        self.stats.sent_packets += 1
+        self.stats.sent_bytes += len(payload)
+
+    def skip_payload(self, ts_increment: int):
+        """DTX: advance the RTP clock without sending (cf. CN/DTX)."""
+        self.ts = (self.ts + ts_increment) & 0xFFFFFFFF
+
+    # -- recv path ------------------------------------------------------
+    def poll(self):
+        """Drain transport into the jitter buffer; call once per tick."""
+        for data in self.transport.recv_all():
+            try:
+                pkt = RtpPacket.unpack(data)
+            except ValueError:
+                continue
+            if pkt.payload_type != self.payload_type:
+                self.stats.discarded += 1
+                continue
+            self.recv_ssrc = pkt.ssrc
+            self.stats.recv_packets += 1
+            self.stats.recv_bytes += len(pkt.payload)
+            if self.on_packet:
+                self.on_packet(pkt)
+            if self.jitter_buffer is not None:
+                self.jitter_buffer.put(pkt)

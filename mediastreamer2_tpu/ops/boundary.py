@@ -11,17 +11,8 @@ CompiledGraph.step.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-from mediastreamer2_tpu.core.block import Format
+from mediastreamer2_tpu.core.block import Format, block_dtype  # noqa: F401 (re-export)
 from mediastreamer2_tpu.core.filter import FilterDef, register_filter
-
-
-def block_dtype(fmt: Format):
-    if fmt.kind in ("ulaw", "alaw", "g722", "gsm"):
-        return jnp.int32
-    return jnp.float32
-
 
 register_filter(FilterDef(
     name="ext_source", ninputs=0, noutputs=1,

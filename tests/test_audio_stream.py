@@ -1,0 +1,93 @@
+"""Two-endpoint integration tests over loopback RTP — the reference's
+"marielle/margaux" pattern (tester/mediastreamer2_audio_stream_tester.c:
+156-218: play WAV through a real RTP round trip, assert the recorded side
+with ms_audio_diff; loss injected via the network simulator at :731)."""
+import numpy as np
+import pytest
+
+from mediastreamer2_tpu.core.block import tick_samples
+from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
+                                                    AudioStreamFeatures)
+from mediastreamer2_tpu.net.rtp import LoopbackPair
+from mediastreamer2_tpu.net.netsim import NetworkSimulator, NetSimParams
+from mediastreamer2_tpu.utils.audiodiff import audio_diff
+
+from conftest import make_speechlike
+
+RATE = 8000
+S = tick_samples(RATE)
+
+
+def run_call(factory, B=2, ticks=150, codec="ulaw", netsim=None,
+             tx_features=None, rx_features=None):
+    sig = make_speechlike(S * ticks, RATE, seed=11)
+    marielle = AudioStreamBatch(factory, B, codec=codec, rate=RATE,
+                                features=tx_features or AudioStreamFeatures(),
+                                mic_signal=sig)
+    margaux = AudioStreamBatch(factory, B, codec=codec, rate=RATE,
+                               features=rx_features or AudioStreamFeatures(),
+                               record_ticks=ticks + 50)
+    # compile both graphs BEFORE either clock starts, so margaux's recording
+    # window doesn't elapse while marielle is still jitting
+    marielle.ticker.warm_up()
+    margaux.ticker.warm_up()
+    pairs = []
+    for leg in range(B):
+        pair = LoopbackPair(netsim=NetworkSimulator(netsim) if netsim else None)
+        marielle.set_transport(leg, pair.endpoint(0))
+        margaux.set_transport(leg, pair.endpoint(1))
+        pairs.append(pair)
+    margaux.start(ticks + 50)
+    marielle.run(ticks + 20)
+    marielle.stop()
+    margaux.stop()
+    rec = margaux.get_recording()
+    return sig, rec, marielle, margaux
+
+
+def test_call_clean_channel(factory):
+    sig, rec, tx, rx = run_call(factory, B=2, ticks=120)
+    for leg in range(2):
+        sim, shift = audio_diff(sig, rec[leg])
+        assert sim > 0.9, f"leg {leg}: sim {sim}"
+        assert 0 <= shift < 20 * S          # jitter-buffer latency only
+    assert rx.sessions[0].stats.recv_packets > 100
+    assert tx.sessions[0].stats.sent_packets > 100
+
+
+def test_call_with_loss_plc(factory):
+    ns = NetSimParams(loss_rate=10.0, seed=3)
+    sig, rec, tx, rx = run_call(factory, B=2, ticks=150, netsim=ns)
+    jb = rx.sessions[0].jitter_buffer
+    assert jb.lost > 0                       # losses actually happened
+    sim, _ = audio_diff(sig, rec[0])
+    assert sim > 0.75, f"PLC-concealed sim {sim}"
+
+
+def test_call_with_jitter(factory):
+    ns = NetSimParams(jitter_strength_ms=30.0, latency_ms=20, seed=4)
+    sig, rec, tx, rx = run_call(factory, B=1, ticks=150, netsim=ns)
+    sim, _ = audio_diff(sig, rec[0])
+    assert sim > 0.8, f"jittered sim {sim}"
+
+
+def test_call_dtx_stops_packets(factory):
+    feats = AudioStreamFeatures(vad_dtx=True)
+    # mic signal: speech for 50 ticks then silence
+    sig = make_speechlike(S * 150, RATE, seed=2)
+    sig[60 * S:] = 0.0
+    B = 1
+    marielle = AudioStreamBatch(factory, B, features=feats, mic_signal=sig)
+    margaux = AudioStreamBatch(factory, B, record_ticks=150)
+    pair = LoopbackPair()
+    marielle.set_transport(0, pair.endpoint(0))
+    margaux.set_transport(0, pair.endpoint(1))
+    marielle.ticker.warm_up()
+    margaux.ticker.warm_up()
+    margaux.start(200)
+    marielle.run(150)
+    marielle.stop()
+    margaux.stop()
+    sent = marielle.sessions[0].stats.sent_packets
+    assert sent < 130, f"DTX should suppress packets, sent {sent}"
+    assert sent > 40
