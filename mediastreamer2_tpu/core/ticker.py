@@ -65,6 +65,8 @@ class Ticker:
         self._io_push: Optional[Callable[[int, Dict], None]] = None
         self._run_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._mutations: list = []
+        self._mut_lock = threading.Lock()
 
     # host I/O callbacks: pull(tick)->ext_in dict, push(tick, ext_out)
     def set_io(self, pull: Optional[Callable] = None, push: Optional[Callable] = None):
@@ -80,7 +82,18 @@ class Ticker:
         st, out, ev = self._step(self.state, self.params, ext_in)
         jax.block_until_ready(st)
 
+    def mutate(self, fn: Callable[["Ticker"], None]):
+        """Queue a state/params mutation to run at the next tick boundary —
+        the functional replacement for the reference's per-filter lock
+        guarding method calls against process() (msfilter.c ms_filter_lock)."""
+        with self._mut_lock:
+            self._mutations.append(fn)
+
     def do_tick(self) -> Dict:
+        with self._mut_lock:
+            muts, self._mutations = self._mutations, []
+        for fn in muts:
+            fn(self)
         t0 = time.perf_counter()
         ext_in = self._io_pull(self.stats.ticks) if self._io_pull else {
             k: np.zeros(shape, dtype) for k, (shape, dtype) in self.graph.ext_inputs.items()}

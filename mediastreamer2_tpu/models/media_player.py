@@ -1,0 +1,137 @@
+"""MSMediaPlayer / MSMediaRecorder equivalents — standalone A/V file
+play/record sessions on a private ticker.
+
+Reference: src/voip/msmediaplayer.c:69-91 (open/sniff -> decoders -> sinks
+graph, seek/pause via player methods, EOF notify) and msmediarecorder.c.
+Containers: the reference handles wav/mkv/smff; here WAV is native and the
+frame API leaves room for more containers (host-side demux feeding device
+graphs, like the reference's mkv reader does).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from mediastreamer2_tpu.core.block import Format, tick_samples
+from mediastreamer2_tpu.core.graph import GraphBuilder
+from mediastreamer2_tpu.core.ticker import Ticker
+from mediastreamer2_tpu.io.wav import read_wav, write_wav
+
+
+class MediaPlayer:
+    """Single-leg convenience wrapper (batch=1) with the reference's
+    play/pause/seek/EOF surface."""
+
+    STATE_CLOSED, STATE_PAUSED, STATE_PLAYING = "closed", "paused", "playing"
+
+    def __init__(self, factory, out_rate: Optional[int] = None):
+        self.factory = factory
+        self.out_rate = out_rate
+        self.state = self.STATE_CLOSED
+        self.ticker: Optional[Ticker] = None
+        self.rate = 0
+        self.on_eof: Optional[Callable[[], None]] = None
+        self._spk_cb: Optional[Callable[[np.ndarray], None]] = None
+
+    def open(self, path: str):
+        sig, rate = read_wav(path)
+        self.rate = rate
+        g = GraphBuilder(self.factory, batch=1)
+        p = g.add("file_player", "play", fmt=Format(rate=rate), signal=sig)
+        last = p
+        if self.out_rate and self.out_rate != rate:
+            rs = g.add("resample", "rs", out_rate=self.out_rate)
+            g.link(last, 0, rs, 0)
+            last = rs
+        g.link(last, 0, g.add("ext_sink", "spk"), 0)
+        graph = g.build()
+        self.ticker = Ticker(graph, name="mediaplayer")
+        self.ticker.params["play"]["playing"] = jnp.zeros((1,), bool)
+        self.ticker.event_queue.set_handler(
+            "play.eof", lambda ev: self.on_eof and self.on_eof())
+        self.ticker.set_io(push=self._push)
+        self.ticker.warm_up()
+        self.state = self.STATE_PAUSED
+        self.duration_ms = len(sig) * 1000 // rate
+
+    def _push(self, tick, ext_out):
+        if self._spk_cb:
+            self._spk_cb(np.asarray(ext_out["spk"])[0])
+
+    def set_output(self, cb: Callable[[np.ndarray], None]):
+        self._spk_cb = cb
+
+    def start(self):
+        if self.state == self.STATE_CLOSED:
+            raise RuntimeError("open() first")
+        self.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+            "playing", jnp.ones((1,), bool)))
+        if not self.ticker._run_thread:
+            self.ticker.start()
+        self.state = self.STATE_PLAYING
+
+    def pause(self):
+        self.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+            "playing", jnp.zeros((1,), bool)))
+        self.state = self.STATE_PAUSED
+
+    def seek_ms(self, ms: int):
+        pos = int(ms * self.rate / 1000)
+
+        def do_seek(tk):
+            st = dict(tk.state["play"])
+            st["pos"] = jnp.full((1,), pos, jnp.int32)
+            tk.state = {**tk.state, "play": st}
+        self.ticker.mutate(do_seek)
+
+    def get_position_ms(self) -> int:
+        return int(np.asarray(self.ticker.state["play"]["pos"])[0]
+                   * 1000 // self.rate)
+
+    def close(self):
+        if self.ticker:
+            self.ticker.stop()
+        self.state = self.STATE_CLOSED
+
+
+class MediaRecorder:
+    """WAV recorder fed by an external source callback (mic or graph)."""
+
+    def __init__(self, factory, rate: int = 8000, max_seconds: int = 600):
+        self.factory = factory
+        self.rate = rate
+        self.S = tick_samples(rate)
+        max_ticks = max_seconds * 100
+        g = GraphBuilder(factory, batch=1)
+        src = g.add("ext_source", "mic", fmt=Format(rate=rate))
+        g.link(src, 0, g.add("file_recorder", "rec", max_ticks=max_ticks), 0)
+        self.graph = g.build()
+        self.ticker = Ticker(self.graph, name="mediarecorder")
+        self._pull_cb: Optional[Callable[[int], np.ndarray]] = None
+        self.ticker.set_io(pull=self._pull)
+
+    def set_input(self, cb: Callable[[int], np.ndarray]):
+        self._pull_cb = cb
+
+    def _pull(self, tick):
+        if self._pull_cb is None:
+            return {"mic": np.zeros((1, self.S), np.float32)}
+        return {"mic": self._pull_cb(tick).reshape(1, self.S)}
+
+    def start(self, n_ticks: int = 10 ** 9):
+        self.ticker.warm_up()
+        self.ticker.start(n_ticks)
+
+    def run(self, n_ticks: int):
+        self.ticker.warm_up()
+        self.ticker.run(n_ticks)
+
+    def stop_and_save(self, path: str):
+        self.ticker.stop()
+        n = int(np.asarray(self.ticker.state["rec"]["tick"]))
+        from mediastreamer2_tpu.ops.fileio import recorder_get_audio
+        audio = recorder_get_audio(self.ticker.state["rec"], n, self.S)[0]
+        write_wav(path, audio, self.rate)
+        return path

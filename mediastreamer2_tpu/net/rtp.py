@@ -179,6 +179,7 @@ class RtpSession:
         self.jitter_buffer = jitter_buffer
         self.recv_ssrc: Optional[int] = None
         self.on_packet: Optional[Callable[[RtpPacket], None]] = None
+        self.accepted_payload_types: Optional[set] = None  # None => {payload_type}
 
     # -- send path ------------------------------------------------------
     def send_payload(self, payload: bytes, ts_increment: int, marker: bool = False):
@@ -202,7 +203,8 @@ class RtpSession:
                 pkt = RtpPacket.unpack(data)
             except ValueError:
                 continue
-            if pkt.payload_type != self.payload_type:
+            accepted = self.accepted_payload_types or {self.payload_type}
+            if pkt.payload_type not in accepted:
                 self.stats.discarded += 1
                 continue
             self.recv_ssrc = pkt.ssrc

@@ -15,3 +15,4 @@ from mediastreamer2_tpu.ops import plc         # noqa: F401
 from mediastreamer2_tpu.ops import vad         # noqa: F401
 from mediastreamer2_tpu.ops import flowcontrol # noqa: F401
 from mediastreamer2_tpu.ops import eq          # noqa: F401
+from mediastreamer2_tpu.ops import video       # noqa: F401

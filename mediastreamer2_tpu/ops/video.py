@@ -1,0 +1,213 @@
+"""Video pipeline ops — YUV420 <-> RGB, rescale, rotation, test pattern.
+
+Reference: src/voip/msvideo.c (YUV buffer mgmt :158-315, scaler with
+libyuv/swscale backends :526-715, NEON rotation in msvideo_neon.c),
+src/videofilters/pixconv.c, sizeconv.c, mire.c (synthetic moving pattern),
+and the GLSL YUV->RGB shaders under utils/opengles_display.c:312-377.
+
+TPU-native: frames are batched tensors — YUV420 packed as
+``[legs, h*3/2, w]`` float32 (Y plane stacked over interleaved half-res U,V
+rows), RGB as ``[legs, h, w, 3]``.  Color conversion is a 3x3 matmul over
+the channel dim (MXU), rescale is ``jax.image.resize`` per plane (XLA
+generates fused gather/linear-combine kernels), rotation is a transpose —
+the things NEON assembly does in the reference fall out of the compiler.
+
+One frame per tick per leg: at the reference's default 10 ms tick a graph
+pass moves up to 100 fps; real camera cadence is handled by the host
+feeding frames (or repeats) like MSVideoSource does.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mediastreamer2_tpu.core.block import Format
+from mediastreamer2_tpu.core.filter import FilterDef, register_filter
+
+# BT.601 full-range matrices (same space the reference's shaders use)
+_YUV2RGB = np.array([[1.0, 0.0, 1.402],
+                     [1.0, -0.344136, -0.714136],
+                     [1.0, 1.772, 0.0]], np.float32)
+_RGB2YUV = np.linalg.inv(_YUV2RGB).astype(np.float32)
+
+
+def split_yuv420(frame, w: int, h: int):
+    """[B, h*3/2, w] -> (Y [B,h,w], U [B,h/2,w/2], V [B,h/2,w/2])."""
+    y = frame[:, :h, :]
+    uv = frame[:, h:, :].reshape(frame.shape[0], h // 2, 2, w // 2)
+    u = uv[:, :, 0, :]
+    v = uv[:, :, 1, :]
+    return y, u, v
+
+
+def join_yuv420(y, u, v):
+    B, h, w = y.shape
+    uv = jnp.stack([u, v], axis=2).reshape(B, h // 2, w)
+    return jnp.concatenate([y, uv], axis=1)
+
+
+def yuv420_to_rgb(frame, w: int, h: int):
+    y, u, v = split_yuv420(frame, w, h)
+    up = lambda p: jax.image.resize(p, (p.shape[0], h, w), "linear")
+    yuv = jnp.stack([y, up(u) - 0.5, up(v) - 0.5], axis=-1)     # [B,h,w,3]
+    rgb = jnp.einsum("bhwc,rc->bhwr", yuv, jnp.asarray(_YUV2RGB))
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
+def rgb_to_yuv420(rgb):
+    B, h, w, _ = rgb.shape
+    yuv = jnp.einsum("bhwc,rc->bhwr", rgb, jnp.asarray(_RGB2YUV))
+    y = yuv[..., 0]
+    u = yuv[..., 1] + 0.5
+    v = yuv[..., 2] + 0.5
+    down = lambda p: jax.image.resize(p, (B, h // 2, w // 2), "linear")
+    return join_yuv420(jnp.clip(y, 0, 1), jnp.clip(down(u), 0, 1),
+                       jnp.clip(down(v), 0, 1))
+
+
+def scale_yuv420(frame, w: int, h: int, out_w: int, out_h: int):
+    """MSScaler equivalent (msvideo.c:526-715, libyuv I420Scale path)."""
+    y, u, v = split_yuv420(frame, w, h)
+    B = frame.shape[0]
+    ys = jax.image.resize(y, (B, out_h, out_w), "linear")
+    us = jax.image.resize(u, (B, out_h // 2, out_w // 2), "linear")
+    vs = jax.image.resize(v, (B, out_h // 2, out_w // 2), "linear")
+    return join_yuv420(ys, us, vs)
+
+
+def rotate_yuv420(frame, w: int, h: int, degrees: int):
+    """90-degree-step rotation (reference: ms_video_rotate..., NEON asm)."""
+    if degrees % 360 == 0:
+        return frame
+    y, u, v = split_yuv420(frame, w, h)
+    k = (degrees // 90) % 4
+    rot = lambda p: jnp.rot90(p, k=-k, axes=(1, 2))   # clockwise
+    return join_yuv420(rot(y), rot(u), rot(v))
+
+
+def mirror_yuv420(frame, w: int, h: int):
+    y, u, v = split_yuv420(frame, w, h)
+    m = lambda p: p[:, :, ::-1]
+    return join_yuv420(m(y), m(u), m(v))
+
+
+# ---------------------------------------------------------------- filters
+def _mire_formats(ctx):
+    return (ctx.params["fmt"],)
+
+
+def _mire_init(ctx):
+    return {"frame_idx": jnp.zeros((ctx.batch,), jnp.int32)}
+
+
+def _mire_process(state, ins, params, ctx):
+    """Moving color-bar/checker pattern (parity: src/videofilters/mire.c)."""
+    fmt: Format = ctx.params["fmt"]
+    w, h, B = fmt.width, fmt.height, ctx.batch
+    idx = state["frame_idx"]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (B, h, w), 2)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (B, h, w), 1)
+    off = idx[:, None, None]
+    ycells = (((xs + off) // 32 + ys // 32) % 8).astype(jnp.float32) / 8.0
+    u = 0.5 + 0.4 * jnp.sin(2 * np.pi * (xs + off * 2).astype(jnp.float32) / w)
+    v = 0.5 + 0.4 * jnp.cos(2 * np.pi * (ys + off * 2).astype(jnp.float32) / h)
+    frame = join_yuv420(
+        ycells,
+        jax.image.resize(u, (B, h // 2, w // 2), "linear"),
+        jax.image.resize(v, (B, h // 2, w // 2), "linear"))
+    return {"frame_idx": idx + 1}, (frame,), {}
+
+
+register_filter(FilterDef(
+    name="mire", ninputs=0, noutputs=1,
+    out_formats=_mire_formats, init=_mire_init, process=_mire_process,
+    interfaces=("video_source",),
+))
+
+
+def _pixconv_formats(ctx):
+    to = ctx.params.get("to", "rgb")
+    f = ctx.in_formats[0]
+    return (f.with_(kind=to),)
+
+
+def _pixconv_process(state, ins, params, ctx):
+    f = ctx.in_formats[0]
+    to = ctx.params.get("to", "rgb")
+    if f.kind == "yuv420" and to == "rgb":
+        return state, (yuv420_to_rgb(ins[0], f.width, f.height),), {}
+    if f.kind == "rgb" and to == "yuv420":
+        return state, (rgb_to_yuv420(ins[0]),), {}
+    if f.kind == to:
+        return state, (ins[0],), {}
+    raise ValueError(f"pixconv {f.kind}->{to} unsupported")
+
+
+register_filter(FilterDef(
+    name="pix_conv", ninputs=1, noutputs=1,
+    out_formats=_pixconv_formats, process=_pixconv_process,
+))
+
+
+def _sizeconv_formats(ctx):
+    f = ctx.in_formats[0]
+    return (f.with_(width=int(ctx.params["out_w"]), height=int(ctx.params["out_h"])),)
+
+
+def _sizeconv_process(state, ins, params, ctx):
+    f = ctx.in_formats[0]
+    ow, oh = int(ctx.params["out_w"]), int(ctx.params["out_h"])
+    if f.kind == "yuv420":
+        return state, (scale_yuv420(ins[0], f.width, f.height, ow, oh),), {}
+    out = jax.image.resize(ins[0], (ins[0].shape[0], oh, ow, 3), "linear")
+    return state, (out,), {}
+
+
+register_filter(FilterDef(
+    name="size_conv", ninputs=1, noutputs=1,
+    out_formats=_sizeconv_formats, process=_sizeconv_process,
+))
+
+
+def _rot_formats(ctx):
+    f = ctx.in_formats[0]
+    deg = int(ctx.params.get("degrees", 0))
+    if deg % 180 == 90:
+        return (f.with_(width=f.height, height=f.width),)
+    return (f,)
+
+
+def _rot_process(state, ins, params, ctx):
+    f = ctx.in_formats[0]
+    deg = int(ctx.params.get("degrees", 0))
+    out = rotate_yuv420(ins[0], f.width, f.height, deg)
+    if ctx.params.get("mirror", False):
+        fo = _rot_formats(ctx)[0]
+        out = mirror_yuv420(out, fo.width, fo.height)
+    return state, (out,), {}
+
+
+register_filter(FilterDef(
+    name="video_transform", ninputs=1, noutputs=1,
+    out_formats=_rot_formats, process=_rot_process,
+))
+
+
+# analyse display: checker/average analysis for tests
+# (parity: src/videofilters/msanalysedisplay.c)
+def _analyse_process(state, ins, params, ctx):
+    f = ctx.in_formats[0]
+    if f.kind == "yuv420":
+        y, u, v = split_yuv420(ins[0], f.width, f.height)
+        mean = y.mean(axis=(1, 2))
+    else:
+        mean = ins[0].mean(axis=(1, 2, 3))
+    return state, (), {"frame_mean": mean}
+
+
+register_filter(FilterDef(
+    name="analyse_display", ninputs=1, noutputs=0,
+    out_formats=lambda ctx: (), process=_analyse_process,
+    interfaces=("video_display",),
+))

@@ -1,0 +1,79 @@
+"""Video op tests — pixconv/sizeconv/rotation parity targets from
+src/voip/msvideo.c and videofilters (mire, pixconv, sizeconv)."""
+import numpy as np
+import jax
+import pytest
+
+from mediastreamer2_tpu.core.block import Format
+from mediastreamer2_tpu.core.graph import GraphBuilder
+from mediastreamer2_tpu.ops.video import (yuv420_to_rgb, rgb_to_yuv420,
+                                          scale_yuv420, rotate_yuv420,
+                                          split_yuv420)
+
+W, H = 64, 48
+VFMT = Format(kind="yuv420", width=W, height=H, fps=100.0)
+
+
+def _rand_rgb(B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+
+
+def test_rgb_yuv_roundtrip():
+    rgb = _rand_rgb()
+    # smooth the chroma (420 halves chroma resolution; use a blurred image)
+    rgb = np.array(jax.image.resize(
+        jax.image.resize(rgb, (2, H // 4, W // 4, 3), "linear"),
+        (2, H, W, 3), "linear"))
+    back = np.asarray(yuv420_to_rgb(rgb_to_yuv420(rgb), W, H))
+    assert np.abs(back - rgb).mean() < 0.02
+
+
+def test_scale_yuv420_shapes_and_content():
+    rgb = _rand_rgb(1)
+    yuv = rgb_to_yuv420(rgb)
+    scaled = scale_yuv420(yuv, W, H, W // 2, H // 2)
+    assert scaled.shape == (1, (H // 2) * 3 // 2, W // 2)
+    y0, _, _ = split_yuv420(np.asarray(yuv), W, H)
+    y1, _, _ = split_yuv420(np.asarray(scaled), W // 2, H // 2)
+    assert abs(float(y0.mean()) - float(y1.mean())) < 0.01  # brightness kept
+
+
+def test_rotation_90():
+    rgb = _rand_rgb(1)
+    yuv = np.asarray(rgb_to_yuv420(rgb))
+    rot = np.asarray(rotate_yuv420(yuv, W, H, 90))
+    assert rot.shape == (1, W * 3 // 2, H)   # swapped dims
+    y, _, _ = split_yuv420(yuv, W, H)
+    yr, _, _ = split_yuv420(rot, H, W)
+    np.testing.assert_allclose(yr[0], np.rot90(y[0], k=-1), atol=1e-6)
+
+
+def test_mire_pipeline(factory):
+    B = 2
+    g = GraphBuilder(factory, batch=B)
+    m = g.add("mire", "cam", fmt=VFMT)
+    pc = g.add("pix_conv", "pc", to="rgb")
+    sc = g.add("size_conv", "sc", out_w=32, out_h=24)
+    sink = g.add("ext_sink", "disp")
+    g.chain(m, pc, sc, sink)
+    cg = g.build()
+    st, params = cg.init_state(), cg.init_params()
+    frames = []
+    for _ in range(3):
+        st, out, _ = cg.step(st, params, {})
+        frames.append(np.asarray(out["disp"]))
+    assert frames[0].shape == (B, 24, 32, 3)
+    assert np.isfinite(frames[0]).all()
+    # pattern moves between frames
+    assert np.abs(frames[2] - frames[0]).max() > 0.05
+
+
+def test_analyse_display_event(factory):
+    g = GraphBuilder(factory, batch=1)
+    m = g.add("mire", "cam", fmt=VFMT)
+    a = g.add("analyse_display", "ana")
+    g.chain(m, a)
+    cg = g.build()
+    st, out, ev = cg.step(cg.init_state(), cg.init_params(), {})
+    assert 0.0 < float(np.asarray(ev["ana.frame_mean"])[0]) < 1.0
