@@ -36,8 +36,11 @@ from mediastreamer2_tpu.net.jitter import JitterBuffer, JBParams
 from mediastreamer2_tpu.net.rtp import RtpSession, Transport
 
 # payload-type profile (RFC 3551 static types + our dynamic ones)
-PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11}
+PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11, "gsm": 3, "opus": 96}
 CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2}
+# host codecs run at the RTP boundary (cf. SURVEY.md §7: library codecs are
+# host filters, like the reference's hw codec backends); value = frame ms
+HOST_CODECS = {"opus": 10, "gsm": 20}
 
 
 @dataclasses.dataclass
@@ -71,12 +74,18 @@ class AudioStreamBatch:
         fmt = Format(kind="pcm", rate=rate)
         ft = self.features
 
+        self.host_codec = codec in HOST_CODECS
         g = GraphBuilder(factory, batch=batch)
         # ---- recv chain (built first: its output feeds the EC far pin) ----
-        rx = g.add("ext_source", "rtp_rx", fmt=fmt.with_(kind=codec))
-        dec = g.add(f"{codec}_dec", "dec")
-        g.link(rx, 0, dec, 0)
-        last = dec
+        if self.host_codec:
+            # host codec decodes at the RTP boundary; device sees PCM
+            rx = g.add("ext_source", "rtp_rx", fmt=fmt)
+            last = rx
+        else:
+            rx = g.add("ext_source", "rtp_rx", fmt=fmt.with_(kind=codec))
+            dec = g.add(f"{codec}_dec", "dec")
+            g.link(rx, 0, dec, 0)
+            last = dec
         if ft.plc:
             plc = g.add("generic_plc", "plc")
             g.link(last, 0, plc, 0)
@@ -115,9 +124,12 @@ class AudioStreamBatch:
             vad = g.add("vad_dtx", "vad")
             g.link(last, 0, vad, 0)
             last = vad
-        enc = g.add(f"{codec}_enc", "enc")
-        g.link(last, 0, enc, 0)
-        g.link(enc, 0, g.add("ext_sink", "rtp_tx"), 0)
+        if self.host_codec:
+            g.link(last, 0, g.add("ext_sink", "rtp_tx"), 0)   # PCM out
+        else:
+            enc = g.add(f"{codec}_enc", "enc")
+            g.link(last, 0, enc, 0)
+            g.link(enc, 0, g.add("ext_sink", "rtp_tx"), 0)
 
         self.graph = g.build()
         self.ticker = Ticker(self.graph, name=f"audio[{batch}]", realtime=True)
@@ -132,6 +144,23 @@ class AudioStreamBatch:
         self.jb_params = jb_params or JBParams()
         self._dtx_silent = np.zeros(batch, bool)
         self._lost_mask = np.zeros(batch, bool)
+        self._host_enc = [None] * batch
+        self._host_dec = [None] * batch
+        if self.host_codec:
+            self.frame_ticks = HOST_CODECS[codec] // 10
+            self._tx_accum: List[list] = [[] for _ in range(batch)]
+            self._rx_fifo: List[list] = [[] for _ in range(batch)]
+            from mediastreamer2_tpu.ops import host_codecs as hc
+            for i in range(batch):
+                if codec == "opus":
+                    self._host_enc[i] = hc.OpusEncoder(rate=rate)
+                    self._host_dec[i] = hc.OpusDecoder(rate=rate)
+                elif codec == "gsm":
+                    if rate != 8000:
+                        raise ValueError("gsm requires 8 kHz")
+                    c = hc.GsmCodec()
+                    self._host_enc[i] = c
+                    self._host_dec[i] = c
 
     # ------------------------------------------------------------------
     def set_transport(self, leg: int, transport: Transport):
@@ -139,6 +168,20 @@ class AudioStreamBatch:
         self.sessions[leg] = RtpSession(
             transport, payload_type=PAYLOAD_TYPES[self.codec],
             clock_rate=self.rate, jitter_buffer=jb)
+
+    def enable_srtp(self, leg: int, tx_key: bytes, tx_salt: bytes,
+                    rx_key: bytes, rx_salt: bytes, suite: str = None):
+        """cf. media_stream_enable_srtp — wraps the leg's transport."""
+        from mediastreamer2_tpu.net.srtp import (SrtpContext, SrtpTransport,
+                                                 AES_CM_128_HMAC_SHA1_80)
+        sess = self.sessions[leg]
+        if sess is None:
+            raise RuntimeError("set_transport first")
+        suite = suite or AES_CM_128_HMAC_SHA1_80
+        sess.transport = SrtpTransport(
+            sess.transport,
+            tx=SrtpContext(tx_key, tx_salt, suite),
+            rx=SrtpContext(rx_key, rx_salt, suite))
 
     # ------------------------------------------------------------------
     def _decode_payload(self, payload: bytes) -> np.ndarray:
@@ -156,6 +199,8 @@ class AudioStreamBatch:
         raise ValueError(self.codec)
 
     def _pull(self, tick: int) -> Dict[str, np.ndarray]:
+        if self.host_codec:
+            return self._pull_host_codec(tick)
         B, S = self.batch, self.S
         rx = np.zeros((B, S), np.int32)
         lost = np.zeros(B, bool)
@@ -177,12 +222,61 @@ class AudioStreamBatch:
             ext["mic"] = np.zeros((B, S), np.float32)
         return ext
 
+    def _pull_host_codec(self, tick: int) -> Dict[str, np.ndarray]:
+        B, S = self.batch, self.S
+        rx = np.zeros((B, S), np.float32)
+        lost = np.zeros(B, bool)
+        frame_samples = S * self.frame_ticks
+        for i, sess in enumerate(self.sessions):
+            fifo = self._rx_fifo[i]
+            if sess is not None and not fifo:
+                sess.poll()
+                payload = sess.jitter_buffer.get_tick()
+                if self.codec == "opus":
+                    pcm = self._host_dec[i].decode(payload, frame_samples)
+                    if len(pcm) < frame_samples:
+                        pcm = np.pad(pcm, (0, frame_samples - len(pcm)))
+                elif payload is not None and len(payload) > 0:
+                    pcm = self._host_dec[i].decode(payload)
+                else:
+                    pcm = np.zeros(frame_samples, np.float32)
+                    lost[i] = True
+                fifo.extend(pcm[k * S:(k + 1) * S]
+                            for k in range(self.frame_ticks))
+            if fifo:
+                rx[i] = fifo.pop(0)
+            elif sess is not None:
+                lost[i] = True
+        self._lost_mask = lost
+        if self.features.plc:
+            self.ticker.params["plc"]["lost"] = jnp.asarray(lost)
+        ext = {"rtp_rx": rx}
+        if "mic" in self.graph.ext_inputs:
+            ext["mic"] = np.zeros((B, S), np.float32)
+        return ext
+
     def _push(self, tick: int, ext_out: Dict):
         tx = np.asarray(ext_out["rtp_tx"])
         if self.features.vad_dtx:
             voice = np.asarray(self.ticker.state["vad"]["voice"])
         else:
             voice = np.ones(self.batch, bool)
+        if self.host_codec:
+            frame_samples = self.S * self.frame_ticks
+            for i, sess in enumerate(self.sessions):
+                if sess is None:
+                    continue
+                self._tx_accum[i].append(tx[i])
+                if len(self._tx_accum[i]) < self.frame_ticks:
+                    continue
+                pcm = np.concatenate(self._tx_accum[i])
+                self._tx_accum[i] = []
+                if voice[i]:
+                    sess.send_payload(self._host_enc[i].encode(pcm),
+                                      ts_increment=frame_samples)
+                else:
+                    sess.skip_payload(ts_increment=frame_samples)
+            return
         for i, sess in enumerate(self.sessions):
             if sess is None:
                 continue

@@ -1,0 +1,267 @@
+"""ICE (RFC 8445/5245) — sessions, check lists, connectivity checks.
+
+Reference: src/voip/ice.c (4,895 LoC; API include/mediastreamer2/ice.h:
+276-593), driven per-tick from media_stream_iterate
+(src/voip/mediastream.c:547) and from inbound STUN packets (:532-533).
+
+Scope (round 1): host candidate gathering, remote candidate intake (SDP-ish
+tuples), pair formation with RFC priority math, connectivity checks with
+role/tiebreaker + USE-CANDIDATE nomination by the controlling agent,
+triggered checks on inbound requests, keepalives, state machine
+(running/completed/failed).  Server-reflexive/TURN gathering are stubs that
+plug in where marked (same check-list machinery).
+"""
+from __future__ import annotations
+
+import dataclasses
+import random
+import string
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+from mediastreamer2_tpu.net import stun
+
+# candidate types and RFC 5245 type preferences
+TYPE_PREF = {"host": 126, "prflx": 110, "srflx": 100, "relay": 0}
+
+IS_CHECKING, IS_COMPLETED, IS_FAILED, IS_RUNNING = (
+    "checking", "completed", "failed", "running")
+
+RTO_MS = 500
+MAX_RETRANS = 4
+KEEPALIVE_S = 15.0
+
+
+def random_ufrag(n=4):
+    return "".join(random.choice(string.ascii_letters + string.digits)
+                   for _ in range(n))
+
+
+@dataclasses.dataclass(frozen=True)
+class Candidate:
+    foundation: str
+    component: int              # 1=RTP, 2=RTCP
+    transport: str              # "udp"
+    priority: int
+    host: str
+    port: int
+    typ: str                    # host/srflx/prflx/relay
+
+    @classmethod
+    def make(cls, host: str, port: int, typ: str = "host",
+             component: int = 1, local_pref: int = 65535):
+        prio = (TYPE_PREF[typ] << 24) | (local_pref << 8) | (256 - component)
+        return cls(foundation=f"{typ}:{host}", component=component,
+                   transport="udp", priority=prio, host=host, port=port,
+                   typ=typ)
+
+    def sdp(self) -> str:
+        return (f"candidate:{self.foundation} {self.component} "
+                f"{self.transport} {self.priority} {self.host} {self.port} "
+                f"typ {self.typ}")
+
+
+@dataclasses.dataclass
+class CandidatePair:
+    local: Candidate
+    remote: Candidate
+    state: str = "frozen"       # frozen/waiting/in-progress/succeeded/failed
+    nominated: bool = False
+    priority: int = 0
+    _tx_id: Optional[bytes] = None
+    _sent_at: float = 0.0
+    _retrans: int = 0
+
+    def compute_priority(self, controlling: bool):
+        g = self.local.priority if controlling else self.remote.priority
+        d = self.remote.priority if controlling else self.local.priority
+        self.priority = (min(g, d) << 32) + (max(g, d) << 1) + (1 if g > d else 0)
+
+
+class IceCheckList:
+    """One per media stream (cf. ice_check_list_* API)."""
+
+    def __init__(self, session: "IceSession", send_fn: Callable[[Tuple[str, int], bytes], None],
+                 local_addr: Tuple[str, int]):
+        self.session = session
+        self.send_fn = send_fn
+        self.local_candidates: List[Candidate] = [
+            Candidate.make(local_addr[0], local_addr[1], "host")]
+        self.remote_candidates: List[Candidate] = []
+        self.pairs: List[CandidatePair] = []
+        self.state = IS_RUNNING
+        self.selected: Optional[CandidatePair] = None
+        self._last_keepalive = time.monotonic()
+
+    # -- candidate intake -------------------------------------------------
+    def add_local_candidate(self, cand: Candidate):
+        self.local_candidates.append(cand)
+        self._form_pairs()
+
+    def add_remote_candidate(self, cand: Candidate):
+        self.remote_candidates.append(cand)
+        self._form_pairs()
+
+    def _form_pairs(self):
+        existing = {(p.local, p.remote) for p in self.pairs}
+        for l in self.local_candidates:
+            for r in self.remote_candidates:
+                if l.component == r.component and (l, r) not in existing:
+                    p = CandidatePair(l, r, state="waiting")
+                    p.compute_priority(self.session.controlling)
+                    self.pairs.append(p)
+        self.pairs.sort(key=lambda p: -p.priority)
+
+    # -- periodic processing (cf. ice_check_list_process) ------------------
+    def process(self, now: Optional[float] = None):
+        if self.state != IS_RUNNING:
+            self._keepalive(now)
+            return
+        now = time.monotonic() if now is None else now
+        # retransmit / timeout in-progress checks
+        for p in self.pairs:
+            if p.state == "in-progress" and now - p._sent_at > RTO_MS / 1e3:
+                if p._retrans >= MAX_RETRANS:
+                    p.state = "failed"
+                else:
+                    self._send_check(p, now)
+        # launch next waiting check (one per process call, paced like the
+        # reference's check pacing)
+        for p in self.pairs:
+            if p.state == "waiting":
+                self._send_check(p, now)
+                break
+        self._update_state()
+
+    def _send_check(self, p: CandidatePair, now: float):
+        s = self.session
+        username = f"{s.remote_ufrag}:{s.local_ufrag}"
+        req = stun.make_binding_request(
+            username=username, priority=p.local.priority,
+            controlling=s.controlling, tiebreaker=s.tiebreaker,
+            use_candidate=s.controlling and (s.aggressive or p.nominated))
+        p._tx_id = req.transaction_id
+        if p.state == "waiting":
+            p._retrans = 0
+        else:
+            p._retrans += 1
+        p.state = "in-progress"
+        p._sent_at = now
+        self.send_fn((p.remote.host, p.remote.port),
+                     req.pack(password=s.remote_pwd))
+
+    def _update_state(self):
+        if any(p.nominated and p.state == "succeeded" for p in self.pairs):
+            self.selected = next(p for p in self.pairs
+                                 if p.nominated and p.state == "succeeded")
+            self.state = IS_COMPLETED
+        elif self.pairs and all(p.state == "failed" for p in self.pairs):
+            self.state = IS_FAILED
+
+    def _keepalive(self, now):
+        now = time.monotonic() if now is None else now
+        if self.selected and now - self._last_keepalive > KEEPALIVE_S:
+            self._last_keepalive = now
+            ind = stun.StunMessage(stun.BINDING_INDICATION)
+            self.send_fn((self.selected.remote.host, self.selected.remote.port),
+                         ind.pack())
+
+    # -- inbound STUN (cf. ice_handle_stun_packet) --------------------------
+    def handle_stun(self, data: bytes, from_addr: Tuple[str, int]):
+        try:
+            msg = stun.StunMessage.unpack(data)
+        except ValueError:
+            return
+        s = self.session
+        if msg.msg_type == stun.BINDING_REQUEST:
+            if not msg.check_integrity(s.local_pwd):
+                return
+            # role conflict resolution (RFC 8445 7.3.1.1)
+            their_controlling = stun.ATTR_ICE_CONTROLLING in msg.attrs
+            if their_controlling == s.controlling:
+                import struct as _s
+                their_tb = _s.unpack(
+                    "!Q", msg.attrs[stun.ATTR_ICE_CONTROLLING if their_controlling
+                                    else stun.ATTR_ICE_CONTROLLED])[0]
+                if (s.tiebreaker >= their_tb) == s.controlling:
+                    pass                     # they must switch; send 487
+                else:
+                    s.controlling = not s.controlling
+            resp = stun.make_binding_response(msg, *from_addr)
+            self.send_fn(from_addr, resp.pack(password=s.local_pwd))
+            # peer-reflexive discovery + triggered check
+            known = any(r.host == from_addr[0] and r.port == from_addr[1]
+                        for r in self.remote_candidates)
+            if not known:
+                self.add_remote_candidate(Candidate.make(
+                    from_addr[0], from_addr[1], "prflx"))
+            for p in self.pairs:
+                if (p.remote.host, p.remote.port) == from_addr:
+                    if stun.ATTR_USE_CANDIDATE in msg.attrs and not s.controlling:
+                        p.nominated = True
+                    if p.state in ("frozen", "waiting", "failed"):
+                        p.state = "waiting"      # triggered check
+            self._update_state()
+        elif msg.msg_type == stun.BINDING_RESPONSE:
+            for p in self.pairs:
+                if p._tx_id == msg.transaction_id:
+                    p.state = "succeeded"
+                    if s.controlling:
+                        if self.selected is None:
+                            # regular nomination: renominate with USE-CANDIDATE
+                            if s.aggressive or p.nominated:
+                                p.nominated = True
+                            else:
+                                req = stun.make_binding_request(
+                                    username=f"{s.remote_ufrag}:{s.local_ufrag}",
+                                    priority=p.local.priority,
+                                    controlling=True, tiebreaker=s.tiebreaker,
+                                    use_candidate=True)
+                                p._tx_id = req.transaction_id
+                                p.nominated = True
+                                self.send_fn((p.remote.host, p.remote.port),
+                                             req.pack(password=s.remote_pwd))
+                    self._update_state()
+                    break
+
+
+class IceSession:
+    """cf. ice_session_new / ice.h:276-593."""
+
+    def __init__(self, controlling: bool, aggressive: bool = True):
+        self.controlling = controlling
+        self.aggressive = aggressive
+        self.tiebreaker = random.getrandbits(64)
+        self.local_ufrag = random_ufrag()
+        self.local_pwd = random_ufrag(22)
+        self.remote_ufrag = ""
+        self.remote_pwd = ""
+        self.check_lists: List[IceCheckList] = []
+
+    def set_remote_credentials(self, ufrag: str, pwd: str):
+        self.remote_ufrag = ufrag
+        self.remote_pwd = pwd
+
+    def add_check_list(self, send_fn, local_addr) -> IceCheckList:
+        cl = IceCheckList(self, send_fn, local_addr)
+        self.check_lists.append(cl)
+        return cl
+
+    @property
+    def state(self) -> str:
+        if all(cl.state == IS_COMPLETED for cl in self.check_lists):
+            return IS_COMPLETED
+        if any(cl.state == IS_FAILED for cl in self.check_lists):
+            return IS_FAILED
+        return IS_RUNNING
+
+    def restart(self):
+        """cf. ice_session_restart (ice.h:593)."""
+        self.tiebreaker = random.getrandbits(64)
+        self.local_ufrag = random_ufrag()
+        self.local_pwd = random_ufrag(22)
+        for cl in self.check_lists:
+            cl.pairs.clear()
+            cl.remote_candidates.clear()
+            cl.state = IS_RUNNING
+            cl.selected = None

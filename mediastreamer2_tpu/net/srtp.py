@@ -1,0 +1,170 @@
+"""SRTP (RFC 3711) — AES_CM_128_HMAC_SHA1_80/32 protect/unprotect.
+
+Reference: src/crypto/ms_srtp.cpp (1,768 LoC) wraps libsrtp2 and installs
+itself as an RtpTransportModifier pair on the session (:1004-1019), with
+inner/outer double-encryption support.  Here SRTP is implemented directly
+(AES-CTR + HMAC-SHA1 via the `cryptography` package) as a Transport
+wrapper — same layering idea (protect on send, unprotect on recv), with
+the same key-source surface (SDES inline keys; ZRTP/DTLS export later).
+
+Implements: session key derivation (RFC 3711 §4.3), AES-CM keystream
+encryption (§4.1.1), HMAC-SHA1 authentication over packet||ROC (§4.2),
+ROC/seq tracking with the §3.3.1 index estimation, replay-window check.
+Double encryption (inner+outer) mirrors ms_srtp.cpp's EKT-like scheme:
+wrap the transport twice.
+"""
+from __future__ import annotations
+
+import hmac
+import hashlib
+import struct
+from typing import Dict, Optional, Tuple
+
+from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+from mediastreamer2_tpu.net.rtp import Transport
+
+AES_CM_128_HMAC_SHA1_80 = "AES_CM_128_HMAC_SHA1_80"
+AES_CM_128_HMAC_SHA1_32 = "AES_CM_128_HMAC_SHA1_32"
+TAG_LEN = {AES_CM_128_HMAC_SHA1_80: 10, AES_CM_128_HMAC_SHA1_32: 4}
+
+LABEL_RTP_ENCRYPTION = 0x00
+LABEL_RTP_AUTH = 0x01
+LABEL_RTP_SALT = 0x02
+
+
+def _aes_cm_keystream(key: bytes, iv16: bytes, n: int) -> bytes:
+    enc = Cipher(algorithms.AES(key), modes.CTR(iv16)).encryptor()
+    return enc.update(b"\x00" * n)
+
+
+def derive_key(master_key: bytes, master_salt: bytes, label: int,
+               length: int) -> bytes:
+    """RFC 3711 §4.3.1 key derivation (KDR=0)."""
+    x = int.from_bytes(master_salt, "big") ^ (label << 48)
+    iv = (x << 16).to_bytes(16, "big")
+    return _aes_cm_keystream(master_key, iv, length)
+
+
+class SrtpContext:
+    """One direction (tx or rx) of one SSRC-agnostic session."""
+
+    def __init__(self, master_key: bytes, master_salt: bytes,
+                 suite: str = AES_CM_128_HMAC_SHA1_80):
+        assert len(master_key) == 16 and len(master_salt) == 14
+        self.suite = suite
+        self.k_e = derive_key(master_key, master_salt, LABEL_RTP_ENCRYPTION, 16)
+        self.k_a = derive_key(master_key, master_salt, LABEL_RTP_AUTH, 20)
+        self.k_s = derive_key(master_key, master_salt, LABEL_RTP_SALT, 14)
+        self.roc: Dict[int, int] = {}            # ssrc -> rollover counter
+        self.last_seq: Dict[int, int] = {}
+        self.replay: Dict[int, set] = {}
+
+    # -- packet index (RFC 3711 §3.3.1) -----------------------------------
+    def _estimate_index(self, ssrc: int, seq: int) -> Tuple[int, int]:
+        roc = self.roc.get(ssrc, 0)
+        s_l = self.last_seq.get(ssrc)
+        if s_l is None:
+            return roc, seq
+        if s_l < 32768:
+            if seq - s_l > 32768:
+                v = roc - 1
+            else:
+                v = roc
+        else:
+            if s_l - seq > 32768:
+                v = roc + 1
+            else:
+                v = roc
+        return max(v, 0), seq
+
+    def _keystream_iv(self, ssrc: int, index: int) -> bytes:
+        x = (int.from_bytes(self.k_s, "big") << 16) ^ (ssrc << 64) ^ (index << 16)
+        return (x & ((1 << 128) - 1)).to_bytes(16, "big")
+
+    def _auth(self, data: bytes, roc: int) -> bytes:
+        mac = hmac.new(self.k_a, data + struct.pack("!I", roc),
+                       hashlib.sha1).digest()
+        return mac[: TAG_LEN[self.suite]]
+
+    # -- protect / unprotect ------------------------------------------------
+    def protect(self, packet: bytes) -> bytes:
+        hdr_len = 12 + 4 * (packet[0] & 0x0F)
+        ssrc, seq = struct.unpack("!I", packet[8:12])[0], \
+            struct.unpack("!H", packet[2:4])[0]
+        roc = self.roc.get(ssrc, 0)
+        s_l = self.last_seq.get(ssrc)
+        if s_l is not None and seq < s_l and s_l - seq > 32768:
+            roc += 1
+            self.roc[ssrc] = roc
+        self.last_seq[ssrc] = seq
+        index = (roc << 16) | seq
+        iv = self._keystream_iv(ssrc, index)
+        ks = _aes_cm_keystream(self.k_e, iv, len(packet) - hdr_len)
+        payload = bytes(a ^ b for a, b in zip(packet[hdr_len:], ks))
+        out = packet[:hdr_len] + payload
+        return out + self._auth(out, roc)
+
+    def unprotect(self, packet: bytes) -> Optional[bytes]:
+        tag_len = TAG_LEN[self.suite]
+        if len(packet) < 12 + tag_len:
+            return None
+        data, tag = packet[:-tag_len], packet[-tag_len:]
+        hdr_len = 12 + 4 * (data[0] & 0x0F)
+        if len(data) < hdr_len:
+            return None
+        ssrc = struct.unpack("!I", data[8:12])[0]
+        seq = struct.unpack("!H", data[2:4])[0]
+        roc, _ = self._estimate_index(ssrc, seq)
+        if not hmac.compare_digest(self._auth(data, roc), tag):
+            # try adjacent ROCs (resync after long loss)
+            for r in (roc + 1, max(roc - 1, 0)):
+                if hmac.compare_digest(self._auth(data, r), tag):
+                    roc = r
+                    break
+            else:
+                return None                     # auth failure
+        index = (roc << 16) | seq
+        win = self.replay.setdefault(ssrc, set())
+        if index in win:
+            return None                         # replay
+        win.add(index)
+        if len(win) > 1024:
+            for old in sorted(win)[:512]:
+                win.discard(old)
+        s_l = self.last_seq.get(ssrc)
+        if s_l is None or seq > s_l or s_l - seq > 32768:
+            self.last_seq[ssrc] = seq
+            self.roc[ssrc] = roc
+        iv = self._keystream_iv(ssrc, index)
+        ks = _aes_cm_keystream(self.k_e, iv, len(data) - hdr_len)
+        payload = bytes(a ^ b for a, b in zip(data[hdr_len:], ks))
+        return data[:hdr_len] + payload
+
+
+class SrtpTransport(Transport):
+    """Transport wrapper: protect on send, unprotect on recv
+    (the modifier-pair layering of ms_srtp.cpp:1004-1019; stack two for
+    double encryption)."""
+
+    def __init__(self, inner: Transport, tx: SrtpContext, rx: SrtpContext):
+        self.inner = inner
+        self.tx = tx
+        self.rx = rx
+        self.auth_failures = 0
+
+    def send(self, data: bytes):
+        self.inner.send(self.tx.protect(data))
+
+    def recv_all(self):
+        out = []
+        for data in self.inner.recv_all():
+            plain = self.rx.unprotect(data)
+            if plain is None:
+                self.auth_failures += 1
+            else:
+                out.append(plain)
+        return out
+
+    def close(self):
+        self.inner.close()

@@ -1,0 +1,161 @@
+"""Host-side codecs (Opus, GSM-FR) via ctypes — the "host filter" tier.
+
+Architecture note: the reference treats hardware codecs as opaque filters
+(MediaCodec/VideoToolbox backends under h26x/); equivalently, this TPU
+framework treats *CPU-library* codecs as host filters that live at the RTP
+boundary: payload bytes <-> PCM tick blocks, outside the jitted device
+graph (SURVEY.md §7 step 7).  DSP before/after them stays on device.
+
+Reference parity: MSOpusEnc/Dec (src/audiofilters/msopus.c:689,943 — ptime
+aggregation, FEC/PLC, DTX, bitrate mgmt) and MSGsmEnc/Dec
+(src/audiofilters/gsm.c:137-214).
+
+Linked libraries: libopus.so.0, libgsm.so.1 (present in this image; gated
+by availability so the package imports cleanly without them).
+"""
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+from typing import Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------- opus
+_opus = None
+try:
+    _p = ctypes.util.find_library("opus")
+    if _p:
+        _opus = ctypes.CDLL(_p)
+        _opus.opus_encoder_create.restype = ctypes.c_void_p
+        _opus.opus_decoder_create.restype = ctypes.c_void_p
+        _opus.opus_encode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_void_p,
+                                      ctypes.c_int]
+        _opus.opus_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_int]
+except OSError:                                    # pragma: no cover
+    _opus = None
+
+OPUS_APPLICATION_VOIP = 2048
+OPUS_SET_BITRATE_REQUEST = 4002
+OPUS_SET_INBAND_FEC_REQUEST = 4012
+OPUS_SET_DTX_REQUEST = 4016
+OPUS_SET_PACKET_LOSS_PERC_REQUEST = 4014
+
+
+def opus_available() -> bool:
+    return _opus is not None
+
+
+class OpusEncoder:
+    """cf. MSOpusEnc: bitrate/FEC/DTX controls, one 10ms-multiple frame per
+    packet (ptime aggregation = frames_per_packet)."""
+
+    def __init__(self, rate: int = 48000, channels: int = 1,
+                 bitrate: int = 32000, fec: bool = True, dtx: bool = False):
+        if _opus is None:
+            raise RuntimeError("libopus not available")
+        err = ctypes.c_int()
+        self.st = _opus.opus_encoder_create(rate, channels,
+                                            OPUS_APPLICATION_VOIP,
+                                            ctypes.byref(err))
+        if err.value != 0:
+            raise RuntimeError(f"opus_encoder_create: {err.value}")
+        self.rate, self.channels = rate, channels
+        self.set_bitrate(bitrate)
+        self._ctl(OPUS_SET_INBAND_FEC_REQUEST, 1 if fec else 0)
+        self._ctl(OPUS_SET_DTX_REQUEST, 1 if dtx else 0)
+
+    def _ctl(self, req: int, val: int):
+        _opus.opus_encoder_ctl(ctypes.c_void_p(self.st), req, ctypes.c_int(val))
+
+    def set_bitrate(self, bps: int):
+        self._ctl(OPUS_SET_BITRATE_REQUEST, bps)
+
+    def set_packet_loss(self, percent: int):
+        self._ctl(OPUS_SET_PACKET_LOSS_PERC_REQUEST, percent)
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        """pcm float32 [-1,1], length = frame samples * channels."""
+        s16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        out = ctypes.create_string_buffer(4000)
+        n = _opus.opus_encode(ctypes.c_void_p(self.st),
+                              s16.ctypes.data_as(ctypes.c_void_p),
+                              len(s16) // self.channels, out, 4000)
+        if n < 0:
+            raise RuntimeError(f"opus_encode: {n}")
+        return out.raw[:n]
+
+
+class OpusDecoder:
+    def __init__(self, rate: int = 48000, channels: int = 1):
+        if _opus is None:
+            raise RuntimeError("libopus not available")
+        err = ctypes.c_int()
+        self.st = _opus.opus_decoder_create(rate, channels, ctypes.byref(err))
+        if err.value != 0:
+            raise RuntimeError(f"opus_decoder_create: {err.value}")
+        self.rate, self.channels = rate, channels
+
+    def decode(self, payload: Optional[bytes], frame_samples: int,
+               fec: bool = False) -> np.ndarray:
+        """payload None => PLC (opus native concealment)."""
+        buf = np.zeros(frame_samples * self.channels, np.int16)
+        if payload is None:
+            n = _opus.opus_decode(ctypes.c_void_p(self.st), None, 0,
+                                  buf.ctypes.data_as(ctypes.c_void_p),
+                                  frame_samples, 0)
+        else:
+            n = _opus.opus_decode(ctypes.c_void_p(self.st), payload,
+                                  len(payload),
+                                  buf.ctypes.data_as(ctypes.c_void_p),
+                                  frame_samples, 1 if fec else 0)
+        if n < 0:
+            raise RuntimeError(f"opus_decode: {n}")
+        return buf[: n * self.channels].astype(np.float32) / 32768.0
+
+
+# ---------------------------------------------------------------- gsm
+_gsm = None
+try:
+    _p = ctypes.util.find_library("gsm")
+    if _p:
+        _gsm = ctypes.CDLL(_p)
+        _gsm.gsm_create.restype = ctypes.c_void_p
+except OSError:                                    # pragma: no cover
+    _gsm = None
+
+GSM_FRAME_SAMPLES = 160      # 20 ms @ 8k
+GSM_FRAME_BYTES = 33
+
+
+def gsm_available() -> bool:
+    return _gsm is not None
+
+
+class GsmCodec:
+    """GSM 06.10 full-rate, 20 ms frames (cf. MSGsmEnc/Dec)."""
+
+    def __init__(self):
+        if _gsm is None:
+            raise RuntimeError("libgsm not available")
+        self.enc_st = _gsm.gsm_create()
+        self.dec_st = _gsm.gsm_create()
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        s16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        assert len(s16) == GSM_FRAME_SAMPLES
+        out = ctypes.create_string_buffer(GSM_FRAME_BYTES)
+        _gsm.gsm_encode(ctypes.c_void_p(self.enc_st),
+                        s16.ctypes.data_as(ctypes.c_void_p), out)
+        return out.raw
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        buf = np.zeros(GSM_FRAME_SAMPLES, np.int16)
+        r = _gsm.gsm_decode(ctypes.c_void_p(self.dec_st), payload,
+                            buf.ctypes.data_as(ctypes.c_void_p))
+        if r != 0:
+            raise RuntimeError("gsm_decode failed")
+        return buf.astype(np.float32) / 32768.0

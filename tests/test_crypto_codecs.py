@@ -1,0 +1,184 @@
+"""SRTP protect/unprotect, Opus/GSM host codecs, SFU router, and the
+SRTP + Opus end-to-end call (parity targets: ms_srtp.cpp + msopus.c +
+packet-router.cpp behaviors)."""
+import numpy as np
+import pytest
+
+from mediastreamer2_tpu.net.rtp import RtpPacket, LoopbackPair, RtpSession
+from mediastreamer2_tpu.net.srtp import (SrtpContext, SrtpTransport,
+                                         AES_CM_128_HMAC_SHA1_80,
+                                         AES_CM_128_HMAC_SHA1_32)
+from mediastreamer2_tpu.net.router import AudioPacketRouter, VideoPacketRouter
+from mediastreamer2_tpu.ops import host_codecs as hc
+from mediastreamer2_tpu.utils.audiodiff import audio_diff, snr_db
+
+from conftest import make_speechlike
+
+KEY = bytes(range(16))
+SALT = bytes(range(14))
+
+
+# ------------------------------------------------------------------ SRTP
+def test_srtp_roundtrip():
+    tx = SrtpContext(KEY, SALT)
+    rx = SrtpContext(KEY, SALT)
+    for seq in range(5):
+        pkt = RtpPacket(0, seq, seq * 160, 0xABCD, bytes(range(50))).pack()
+        prot = tx.protect(pkt)
+        assert prot != pkt and len(prot) == len(pkt) + 10
+        assert rx.unprotect(prot) == pkt
+
+
+def test_srtp_auth_failure_and_replay():
+    tx = SrtpContext(KEY, SALT)
+    rx = SrtpContext(KEY, SALT)
+    pkt = RtpPacket(0, 1, 160, 7, b"payload").pack()
+    prot = tx.protect(pkt)
+    tampered = prot[:-1] + bytes([prot[-1] ^ 1])
+    assert rx.unprotect(tampered) is None
+    assert rx.unprotect(prot) == pkt
+    assert rx.unprotect(prot) is None          # replay rejected
+
+
+def test_srtp_wrong_key_rejected():
+    tx = SrtpContext(KEY, SALT)
+    rx = SrtpContext(bytes(16), SALT)
+    prot = tx.protect(RtpPacket(0, 1, 1, 1, b"x").pack())
+    assert rx.unprotect(prot) is None
+
+
+def test_srtp_roc_rollover():
+    tx = SrtpContext(KEY, SALT)
+    rx = SrtpContext(KEY, SALT)
+    # straddle the 16-bit seq wrap
+    for seq in (65534, 65535, 0, 1):
+        pkt = RtpPacket(0, seq, 0, 9, b"abc").pack()
+        assert rx.unprotect(tx.protect(pkt)) == pkt
+    assert tx.roc[9] == 1
+
+
+def test_srtp_32_suite():
+    tx = SrtpContext(KEY, SALT, AES_CM_128_HMAC_SHA1_32)
+    rx = SrtpContext(KEY, SALT, AES_CM_128_HMAC_SHA1_32)
+    pkt = RtpPacket(0, 5, 0, 3, b"hello").pack()
+    prot = tx.protect(pkt)
+    assert len(prot) == len(pkt) + 4
+    assert rx.unprotect(prot) == pkt
+
+
+def test_double_encryption():
+    """inner+outer SRTP (cf. reference double_encryption tester)."""
+    k2, s2 = bytes(range(16, 32)), bytes(range(16, 30))
+    inner_tx, inner_rx = SrtpContext(KEY, SALT), SrtpContext(KEY, SALT)
+    outer_tx, outer_rx = SrtpContext(k2, s2), SrtpContext(k2, s2)
+    pkt = RtpPacket(0, 1, 0, 5, b"secret").pack()
+    wire = outer_tx.protect(inner_tx.protect(pkt))
+    once = outer_rx.unprotect(wire)
+    assert once is not None and once != pkt        # still inner-encrypted
+    assert inner_rx.unprotect(once) == pkt
+
+
+# ------------------------------------------------------------ host codecs
+@pytest.mark.skipif(not hc.opus_available(), reason="libopus missing")
+def test_opus_roundtrip_quality():
+    rate, frame = 48000, 480
+    enc = hc.OpusEncoder(rate=rate, bitrate=64000)
+    dec = hc.OpusDecoder(rate=rate)
+    sig = make_speechlike(frame * 100, rate, seed=4)
+    out = np.concatenate([
+        dec.decode(enc.encode(sig[i * frame:(i + 1) * frame]), frame)
+        for i in range(100)])
+    sim, shift = audio_diff(sig, out)
+    # 10 ms CELT frames on synthetic harmonics: ~0.84 typical (the codec's
+    # 6.5 ms lookahead + pre-echo); reference testers use >=0.9 on real
+    # speech WAVs with 20 ms frames
+    assert sim > 0.8, f"opus sim {sim}"
+
+
+@pytest.mark.skipif(not hc.opus_available(), reason="libopus missing")
+def test_opus_plc():
+    rate, frame = 48000, 480
+    enc = hc.OpusEncoder(rate=rate)
+    dec = hc.OpusDecoder(rate=rate)
+    sig = make_speechlike(frame * 10, rate)
+    for i in range(5):
+        dec.decode(enc.encode(sig[i * frame:(i + 1) * frame]), frame)
+    concealed = dec.decode(None, frame)      # packet lost
+    assert len(concealed) == frame
+    assert np.abs(concealed).max() > 0       # not silence
+
+
+@pytest.mark.skipif(not hc.gsm_available(), reason="libgsm missing")
+def test_gsm_roundtrip():
+    codec = hc.GsmCodec()
+    sig = make_speechlike(160 * 50, 8000, seed=5)
+    out = np.concatenate([codec.decode(codec.encode(sig[i*160:(i+1)*160]))
+                          for i in range(50)])
+    sim, _ = audio_diff(sig, out)
+    assert sim > 0.85, f"gsm sim {sim}"
+
+
+# ---------------------------------------------------------------- router
+def test_audio_router_top_n():
+    r = AudioPacketRouter(top_n=2)
+    outs = {i: [] for i in range(4)}
+    for i in range(4):
+        r.add_member(i, outs[i].append)
+    r.update_volumes(np.array([0.5, 0.01, 0.3, 0.001]))
+    pkt = RtpPacket(0, 1, 0, 1, b"x")
+    r.route(0, pkt)           # loud speaker: forwarded to all others
+    assert all(len(outs[i]) == 1 for i in (1, 2, 3))
+    r.route(3, pkt)           # quiet member: not in top-2 -> dropped
+    assert all(len(outs[i]) == 1 for i in (1, 2))
+
+
+def test_video_router_keyframe_switching():
+    reqs = []
+    r = VideoPacketRouter(request_keyframe=reqs.append)
+    outs = {i: [] for i in range(3)}
+    for i in range(3):
+        r.add_member(i, outs[i].append)
+    # member 0 talks first; all outputs lock to it on its keyframe
+    r.route(0, RtpPacket(96, 0, 0, 10, b"kf0"), is_keyframe_start=True)
+    assert len(outs[1]) == 1 and len(outs[2]) == 1
+    # focus switches to member 1: keyframe requested, no forward until KF
+    r.set_focus(1)
+    assert reqs == [1]
+    r.route(1, RtpPacket(96, 0, 0, 11, b"p"), is_keyframe_start=False)
+    assert len(outs[2]) == 1                # not yet switched
+    r.route(1, RtpPacket(96, 1, 0, 11, b"kf1"), is_keyframe_start=True)
+    assert len(outs[2]) == 2                # switched on keyframe
+    r.route(0, RtpPacket(96, 1, 0, 10, b"p0"), is_keyframe_start=False)
+    assert len(outs[2]) == 2                # old source no longer forwarded
+
+
+# --------------------------------------------------- end-to-end SRTP call
+def test_srtp_opus_call(factory):
+    if not hc.opus_available():
+        pytest.skip("libopus missing")
+    from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
+                                                        AudioStreamFeatures)
+    from mediastreamer2_tpu.core.block import tick_samples
+    rate = 48000
+    S = tick_samples(rate)
+    ticks = 100
+    sig = make_speechlike(S * ticks, rate, seed=21)
+    tx = AudioStreamBatch(factory, 1, codec="opus", rate=rate, mic_signal=sig)
+    rx = AudioStreamBatch(factory, 1, codec="opus", rate=rate,
+                          record_ticks=ticks + 50)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.enable_srtp(0, KEY, SALT, KEY, SALT)
+    rx.enable_srtp(0, KEY, SALT, KEY, SALT)
+    tx.ticker.warm_up()
+    rx.ticker.warm_up()
+    rx.start(ticks + 40)
+    tx.run(ticks + 10)
+    tx.stop()
+    rx.stop()
+    rec = rx.get_recording()
+    sim, _ = audio_diff(sig, rec[0])
+    assert sim > 0.85, f"srtp+opus call sim {sim}"
+    # wire was actually encrypted: raw RTP unparseable as our payload type?
+    assert tx.sessions[0].stats.sent_packets > 80

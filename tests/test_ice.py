@@ -1,0 +1,110 @@
+"""STUN codec + ICE connectivity tests (parity targets: stun.c / ice.c —
+two agents over an in-process 'network' complete nomination)."""
+import numpy as np
+import pytest
+
+from mediastreamer2_tpu.net import stun
+from mediastreamer2_tpu.net.ice import (Candidate, IceSession, IS_COMPLETED,
+                                        IS_RUNNING)
+
+
+def test_stun_binding_roundtrip():
+    req = stun.make_binding_request(username="a:b", priority=123,
+                                    controlling=True, tiebreaker=42)
+    data = req.pack(password="secret")
+    assert stun.is_stun(data)
+    got = stun.StunMessage.unpack(data)
+    assert got.msg_type == stun.BINDING_REQUEST
+    assert got.attrs[stun.ATTR_USERNAME] == b"a:b"
+    assert got.check_integrity("secret")
+    assert not got.check_integrity("wrong")
+
+
+def test_stun_xor_mapped_address():
+    resp = stun.StunMessage(stun.BINDING_RESPONSE)
+    resp.set_xor_mapped_address("192.168.1.77", 54321)
+    got = stun.StunMessage.unpack(resp.pack())
+    assert got.get_xor_mapped_address() == ("192.168.1.77", 54321)
+
+
+def test_stun_rtp_demux():
+    from mediastreamer2_tpu.net.rtp import RtpPacket
+    rtp = RtpPacket(0, 1, 2, 3, b"xx").pack()
+    assert not stun.is_stun(rtp)
+    assert stun.is_stun(stun.make_binding_request().pack())
+
+
+class FakeNet:
+    """Deliver datagrams between two ICE agents with optional loss."""
+    def __init__(self, loss_seq=()):
+        self.inboxes = {0: [], 1: []}
+        self.loss_seq = set(loss_seq)
+        self.count = 0
+
+    def sender(self, idx):
+        def send(addr, data):
+            self.count += 1
+            if self.count in self.loss_seq:
+                return
+            self.inboxes[1 - idx].append((addr, data))
+        return send
+
+    def deliver(self, cl0, cl1, addr0, addr1):
+        for idx, cl, my_addr in ((0, cl0, addr0), (1, cl1, addr1)):
+            inbox, self.inboxes[idx] = self.inboxes[idx], []
+            for addr, data in inbox:
+                peer_addr = addr1 if idx == 0 else addr0
+                cl.handle_stun(data, peer_addr)
+
+
+def run_ice(loss_seq=()):
+    net = FakeNet(loss_seq)
+    a = IceSession(controlling=True)
+    b = IceSession(controlling=False)
+    a.set_remote_credentials(b.local_ufrag, b.local_pwd)
+    b.set_remote_credentials(a.local_ufrag, a.local_pwd)
+    addr_a, addr_b = ("10.0.0.1", 7000), ("10.0.0.2", 7002)
+    cla = a.add_check_list(net.sender(0), addr_a)
+    clb = b.add_check_list(net.sender(1), addr_b)
+    cla.add_remote_candidate(Candidate.make(*addr_b))
+    clb.add_remote_candidate(Candidate.make(*addr_a))
+    t = 0.0
+    for _ in range(30):
+        t += 0.6
+        cla.process(now=t)
+        clb.process(now=t)
+        net.deliver(cla, clb, addr_a, addr_b)
+        net.deliver(cla, clb, addr_a, addr_b)  # responses to triggered checks
+        if a.state == IS_COMPLETED and b.state == IS_COMPLETED:
+            break
+    return a, b, cla, clb
+
+
+def test_ice_completes_clean():
+    a, b, cla, clb = run_ice()
+    assert a.state == IS_COMPLETED
+    assert b.state == IS_COMPLETED
+    assert cla.selected is not None
+    assert cla.selected.remote.port == 7002
+    assert clb.selected is not None
+
+
+def test_ice_completes_with_loss():
+    a, b, cla, clb = run_ice(loss_seq={1, 2})   # first checks lost -> retransmit
+    assert a.state == IS_COMPLETED
+    assert b.state == IS_COMPLETED
+
+
+def test_ice_restart():
+    a, b, cla, clb = run_ice()
+    old_ufrag = a.local_ufrag
+    a.restart()
+    assert a.local_ufrag != old_ufrag
+    assert a.state == IS_RUNNING
+
+
+def test_candidate_sdp_format():
+    c = Candidate.make("1.2.3.4", 5678, "host")
+    s = c.sdp()
+    assert "1.2.3.4 5678 typ host" in s
+    assert c.priority >> 24 == 126
