@@ -89,12 +89,24 @@ class Transport:
 
 
 class UdpTransport(Transport):
-    def __init__(self, local_port: int = 0, remote: Optional[Tuple[str, int]] = None):
+    """UDP datagram transport; optionally drained by the native C++ epoll
+    pump (mediastreamer2_tpu.native.NativeIoPump) so packet reception and
+    arrival timestamping happen off the Python thread — the role oRTP's
+    socket layer plays under the reference's ticker."""
+
+    def __init__(self, local_port: int = 0, remote: Optional[Tuple[str, int]] = None,
+                 bind_host: str = "127.0.0.1"):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.bind(("127.0.0.1", local_port))
+        self.sock.bind((bind_host, local_port))
         self.sock.setblocking(False)
         self.local_port = self.sock.getsockname()[1]
         self.remote = remote
+        self._pump = None
+        self.last_recv_ns: Optional[int] = None
+
+    def attach_pump(self, pump) -> None:
+        pump.add_socket(self.sock)
+        self._pump = pump
 
     def set_remote(self, host: str, port: int):
         self.remote = (host, port)
@@ -107,6 +119,11 @@ class UdpTransport(Transport):
                 pass
 
     def recv_all(self) -> List[bytes]:
+        if self._pump is not None:
+            pkts = self._pump.read(self.sock)
+            if pkts:
+                self.last_recv_ns = pkts[-1][0]
+            return [d for _, d in pkts]
         out = []
         while True:
             try:
@@ -117,6 +134,8 @@ class UdpTransport(Transport):
         return out
 
     def close(self):
+        if self._pump is not None:
+            self._pump.remove_socket(self.sock)
         self.sock.close()
 
 
