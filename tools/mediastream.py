@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""CLI softphone/leg-runner — parity with the reference's
+tools/mediastream.c (the everything-switch test client) and tools/bench.c.
+
+Examples:
+  # duplex G.711 call leg to a remote endpoint
+  python tools/mediastream.py call --local-port 7078 --remote 1.2.3.4:7078 \
+      --codec ulaw --rate 8000 --ec --agc
+
+  # N batched loopback legs for load testing (bench.c pattern)
+  python tools/mediastream.py bench --legs 50 --seconds 5
+
+  # play a wav
+  python tools/mediastream.py play file.wav
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def cmd_call(args):
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
+                                                        AudioStreamFeatures)
+    from mediastreamer2_tpu.net.rtp import UdpTransport
+    from mediastreamer2_tpu.io.wav import read_wav
+
+    factory = Factory()
+    feats = AudioStreamFeatures(echo_canceller=args.ec, agc=args.agc,
+                                noise_gate=args.ng, plc=True,
+                                vad_dtx=args.vad)
+    sig = None
+    if args.infile:
+        sig, rate = read_wav(args.infile)
+        if rate != args.rate:
+            print(f"warning: file rate {rate} != {args.rate}")
+    stream = AudioStreamBatch(factory, 1, codec=args.codec, rate=args.rate,
+                              features=feats, mic_signal=sig,
+                              record_ticks=args.seconds * 100)
+    t = UdpTransport(local_port=args.local_port)
+    if args.remote:
+        host, port = args.remote.rsplit(":", 1)
+        t.set_remote(host, int(port))
+    if args.use_native_pump:
+        from mediastreamer2_tpu.native import NativeIoPump
+        t.attach_pump(NativeIoPump())
+    stream.set_transport(0, t)
+    if args.srtp_key:
+        import binascii
+        km = binascii.unhexlify(args.srtp_key)
+        stream.enable_srtp(0, km[:16], km[16:30], km[:16], km[16:30])
+    print(f"call leg up: 127.0.0.1:{t.local_port} -> {args.remote} "
+          f"codec={args.codec}@{args.rate} features={feats}")
+    stream.run(args.seconds * 100)
+    st = stream.get_stats(0)
+    print(f"sent={st.sent_packets} recv={st.recv_packets} "
+          f"jb_lost={stream.sessions[0].jitter_buffer.lost} "
+          f"load={stream.ticker.get_average_load():.3f} "
+          f"late={stream.ticker.stats.late_ticks}")
+    if args.outfile and stream.get_recording() is not None:
+        from mediastreamer2_tpu.io.wav import write_wav
+        write_wav(args.outfile, stream.get_recording()[0], args.rate)
+        print(f"recorded -> {args.outfile}")
+
+
+def cmd_bench(args):
+    """Loopback leg scaling (tools/bench.c: 50 legs per block)."""
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    from mediastreamer2_tpu.utils.signals import make_speechlike
+
+    factory = Factory()
+    B = args.legs
+    ticks = args.seconds * 100
+    sig = make_speechlike(80 * ticks, 8000)
+    tx = AudioStreamBatch(factory, B, mic_signal=sig)
+    rx = AudioStreamBatch(factory, B)
+    for leg in range(B):
+        pair = LoopbackPair()
+        tx.set_transport(leg, pair.endpoint(0))
+        rx.set_transport(leg, pair.endpoint(1))
+    tx.ticker.warm_up()
+    rx.ticker.warm_up()
+    rx.start(ticks + 20)
+    t0 = time.perf_counter()
+    tx.run(ticks)
+    dt = time.perf_counter() - t0
+    tx.stop(); rx.stop()
+    print(f"{B} duplex legs x {ticks} ticks in {dt:.2f}s "
+          f"(tx load {tx.ticker.get_average_load():.3f}, "
+          f"late {tx.ticker.stats.late_ticks})")
+
+
+def cmd_play(args):
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    mp = MediaPlayer(Factory())
+    mp.open(args.file)
+    done = []
+    mp.on_eof = lambda: done.append(1)
+    mp.start()
+    print(f"playing {args.file} ({mp.duration_ms} ms)")
+    while not done and mp.get_position_ms() < mp.duration_ms + 200:
+        time.sleep(0.1)
+        mp.ticker.event_queue.pump()
+    mp.close()
+    print("done")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "default"],
+                    help="cpu (default): local realtime loop; tpu: device "
+                         "graph on the accelerator (use when host-attached — "
+                         "per-tick dispatch over a remote tunnel breaks the "
+                         "10 ms deadline)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("call")
+    c.add_argument("--local-port", type=int, default=7078)
+    c.add_argument("--remote", default="")
+    c.add_argument("--codec", default="ulaw",
+                   choices=["ulaw", "alaw", "l16", "opus", "gsm"])
+    c.add_argument("--rate", type=int, default=8000)
+    c.add_argument("--ec", action="store_true", help="echo canceller")
+    c.add_argument("--agc", action="store_true")
+    c.add_argument("--ng", action="store_true", help="noise gate")
+    c.add_argument("--vad", action="store_true", help="VAD/DTX")
+    c.add_argument("--srtp-key", default="", help="hex master key||salt (60 hex chars)")
+    c.add_argument("--infile", default="", help="wav to send instead of mic")
+    c.add_argument("--outfile", default="", help="record received audio")
+    c.add_argument("--seconds", type=int, default=10)
+    c.add_argument("--use-native-pump", action="store_true")
+    c.set_defaults(fn=cmd_call)
+
+    b = sub.add_parser("bench")
+    b.add_argument("--legs", type=int, default=50)
+    b.add_argument("--seconds", type=int, default=5)
+    b.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("play")
+    p.add_argument("file")
+    p.set_defaults(fn=cmd_play)
+
+    args = ap.parse_args()
+    if args.platform != "default":
+        import jax
+        plat = "cpu" if args.platform == "cpu" else None
+        if plat:
+            jax.config.update("jax_platforms", plat)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
