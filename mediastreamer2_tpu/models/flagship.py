@@ -25,7 +25,8 @@ def build_flagship(factory, batch: int, rate: int = 48000,
     ec = g.add("echo_canceller", "ec", tail_ms=tail_ms)
     agc = g.add("volume", "agc")
     rs = g.add("resample", "rs", out_rate=mix_rate)
-    mix = g.add("conf_mixer", "conf", sorted_groups=True)
+    mix = g.add("conf_mixer", "conf", sorted_groups=True,
+                uniform_group_size=conf_size)
     out = g.add("ext_sink", "out")
     g.link(mic, 0, ec, 0)
     g.link(spk, 0, ec, 1)

@@ -40,11 +40,19 @@ def _conf_params(ctx):
 
 def _conf_process(state, ins, params, ctx):
     x = ins[0]                                        # [B, S]
-    B = x.shape[0]
+    B, S = x.shape
     contrib = jnp.where(params["active"][:, None], x * params["gain"][:, None], 0.0)
-    sums = jax.ops.segment_sum(contrib, params["group_id"], num_segments=B,
-                               indices_are_sorted=bool(ctx.params.get("sorted_groups", False)))
-    mix = sums[params["group_id"]]
+    k = int(ctx.params.get("uniform_group_size", 0))
+    if k > 0 and B % k == 0:
+        # uniform contiguous conferences (host bucketing guarantees layout):
+        # reshape-sum instead of scatter — MXU/VPU-friendly, no segment ids
+        sums_g = contrib.reshape(B // k, k, S).sum(axis=1)
+        mix = jnp.repeat(sums_g, k, axis=0)
+    else:
+        sums = jax.ops.segment_sum(
+            contrib, params["group_id"], num_segments=B,
+            indices_are_sorted=bool(ctx.params.get("sorted_groups", False)))
+        mix = sums[params["group_id"]]
     out = jnp.where(params["mix_minus"][:, None], mix - contrib, mix)
     out = jnp.clip(out * params["out_gain"][:, None], -1.0, 1.0)
     return state, (out,), {}

@@ -54,16 +54,15 @@ def _vol_params(ctx):
 
 
 def _vol_process(state, ins, params, ctx):
+    from mediastreamer2_tpu.ops import pallas_kernels as pk
     x = ins[0]
     B, S = x.shape
-    # DC removal (1-pole tracker over blocks)
-    dc = 0.9 * state["dc"] + 0.1 * x.mean(axis=1)
-    x = jnp.where(params["dc_removal"][:, None], x - dc[:, None], x)
-
-    e_block = (x * x).mean(axis=1)
-    energy = (1 - EN_EWMA) * state["energy"] + EN_EWMA * e_block
-    rms = jnp.sqrt(energy)
-    level_db = 10.0 * jnp.log10(energy + 1e-12)
+    # gain decisions use the previous tick's smoothed energy, so the whole
+    # sample path (DC removal + gain ramp + clip + metering) is ONE fused
+    # VMEM pass (pallas) — the reference's per-sample msvolume loop shape.
+    energy_prev = state["energy"]
+    rms = jnp.sqrt(energy_prev)
+    level_db = 10.0 * jnp.log10(energy_prev + 1e-12)
 
     # AGC: drive rms * gain toward target
     tgt = jnp.clip(params["agc_target"] / (rms + 1e-9), MIN_GAIN, MAX_GAIN)
@@ -83,10 +82,12 @@ def _vol_process(state, ins, params, ctx):
     # asymmetric smoothing: fast to reduce, slow to raise (anti-pump)
     speed = jnp.where(target_gain < state["gain"], AGC_SPEED_UP, AGC_SPEED_DOWN)
     new_gain = state["gain"] + speed * (target_gain - state["gain"])
-    # click-free: linear ramp old->new gain across the block
-    ramp = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)[None, :]
-    g = state["gain"][:, None] * (1 - ramp) + new_gain[:, None] * ramp
-    out = jnp.clip(x * g, -1.0, 1.0)
+
+    dc_en = params["dc_removal"].astype(jnp.float32)
+    fv = pk.fused_volume if pk.pallas_enabled() else pk.fused_volume_reference
+    out, e_block, mean = fv(x, state["gain"], new_gain, state["dc"], dc_en)
+    dc = 0.9 * state["dc"] + 0.1 * mean
+    energy = (1 - EN_EWMA) * energy_prev + EN_EWMA * e_block
 
     new_state = {"energy": energy, "gain": new_gain, "dc": dc, "level_db": level_db}
     return new_state, (out,), {}
