@@ -117,6 +117,85 @@ class OpusDecoder:
         return buf[: n * self.channels].astype(np.float32) / 32768.0
 
 
+# ---------------------------------------------------------------- speex
+_speex = None
+try:
+    _p = ctypes.util.find_library("speex")
+    if _p:
+        _speex = ctypes.CDLL(_p)
+        _speex.speex_lib_get_mode.restype = ctypes.c_void_p
+        _speex.speex_encoder_init.restype = ctypes.c_void_p
+        _speex.speex_decoder_init.restype = ctypes.c_void_p
+except OSError:                                    # pragma: no cover
+    _speex = None
+
+SPEEX_MODEID_NB, SPEEX_MODEID_WB, SPEEX_MODEID_UWB = 0, 1, 2
+SPEEX_SET_QUALITY = 4
+SPEEX_GET_FRAME_SIZE = 3
+
+
+class _SpeexBits(ctypes.Structure):
+    # public, ABI-stable layout from <speex/speex_bits.h>
+    _fields_ = [("chars", ctypes.c_char_p), ("nbBits", ctypes.c_int),
+                ("charPtr", ctypes.c_int), ("bitPtr", ctypes.c_int),
+                ("owner", ctypes.c_int), ("overflow", ctypes.c_int),
+                ("buf_size", ctypes.c_int), ("reserved1", ctypes.c_int),
+                ("reserved2", ctypes.c_void_p)]
+
+
+def speex_available() -> bool:
+    return _speex is not None
+
+
+class SpeexCodec:
+    """Speex NB/WB (cf. MSSpeexEnc/Dec, src/audiofilters/msspeex.c).
+
+    20 ms frames (160 samples NB @8k, 320 WB @16k)."""
+
+    def __init__(self, rate: int = 8000, quality: int = 7):
+        if _speex is None:
+            raise RuntimeError("libspeex not available")
+        mode_id = {8000: SPEEX_MODEID_NB, 16000: SPEEX_MODEID_WB,
+                   32000: SPEEX_MODEID_UWB}[rate]
+        mode = _speex.speex_lib_get_mode(mode_id)
+        self.enc = _speex.speex_encoder_init(ctypes.c_void_p(mode))
+        self.dec = _speex.speex_decoder_init(ctypes.c_void_p(mode))
+        q = ctypes.c_int(quality)
+        _speex.speex_encoder_ctl(ctypes.c_void_p(self.enc), SPEEX_SET_QUALITY,
+                                 ctypes.byref(q))
+        fs = ctypes.c_int()
+        _speex.speex_encoder_ctl(ctypes.c_void_p(self.enc),
+                                 SPEEX_GET_FRAME_SIZE, ctypes.byref(fs))
+        self.frame_samples = fs.value
+        self.bits = _SpeexBits()
+        _speex.speex_bits_init(ctypes.byref(self.bits))
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        s16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        assert len(s16) == self.frame_samples
+        _speex.speex_bits_reset(ctypes.byref(self.bits))
+        _speex.speex_encode_int(ctypes.c_void_p(self.enc),
+                                s16.ctypes.data_as(ctypes.c_void_p),
+                                ctypes.byref(self.bits))
+        n = _speex.speex_bits_nbytes(ctypes.byref(self.bits))
+        out = ctypes.create_string_buffer(n + 8)
+        n = _speex.speex_bits_write(ctypes.byref(self.bits), out, len(out))
+        return out.raw[:n]
+
+    def decode(self, payload: Optional[bytes]) -> np.ndarray:
+        buf = np.zeros(self.frame_samples, np.int16)
+        if payload is None:                          # PLC
+            _speex.speex_decode_int(ctypes.c_void_p(self.dec), None,
+                                    buf.ctypes.data_as(ctypes.c_void_p))
+        else:
+            _speex.speex_bits_read_from(ctypes.byref(self.bits), payload,
+                                        len(payload))
+            _speex.speex_decode_int(ctypes.c_void_p(self.dec),
+                                    ctypes.byref(self.bits),
+                                    buf.ctypes.data_as(ctypes.c_void_p))
+        return buf.astype(np.float32) / 32768.0
+
+
 # ---------------------------------------------------------------- gsm
 _gsm = None
 try:

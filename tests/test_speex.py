@@ -1,0 +1,38 @@
+"""Speex host codec (parity: MSSpeexEnc/Dec, src/audiofilters/msspeex.c)."""
+import numpy as np
+import pytest
+
+from mediastreamer2_tpu.ops import host_codecs as hc
+from mediastreamer2_tpu.utils.audiodiff import audio_diff
+from conftest import make_speechlike
+
+pytestmark = pytest.mark.skipif(not hc.speex_available(),
+                                reason="libspeex missing")
+
+
+def _envelope(x, win=80):
+    e = np.abs(x)
+    k = np.ones(win) / win
+    return np.convolve(e, k, mode="same")
+
+
+@pytest.mark.parametrize("rate", [8000, 16000])
+def test_speex_roundtrip(rate):
+    c = hc.SpeexCodec(rate)
+    F = c.frame_samples
+    sig = make_speechlike(F * 60, rate, seed=5)
+    out = np.concatenate([c.decode(c.encode(sig[i*F:(i+1)*F]))
+                          for i in range(60)])
+    # speex is a CELP (not waveform) codec: correlate energy envelopes
+    sim, _ = audio_diff(_envelope(sig), _envelope(out))
+    assert sim > 0.85, f"speex@{rate} envelope sim {sim}"
+    raw_sim, _ = audio_diff(sig, out)
+    assert raw_sim > 0.4
+
+
+def test_speex_plc():
+    c = hc.SpeexCodec(8000)
+    for i in range(5):
+        c.decode(c.encode(make_speechlike(160, 8000, seed=i)))
+    out = c.decode(None)
+    assert out.shape == (160,)
