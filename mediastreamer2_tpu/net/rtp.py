@@ -181,6 +181,53 @@ class LoopbackTransport(Transport):
         pass
 
 
+class RtpBundle:
+    """BUNDLE multiplexing: many SSRCs share one transport (reference:
+    oRTP RtpBundle, used for multi-SSRC recv branches in audiostream.c:
+    1855-1879 / videostream bundle branches).
+
+    Sessions register by SSRC (or are auto-assigned on first sight when a
+    default factory is installed); send goes straight through."""
+
+    def __init__(self, transport: Transport):
+        self.transport = transport
+        self.by_ssrc: Dict[int, "RtpSession"] = {}
+        self.on_unknown_ssrc: Optional[Callable[[RtpPacket], None]] = None
+        self.unknown_dropped = 0
+
+    def attach(self, session: "RtpSession", recv_ssrc: Optional[int] = None):
+        session.transport = _BundleSendProxy(self)
+        if recv_ssrc is not None:
+            self.by_ssrc[recv_ssrc] = session
+
+    def poll(self):
+        for data in self.transport.recv_all():
+            try:
+                pkt = RtpPacket.unpack(data)
+            except ValueError:
+                continue
+            sess = self.by_ssrc.get(pkt.ssrc)
+            if sess is None:
+                if self.on_unknown_ssrc:
+                    self.on_unknown_ssrc(pkt)
+                    sess = self.by_ssrc.get(pkt.ssrc)
+                if sess is None:
+                    self.unknown_dropped += 1
+                    continue
+            sess._deliver(pkt)
+
+
+class _BundleSendProxy(Transport):
+    def __init__(self, bundle: RtpBundle):
+        self.bundle = bundle
+
+    def send(self, data: bytes):
+        self.bundle.transport.send(data)
+
+    def recv_all(self) -> List[bytes]:
+        return []                 # recv is demuxed by the bundle
+
+
 class RtpSession:
     """Per-leg RTP send/recv state (the host half of MSRtpSend/MSRtpRecv,
     reference src/otherfilters/msrtp.c:705-714 send, :1050-1091 recv)."""
@@ -199,6 +246,8 @@ class RtpSession:
         self.recv_ssrc: Optional[int] = None
         self.on_packet: Optional[Callable[[RtpPacket], None]] = None
         self.accepted_payload_types: Optional[set] = None  # None => {payload_type}
+        self.created_time = time.monotonic()
+        self.last_recv_time: Optional[float] = None
 
     # -- send path ------------------------------------------------------
     def send_payload(self, payload: bytes, ts_increment: int, marker: bool = False):
@@ -215,6 +264,26 @@ class RtpSession:
         self.ts = (self.ts + ts_increment) & 0xFFFFFFFF
 
     # -- recv path ------------------------------------------------------
+    def _deliver(self, pkt: RtpPacket):
+        accepted = self.accepted_payload_types or {self.payload_type}
+        if pkt.payload_type not in accepted:
+            self.stats.discarded += 1
+            return
+        self.recv_ssrc = pkt.ssrc
+        self.last_recv_time = time.monotonic()
+        self.stats.recv_packets += 1
+        self.stats.recv_bytes += len(pkt.payload)
+        if self.on_packet:
+            self.on_packet(pkt)
+        if self.jitter_buffer is not None:
+            self.jitter_buffer.put(pkt)
+
+    def alive(self, timeout_s: float = 5.0) -> bool:
+        """cf. media_stream_alive (mediastream.c:575): no inbound RTP for
+        timeout_s => presumed dead."""
+        ref = self.last_recv_time or self.created_time
+        return (time.monotonic() - ref) < timeout_s
+
     def poll(self):
         """Drain transport into the jitter buffer; call once per tick."""
         for data in self.transport.recv_all():
@@ -222,14 +291,4 @@ class RtpSession:
                 pkt = RtpPacket.unpack(data)
             except ValueError:
                 continue
-            accepted = self.accepted_payload_types or {self.payload_type}
-            if pkt.payload_type not in accepted:
-                self.stats.discarded += 1
-                continue
-            self.recv_ssrc = pkt.ssrc
-            self.stats.recv_packets += 1
-            self.stats.recv_bytes += len(pkt.payload)
-            if self.on_packet:
-                self.on_packet(pkt)
-            if self.jitter_buffer is not None:
-                self.jitter_buffer.put(pkt)
+            self._deliver(pkt)
