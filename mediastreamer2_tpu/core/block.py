@@ -53,7 +53,7 @@ class Format:
 
     @property
     def is_audio(self) -> bool:
-        return self.kind in ("pcm", "ulaw", "alaw", "l16", "g722", "gsm", "cn", "opus")
+        return self.kind in ("pcm", "ulaw", "alaw", "l16", "g722", "gsm", "cn", "opus", "dvi4")
 
     @property
     def samples_per_tick(self) -> int:
@@ -68,7 +68,7 @@ def block_dtype(fmt: Format):
     """Numpy/JAX dtype of a tick block: float32 PCM/video, int32 for encoded
     codes (host narrows to uint8/int16 at the RTP boundary)."""
     import jax.numpy as jnp
-    if fmt.kind in ("ulaw", "alaw", "g722", "gsm", "l16"):
+    if fmt.kind in ("ulaw", "alaw", "g722", "gsm", "l16", "dvi4"):
         return jnp.int32
     return jnp.float32
 

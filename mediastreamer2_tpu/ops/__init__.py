@@ -16,3 +16,5 @@ from mediastreamer2_tpu.ops import vad         # noqa: F401
 from mediastreamer2_tpu.ops import flowcontrol # noqa: F401
 from mediastreamer2_tpu.ops import eq          # noqa: F401
 from mediastreamer2_tpu.ops import video       # noqa: F401
+from mediastreamer2_tpu.ops import baudot      # noqa: F401
+from mediastreamer2_tpu.ops import adpcm       # noqa: F401
