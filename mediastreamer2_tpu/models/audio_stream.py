@@ -146,6 +146,8 @@ class AudioStreamBatch:
         self._lost_mask = np.zeros(batch, bool)
         self._host_enc = [None] * batch
         self._host_dec = [None] * batch
+        self._brc: Dict[int, object] = {}
+        self._qi: Dict[int, object] = {}
         if self.host_codec:
             self.frame_ticks = HOST_CODECS[codec] // 10
             self._tx_accum: List[list] = [[] for _ in range(batch)]
@@ -297,9 +299,40 @@ class AudioStreamBatch:
     def stop(self):
         self.ticker.stop()
 
+    def enable_rtcp(self, interval_s: float = 5.0):
+        """rtcp-mux SR/RR on every leg (cf. oRTP RTCP scheduler)."""
+        for sess in self.sessions:
+            if sess is not None and sess.rtcp is None:
+                sess.attach_rtcp(interval_s)
+
+    def attach_bitrate_controller(self, leg: int, controller):
+        """cf. audio_stream_enable_adaptive_bitrate_control."""
+        self._brc[leg] = controller
+
+    def attach_quality_indicator(self, leg: int, qi):
+        self._qi[leg] = qi
+
     def iterate(self):
-        """cf. media_stream_iterate — app-thread event pump."""
-        return self.ticker.event_queue.pump()
+        """cf. media_stream_iterate (src/voip/mediastream.c:542) —
+        app-thread pump: events, RTCP emission, QoS reaction."""
+        from mediastreamer2_tpu.models.qos import QosStats
+        n = self.ticker.event_queue.pump()
+        for leg, sess in enumerate(self.sessions):
+            if sess is None or sess.rtcp is None:
+                continue
+            sess.rtcp.maybe_emit(sess.transport)
+            if sess.rtcp.remote_reports:
+                rb = sess.rtcp.remote_reports[-1]
+                stats = QosStats(loss_rate=rb.fraction_lost / 256.0,
+                                 rtt_ms=sess.rtcp.last_rtt_ms or 0.0)
+                ctl = self._brc.get(leg)
+                if ctl is not None:
+                    ctl.update(stats)
+                qi = self._qi.get(leg)
+                if qi is not None:
+                    qi.update(stats)
+                sess.rtcp.remote_reports.clear()
+        return n
 
     # -- observability (cf. media_stream_get_*, audio_stream_get_quality) --
     def get_stats(self, leg: int):

@@ -248,6 +248,7 @@ class RtpSession:
         self.accepted_payload_types: Optional[set] = None  # None => {payload_type}
         self.created_time = time.monotonic()
         self.last_recv_time: Optional[float] = None
+        self.rtcp = None     # RtcpSession when attach_rtcp() enabled
 
     # -- send path ------------------------------------------------------
     def send_payload(self, payload: bytes, ts_increment: int, marker: bool = False):
@@ -284,11 +285,26 @@ class RtpSession:
         ref = self.last_recv_time or self.created_time
         return (time.monotonic() - ref) < timeout_s
 
+    @staticmethod
+    def _is_rtcp(data: bytes) -> bool:
+        """RFC 5761 rtcp-mux demultiplexing: PT 200..207."""
+        return len(data) >= 2 and 200 <= data[1] <= 207
+
     def poll(self):
         """Drain transport into the jitter buffer; call once per tick."""
         for data in self.transport.recv_all():
+            if self._is_rtcp(data):
+                if self.rtcp is not None:
+                    self.rtcp.process(data)
+                continue
             try:
                 pkt = RtpPacket.unpack(data)
             except ValueError:
                 continue
             self._deliver(pkt)
+
+    def attach_rtcp(self, interval_s: float = 5.0):
+        """Enable rtcp-mux SR/RR on this session's transport."""
+        from mediastreamer2_tpu.net.rtcp import RtcpSession
+        self.rtcp = RtcpSession(self, interval_s=interval_s)
+        return self.rtcp

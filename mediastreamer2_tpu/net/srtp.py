@@ -153,12 +153,23 @@ class SrtpTransport(Transport):
         self.rx = rx
         self.auth_failures = 0
 
+    @staticmethod
+    def _is_rtcp(data: bytes) -> bool:
+        return len(data) >= 2 and 200 <= data[1] <= 207
+
     def send(self, data: bytes):
+        if self._is_rtcp(data):
+            # TODO(round2): SRTCP (RFC 3711 §3.4) — separate index/auth
+            self.inner.send(data)
+            return
         self.inner.send(self.tx.protect(data))
 
     def recv_all(self):
         out = []
         for data in self.inner.recv_all():
+            if self._is_rtcp(data):
+                out.append(data)
+                continue
             plain = self.rx.unprotect(data)
             if plain is None:
                 self.auth_failures += 1
