@@ -6,18 +6,20 @@ serialization at :119-150).  The algorithm family is the same here —
 multi-delay-block frequency-domain adaptive filter (NLMS in the frequency
 domain, overlap-save) — but re-architected for TPU:
 
-* block size = one 10 ms tick (not 64 samples): fewer, bigger FFTs;
-* every leg adapts **in parallel** as a batch dim of the FFTs/updates —
-  [B, P, F] complex tap tensors, so thousands of echo cancellers run as a
-  handful of fused XLA ops per tick;
-* double-talk robustness via the classic **two-path** scheme (the same idea
-  speex MDF's leak estimator serves): a *shadow* filter adapts with a fast
-  unguarded NLMS step and is copied into the *main* (filtering) path only
-  when its smoothed error energy is measurably lower; a diverged shadow
-  (double-talk) is re-seeded from main.  All transfer logic is per-leg
+* block size = one 10 ms tick (not 64 samples): fewer, bigger transforms;
+* all spectra are **real (re, im) float pairs** and every DFT is a constant
+  cos/sin **matmul on the MXU** (ops/rfft.py) — no complex dtype, no FFT
+  primitive (the deployment's TPU toolchain doesn't lower either, and at
+  tick sizes the matmul form fuses better anyway);
+* every leg adapts in parallel as a batch dim — [B, P, F] tap tensors, so
+  thousands of echo cancellers run as a handful of fused XLA ops per tick;
+* double-talk robustness via the classic **two-path** scheme: a *shadow*
+  filter adapts with a fast unguarded NLMS step and is promoted into the
+  *main* (filtering) path only on sustained, near-power-gated improvement;
+  a diverged shadow is re-seeded from main. All transfer logic is per-leg
   masked `where` — no branches;
-* a spectral residual-echo suppressor (over-subtraction with a floor)
-  replaces the speex-preprocess nonlinear stage.
+* a spectral residual-echo suppressor (over-subtraction scaled by a
+  min-statistics leak estimate) replaces the speex-preprocess stage.
 
 State serialization parity (speexec.c:119-150): the whole state pytree is
 arrays — `get_state_blob`/`set_state_blob` round-trip it for warm restart.
@@ -28,9 +30,11 @@ Output: echo-cancelled near-end.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mediastreamer2_tpu.core.filter import FilterDef, register_filter
+from mediastreamer2_tpu.ops.rfft import rfft, irfft, cmul, cmul_conj, cabs2
 
 DEFAULT_TAIL_MS = 80
 POW_EWMA = 0.65        # far-end PSD smoothing
@@ -57,19 +61,18 @@ def _aec_init(ctx):
     S = ctx.in_formats[0].samples_per_tick
     P = _partitions(ctx)
     F = S + 1                              # rfft bins of a 2S block
+    zc = lambda: jnp.zeros((B, P, F), jnp.float32)
     return {
-        "Wm": jnp.zeros((B, P, F), jnp.complex64),    # main (filtering) taps
-        "Ws": jnp.zeros((B, P, F), jnp.complex64),    # shadow (adapting) taps
-        "X_hist": jnp.zeros((B, P, F), jnp.complex64),  # far-end block spectra
-        "far_prev": jnp.zeros((B, S), jnp.float32),   # last far tick (overlap-save)
+        "Wm_r": zc(), "Wm_i": zc(),        # main (filtering) taps
+        "Ws_r": zc(), "Ws_i": zc(),        # shadow (adapting) taps
+        "Xh_r": zc(), "Xh_i": zc(),        # far-end block spectra history
+        "far_prev": jnp.zeros((B, S), jnp.float32),   # overlap-save
         "Pxx": jnp.full((B, F), 1e-6, jnp.float32),   # far PSD estimate
-        "Em": jnp.full((B,), 1e-6, jnp.float32),      # smoothed main error energy
-        "Es": jnp.full((B,), 1e-6, jnp.float32),      # smoothed shadow error energy
-        "Dn": jnp.full((B,), 1e-6, jnp.float32),      # smoothed near (mic) energy
-        "promote_cnt": jnp.zeros((B,), jnp.int32),    # hysteresis counters
+        "Em": jnp.full((B,), 1e-6, jnp.float32),      # smoothed main error
+        "Es": jnp.full((B,), 1e-6, jnp.float32),      # smoothed shadow error
+        "Dn": jnp.full((B,), 1e-6, jnp.float32),      # smoothed near energy
+        "promote_cnt": jnp.zeros((B,), jnp.int32),
         "reseed_cnt": jnp.zeros((B,), jnp.int32),
-        # echo leak-through estimate (residual/echo power ratio), tracked as a
-        # slow minimum so near-end speech never inflates it
         "leak": jnp.ones((B,), jnp.float32),
     }
 
@@ -88,37 +91,39 @@ def _aec_process(state, ins, params, ctx):
     near, far = ins
     B, S = near.shape
     two_s = 2 * S
-    P = state["Wm"].shape[1]
+    P = state["Wm_r"].shape[1]
 
     far_blk = jnp.concatenate([state["far_prev"], far], axis=1)     # [B, 2S]
-    X = jnp.fft.rfft(far_blk, axis=1).astype(jnp.complex64)         # [B, F]
-    X_hist = jnp.concatenate([X[:, None, :], state["X_hist"][:, :-1]], axis=1)
+    Xr, Xi = rfft(far_blk, two_s)                                   # [B, F]
+    Xh_r = jnp.concatenate([Xr[:, None, :], state["Xh_r"][:, :-1]], axis=1)
+    Xh_i = jnp.concatenate([Xi[:, None, :], state["Xh_i"][:, :-1]], axis=1)
 
-    def apply(W):
-        Yf = jnp.sum(W * X_hist, axis=1)
-        y = jnp.fft.irfft(Yf, n=two_s, axis=1)[:, S:]               # overlap-save
-        return y
+    def apply(Wr, Wi):
+        Yr = jnp.sum(Wr * Xh_r - Wi * Xh_i, axis=1)
+        Yi = jnp.sum(Wr * Xh_i + Wi * Xh_r, axis=1)
+        return irfft(Yr, Yi, two_s)[:, S:]          # overlap-save tail
 
-    y_m = apply(state["Wm"])
-    y_s = apply(state["Ws"])
+    y_m = apply(state["Wm_r"], state["Wm_i"])
+    y_s = apply(state["Ws_r"], state["Ws_i"])
     e_m = near - y_m
     e_s = near - y_s
 
     # --- shadow adaptation: frequency-domain NLMS, gradient-constrained ----
-    Ef = jnp.fft.rfft(jnp.concatenate([jnp.zeros_like(e_s), e_s], axis=1),
-                      axis=1).astype(jnp.complex64)
-    Pxx = POW_EWMA * state["Pxx"] + (1 - POW_EWMA) * (jnp.abs(X) ** 2)
-    norm = (P * Pxx + 1e-6)[:, None, :]
+    Er, Ei = rfft(jnp.concatenate([jnp.zeros_like(e_s), e_s], axis=1), two_s)
+    Pxx = POW_EWMA * state["Pxx"] + (1 - POW_EWMA) * cabs2(Xr, Xi)
+    inv_norm = 1.0 / (P * Pxx + 1e-6)
     mu = params["mu"] * params["adapt"].astype(jnp.float32)
-    grad = jnp.conj(X_hist) * Ef[:, None, :] / norm
-    g_t = jnp.fft.irfft(grad, n=two_s, axis=2)
-    g_t = g_t.at[:, :, S:].set(0.0)                 # causality constraint
-    grad_c = jnp.fft.rfft(g_t, axis=2).astype(jnp.complex64)
-    Ws = state["Ws"] + mu[:, None, None].astype(jnp.complex64) * grad_c
+    Gr, Gi = cmul_conj(Xh_r, Xh_i, Er[:, None, :], Ei[:, None, :])
+    Gr = Gr * inv_norm[:, None, :]
+    Gi = Gi * inv_norm[:, None, :]
+    # causality constraint: zero the non-causal (second) half in time domain
+    g_t = irfft(Gr, Gi, two_s)
+    g_t = g_t.at[:, :, S:].set(0.0)
+    Gr, Gi = rfft(g_t, two_s)
+    Ws_r = state["Ws_r"] + mu[:, None, None] * Gr
+    Ws_i = state["Ws_i"] + mu[:, None, None] * Gi
 
     # --- two-path transfer logic (per-leg, hysteretic) ---------------------
-    # promote only on *sustained* clear improvement: transient near-speech
-    # absorption by the shadow during double-talk never reaches the main path.
     Em = ERR_EWMA * state["Em"] + (1 - ERR_EWMA) * (e_m * e_m).mean(axis=1)
     Es = ERR_EWMA * state["Es"] + (1 - ERR_EWMA) * (e_s * e_s).mean(axis=1)
     Dn = ERR_EWMA * state["Dn"] + (1 - ERR_EWMA) * (near * near).mean(axis=1)
@@ -130,8 +135,12 @@ def _aec_process(state, ins, params, ctx):
     reseed = reseed_cnt >= HOLD_TICKS
     promote_cnt = jnp.where(promote, 0, promote_cnt)
     reseed_cnt = jnp.where(reseed, 0, reseed_cnt)
-    Wm = jnp.where(promote[:, None, None], Ws, state["Wm"])
-    Ws = jnp.where(reseed[:, None, None], state["Wm"], Ws)
+    p3 = promote[:, None, None]
+    r3 = reseed[:, None, None]
+    Wm_r = jnp.where(p3, Ws_r, state["Wm_r"])
+    Wm_i = jnp.where(p3, Ws_i, state["Wm_i"])
+    Ws_r = jnp.where(r3, state["Wm_r"], Ws_r)
+    Ws_i = jnp.where(r3, state["Wm_i"], Ws_i)
     Em = jnp.where(promote, Es, Em)
     Es = jnp.where(reseed, Em, Es)
 
@@ -150,16 +159,18 @@ def _aec_process(state, ins, params, ctx):
     # activity (Dn >> Ey) the estimate holds, so double-talk never inflates it
     rise = jnp.where(Dn < 1.5 * Ey, LEAK_RISE, 1.0)
     leak = jnp.clip(jnp.minimum(state["leak"] * rise, inst_leak), 0.01, 1.0)
-    E_half = jnp.fft.rfft(e, axis=1)
-    mag_e = jnp.abs(E_half)
-    mag_y = jnp.abs(jnp.fft.rfft(y, axis=1))
+    Ehr, Ehi = rfft(e, S)
+    mag_e = jnp.sqrt(cabs2(Ehr, Ehi) + 1e-18)
+    Yhr, Yhi = rfft(y, S)
+    mag_y = jnp.sqrt(cabs2(Yhr, Yhi) + 1e-18)
     resid_mag = jnp.sqrt(leak)[:, None] * mag_y
     gain = jnp.clip((mag_e - SUPPRESS_BETA * resid_mag) / (mag_e + 1e-9),
                     SUPPRESS_FLOOR, 1.0)
-    e_sup = jnp.fft.irfft(E_half * gain, n=S, axis=1)
+    e_sup = irfft(Ehr * gain, Ehi * gain, S)
     out = jnp.where((params["suppress"] & params["enabled"])[:, None], e_sup, e)
 
-    new_state = {"Wm": Wm, "Ws": Ws, "X_hist": X_hist, "far_prev": far,
+    new_state = {"Wm_r": Wm_r, "Wm_i": Wm_i, "Ws_r": Ws_r, "Ws_i": Ws_i,
+                 "Xh_r": Xh_r, "Xh_i": Xh_i, "far_prev": far,
                  "Pxx": Pxx, "Em": Em, "Es": Es, "Dn": Dn, "leak": leak,
                  "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt}
     return new_state, (out,), {}

@@ -51,16 +51,24 @@ def _eq_init(ctx):
 
 
 def _eq_process(state, ins, params, ctx):
+    """FIR as one matmul: out[n] = sum_t h[t] x_ext[n + T-1 - t].
+
+    A [S+T-1] -> [S] convolution matrix is built from the taps each tick
+    (cheap: T*S gather of a carried vector) and applied on the MXU —
+    the TPU-native shape for a per-node FIR (no FFT primitive needed, and
+    at tick sizes the matmul fuses with neighbors)."""
     x = ins[0]
     B, S = x.shape
     h = state["taps"]
     T = h.shape[0]
     x_ext = jnp.concatenate([state["hist"], x], axis=1)     # [B, S+T-1]
-    n_fft = int(2 ** np.ceil(np.log2(S + T - 1)))
-    Xf = jnp.fft.rfft(x_ext, n=n_fft, axis=1)
-    Hf = jnp.fft.rfft(h, n=n_fft)
-    y = jnp.fft.irfft(Xf * Hf[None, :], n=n_fft, axis=1)
-    out = y[:, T - 1: T - 1 + S]                             # valid part
+    # Toeplitz conv matrix M[l, n] over x_ext: y[n] = sum_l x_ext[l] M[l, n]
+    l_idx = jnp.arange(S + T - 1)[:, None]
+    n_idx = jnp.arange(S)[None, :]
+    k = (n_idx + T - 1) - l_idx                              # tap index
+    valid = (k >= 0) & (k < T)
+    M = jnp.where(valid, jnp.take(h, jnp.clip(k, 0, T - 1)), 0.0)
+    out = x_ext @ M
     return {"hist": x_ext[:, -(T - 1):], "taps": h}, (out,), {}
 
 

@@ -45,7 +45,8 @@ def _fused_volume_kernel(x_ref, g0_ref, g1_ref, dc_ref, dcen_ref,
     dc = dc_ref[:]                                 # [TB, 1]
     dcen = dcen_ref[:]                             # [TB, 1]
     x = x - dc * dcen
-    ramp = jax.lax.broadcasted_iota(jnp.float32, (tb, s), 1) / float(s)
+    # int32 iota then cast: float iota doesn't lower on some TPU toolchains
+    ramp = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 1).astype(jnp.float32) / float(s)
     g = g0_ref[:] * (1.0 - ramp) + g1_ref[:] * ramp
     out_ref[:] = jnp.clip(x * g, -1.0, 1.0)
     energy_ref[:] = jnp.mean(x * x, axis=1, keepdims=True)

@@ -1,0 +1,69 @@
+"""Real-pair FFTs as MXU matmuls.
+
+The TPU toolchain in this deployment does not lower complex dtypes or
+`jnp.fft` (UNIMPLEMENTED) — and for the fixed, modest transform sizes of a
+10 ms tick (N = 160..960) the TPU-native answer is better anyway: a DFT is
+just a matmul with a constant cos/sin basis, which lands on the MXU and
+fuses with the surrounding elementwise work. Everything carries spectra as
+(re, im) float32 pairs; no complex dtype exists anywhere on the device.
+
+Conventions match numpy.fft.rfft/irfft (forward: X_k = sum x_n e^{-2pi i nk/N}).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_mats(n: int):
+    k = np.arange(n // 2 + 1)
+    t = np.arange(n)
+    ang = 2 * np.pi * np.outer(t, k) / n            # [n, F]
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_mats(n: int):
+    f = n // 2 + 1
+    k = np.arange(f)
+    t = np.arange(n)
+    ang = 2 * np.pi * np.outer(k, t) / n            # [F, n]
+    w = np.full(f, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    cw = (np.cos(ang) * w[:, None] / n).astype(np.float32)
+    sw = (-np.sin(ang) * w[:, None] / n).astype(np.float32)
+    return cw, sw
+
+
+def rfft(x, n: int):
+    """x [..., n] float32 -> (re, im) each [..., n//2+1]."""
+    c, s = _fwd_mats(n)
+    return x @ jnp.asarray(c), x @ jnp.asarray(s)
+
+
+def irfft(re, im, n: int):
+    """(re, im) [..., n//2+1] -> x [..., n]."""
+    cw, sw = _inv_mats(n)
+    # Re(X) pairs with cos, Im(X) with -sin: x = Re@cw - Im@sw' ... derived:
+    # x_t = (1/n) sum_k w_k [re_k cos(2pi kt/n) - im_k sin(2pi kt/n)]
+    return re @ jnp.asarray(cw) + im @ jnp.asarray(sw)
+
+
+def cmul(ar, ai, br, bi):
+    """(ar+i ai)(br+i bi) -> (re, im)."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def cmul_conj(ar, ai, br, bi):
+    """conj(a) * b -> (re, im)."""
+    return ar * br + ai * bi, ar * bi - ai * br
+
+
+def cabs2(re, im):
+    return re * re + im * im
