@@ -232,6 +232,45 @@ class CompiledGraph:
         state, (outs, evs) = jax.lax.scan(body, state, ext_in_seq, length=length)
         return state, outs, evs
 
+    def profile_nodes(self, state, params, ext_in=None, iters: int = 20):
+        """Per-node timing attribution (cf. per-filter MSFilterStats
+        box-plots, msfilter.h:154-159 / ms_factory_log_statistics).
+
+        The production path fuses the whole tick into one program, so
+        per-filter wall time doesn't exist at run time; this diagnostic
+        re-runs each node's process in isolation (jitted, same shapes) and
+        reports mean milliseconds per node.  Use on the target backend.
+        """
+        import time as _time
+        ext_in = ext_in or {}
+        edge_vals: Dict[Tuple[int, int], Any] = {}
+        results = {}
+        for i in self.order:
+            node = self.nodes[i]
+            ctx = self.ctxs[i]
+            ins = tuple(edge_vals[(l.src, l.srcpin)]
+                        for l in (self._in_link[(i, pin)]
+                                  for pin in range(node.fdef.ninputs)))
+            st = state.get(node.name)
+            p = params.get(node.name, {})
+            if node.fdef.name == "ext_source":
+                outs = (jnp.asarray(ext_in[node.name]),)
+            elif node.fdef.name == "ext_sink":
+                outs = ()
+            else:
+                fn = jax.jit(lambda st_, ins_, p_, _n=node, _c=ctx:
+                             _n.fdef.process(st_, ins_, p_, _c))
+                st2, outs, _ = fn(st, ins, p)
+                jax.block_until_ready(outs)
+                t0 = _time.perf_counter()
+                for _ in range(iters):
+                    st2, outs, _ = fn(st, ins, p)
+                jax.block_until_ready(outs)
+                results[node.name] = (_time.perf_counter() - t0) / iters * 1e3
+            for pin, v in enumerate(outs):
+                edge_vals[(i, pin)] = v
+        return results
+
     # -- observability (cf. ms_ticker_print_graphs, msticker.c:592) -----
     def describe(self) -> str:
         lines = [f"CompiledGraph batch={self.batch} nodes={len(self.nodes)}"]

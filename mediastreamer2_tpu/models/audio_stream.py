@@ -63,7 +63,13 @@ class AudioStreamBatch:
                  features: Optional[AudioStreamFeatures] = None,
                  mic_signal: Optional[np.ndarray] = None,
                  record_ticks: int = 0,
-                 jb_params: Optional[JBParams] = None):
+                 jb_params: Optional[JBParams] = None,
+                 conference: bool = False):
+        """conference=True builds the *server* shape: each leg's decoded
+        audio feeds a deployment-wide conf_mixer whose mix-minus output is
+        re-encoded back to that leg — the reference's audioconference
+        endpoint splice (src/voip/audioconference.c:119-178) as a graph
+        flag instead of graph surgery."""
         self.factory = factory
         self.batch = batch
         self.codec = codec
@@ -98,6 +104,13 @@ class AudioStreamBatch:
             vr = g.add("volume", "vol_recv")
             g.link(last, 0, vr, 0)
             last = vr
+        self.conference = conference
+        if conference:
+            lv = g.add("audio_levels", "levels")    # RFC6464-style ranks
+            mx = g.add("conf_mixer", "conf")
+            g.link(last, 0, lv, 0)
+            g.link(lv, 0, mx, 0)
+            last = mx
         spk_tee = g.add("tee", "spk_tee")
         g.link(last, 0, spk_tee, 0)
         g.link(spk_tee, 0, g.add("ext_sink", "spk"), 0)
@@ -106,6 +119,16 @@ class AudioStreamBatch:
                                      max_ticks=record_ticks), 0)
 
         # ---- send chain ----------------------------------------------------
+        if conference:
+            # server: re-encode each member's mix-minus output; no mic/EC
+            if self.host_codec:
+                g.link(spk_tee, 3, g.add("ext_sink", "rtp_tx"), 0)
+            else:
+                enc = g.add(f"{codec}_enc", "enc")
+                g.link(spk_tee, 3, enc, 0)
+                g.link(enc, 0, g.add("ext_sink", "rtp_tx"), 0)
+            self._finish_init(factory, batch, jb_params, g)
+            return
         if mic_signal is not None:
             mic = g.add("file_player", "mic", fmt=fmt, signal=mic_signal)
         else:
@@ -130,14 +153,19 @@ class AudioStreamBatch:
             enc = g.add(f"{codec}_enc", "enc")
             g.link(last, 0, enc, 0)
             g.link(enc, 0, g.add("ext_sink", "rtp_tx"), 0)
+        self._finish_init(factory, batch, jb_params, g)
 
+    def _finish_init(self, factory, batch, jb_params, g):
+        ft = self.features
+        codec, rate = self.codec, self.rate
         self.graph = g.build()
         self.ticker = Ticker(self.graph, name=f"audio[{batch}]", realtime=True)
         self.ticker.set_io(pull=self._pull, push=self._push)
-        if ft.agc:
-            self.ticker.params["vol_send"]["agc_enabled"] = jnp.ones((batch,), bool)
-        if ft.noise_gate:
-            self.ticker.params["vol_send"]["ng_enabled"] = jnp.ones((batch,), bool)
+        if "vol_send" in self.ticker.params:
+            if ft.agc:
+                self.ticker.params["vol_send"]["agc_enabled"] = jnp.ones((batch,), bool)
+            if ft.noise_gate:
+                self.ticker.params["vol_send"]["ng_enabled"] = jnp.ones((batch,), bool)
 
         # host-side per-leg sessions (bound later via set_transport)
         self.sessions: List[Optional[RtpSession]] = [None] * batch

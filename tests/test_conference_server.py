@@ -1,0 +1,52 @@
+"""Conference-server integration: three clients through a mixing server —
+the reference's ms_audio_conference semantics (audioconference.c), incl.
+mix-minus: a talker must NOT hear themselves."""
+import numpy as np
+import jax.numpy as jnp
+
+from mediastreamer2_tpu.core.block import tick_samples
+from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+from mediastreamer2_tpu.models.conference import AudioConferenceControl
+from mediastreamer2_tpu.net.rtp import LoopbackPair
+from mediastreamer2_tpu.utils.audiodiff import audio_diff
+from conftest import make_speechlike
+
+S = tick_samples(8000)
+
+
+def test_three_way_conference_mix_minus(factory):
+    ticks = 150
+    sig = make_speechlike(S * (ticks + 40), 8000, seed=42)
+    # clients: one batch of 3 legs; only leg 0 talks (through the whole run)
+    mic = np.zeros((3, S * (ticks + 40)), np.float32)
+    mic[0] = sig
+    clients = AudioStreamBatch(factory, 3, mic_signal=mic,
+                               record_ticks=ticks + 50)
+    server = AudioStreamBatch(factory, 3, conference=True)
+    ctl = AudioConferenceControl(server.ticker, "conf", "levels")
+    conf = ctl.new_conference()
+    for leg in range(3):
+        clients.set_transport(leg, (pair := LoopbackPair()).endpoint(0))
+        server.set_transport(leg, pair.endpoint(1))
+        ctl.add_member(leg, conf)
+    clients.ticker.warm_up()
+    server.ticker.warm_up()
+    server.start(ticks + 60)
+    clients.run(ticks + 30)
+    # sample active-talker detection while leg 0 is still speaking
+    talkers_live = ctl.active_talkers()
+    clients.stop()
+    server.stop()
+    rec = clients.get_recording()
+    sig = sig[: S * ticks]
+    # listeners (legs 1,2) hear the talker
+    for leg in (1, 2):
+        sim, _ = audio_diff(sig, rec[leg])
+        assert sim > 0.85, f"listener {leg} sim {sim}"
+    # mix-minus: the talker does NOT hear themselves
+    talker_energy = float((rec[0] ** 2).mean())
+    listener_energy = float((rec[1] ** 2).mean())
+    assert talker_energy < listener_energy * 0.05, \
+        f"talker hears self: {talker_energy} vs {listener_energy}"
+    # active talker detection on the server (reference -30 dB rule)
+    assert talkers_live.get(conf) == [0]
