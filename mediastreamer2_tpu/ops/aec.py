@@ -40,13 +40,13 @@ DEFAULT_TAIL_MS = 80
 POW_EWMA = 0.65        # far-end PSD smoothing
 MU = 0.6               # shadow NLMS step
 ERR_EWMA = 0.6         # error-energy smoothing for transfer logic
-COPY_RATIO = 0.5       # shadow must (sustainably) halve the error -> promote
-ERLE_GATE = 0.25       # ...and cancel >=6 dB of the mic signal (blocks
+COPY_RATIO = 0.4       # shadow must (sustainably) halve the error -> promote
+ERLE_GATE = 0.2       # ...and cancel >=6 dB of the mic signal (blocks
                        # promotion during double-talk, when the best any
                        # filter can do is leave the near speech intact)
 RESET_RATIO = 1.5      # shadow (sustainably) worse than main -> re-seed
-HOLD_TICKS = 5         # hysteresis: condition must hold 50 ms
-SUPPRESS_BETA = 3.0    # over-subtraction factor (on the *residual* estimate)
+HOLD_TICKS = 8         # hysteresis: condition must hold 50 ms
+SUPPRESS_BETA = 2.5    # over-subtraction factor (on the *residual* estimate)
 SUPPRESS_FLOOR = 0.15  # spectral floor (limits musical noise / distortion)
 LEAK_RISE = 1.01       # min-statistics leak tracker creep-up per tick
 
@@ -74,6 +74,7 @@ def _aec_init(ctx):
         "promote_cnt": jnp.zeros((B,), jnp.int32),
         "reseed_cnt": jnp.zeros((B,), jnp.int32),
         "leak": jnp.ones((B,), jnp.float32),
+        "cpos": jnp.zeros((), jnp.int32),   # round-robin constraint cursor
     }
 
 
@@ -116,10 +117,18 @@ def _aec_process(state, ins, params, ctx):
     Gr, Gi = cmul_conj(Xh_r, Xh_i, Er[:, None, :], Ei[:, None, :])
     Gr = Gr * inv_norm[:, None, :]
     Gi = Gi * inv_norm[:, None, :]
-    # causality constraint: zero the non-causal (second) half in time domain
-    g_t = irfft(Gr, Gi, two_s)
+    # causality (gradient) constraint, ONE partition per tick round-robin —
+    # the classic MDF cost reduction (speexdsp constrains one block per
+    # frame): the big [F]<->[2S] DFT matmuls run on 1/P of the taps, and
+    # each partition still gets re-projected every P*10 ms.
+    cpos = state["cpos"]
+    gp_r = jax.lax.dynamic_slice_in_dim(Gr, cpos, 1, axis=1)   # [B,1,F]
+    gp_i = jax.lax.dynamic_slice_in_dim(Gi, cpos, 1, axis=1)
+    g_t = irfft(gp_r, gp_i, two_s)
     g_t = g_t.at[:, :, S:].set(0.0)
-    Gr, Gi = rfft(g_t, two_s)
+    gc_r, gc_i = rfft(g_t, two_s)
+    Gr = jax.lax.dynamic_update_slice_in_dim(Gr, gc_r, cpos, axis=1)
+    Gi = jax.lax.dynamic_update_slice_in_dim(Gi, gc_i, cpos, axis=1)
     Ws_r = state["Ws_r"] + mu[:, None, None] * Gr
     Ws_i = state["Ws_i"] + mu[:, None, None] * Gi
 
@@ -172,7 +181,8 @@ def _aec_process(state, ins, params, ctx):
     new_state = {"Wm_r": Wm_r, "Wm_i": Wm_i, "Ws_r": Ws_r, "Ws_i": Ws_i,
                  "Xh_r": Xh_r, "Xh_i": Xh_i, "far_prev": far,
                  "Pxx": Pxx, "Em": Em, "Es": Es, "Dn": Dn, "leak": leak,
-                 "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt}
+                 "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt,
+                 "cpos": (cpos + 1) % P}
     return new_state, (out,), {}
 
 
