@@ -94,11 +94,17 @@ class VideoStreamBatch:
     def __init__(self, factory, batch: int, fmt: Format = None,
                  out_fmt: Format = None, camera: str = "mire",
                  codec: Optional[FrameCodec] = None, mtu: int = 1400,
-                 fps: float = 25.0):
+                 fps: float = 25.0, codec_factory=None):
+        """codec_factory: callable() -> FrameCodec, one per leg (stateful
+        codecs like VP8 need per-leg encoder/decoder instances)."""
         self.batch = batch
         self.fmt = fmt or Format(kind="yuv420", width=320, height=240, fps=fps)
         self.out_fmt = out_fmt or self.fmt
-        self.codec = codec or FrameCodec()
+        if codec_factory is not None:
+            self.codecs = [codec_factory() for _ in range(batch)]
+        else:
+            self.codecs = [codec or FrameCodec()] * batch
+        self.codec = self.codecs[0]
         self.mtu = mtu
         self.fps = fps
         self.stats = [VideoStreamStats() for _ in range(batch)]
@@ -132,6 +138,12 @@ class VideoStreamBatch:
         self._last_rx = np.zeros((batch,) + self._frame_shape, np.float32)
         self._tick_per_frame = max(1, int(round(100.0 / fps)))
         self._ts = 0
+        # first frame of every leg is a keyframe; FIR sets this too
+        self._force_kf = [True] * batch
+
+    def request_keyframe(self, leg: int):
+        """cf. MS_VIDEO_ENCODER_REQ_VFU / FIR handling."""
+        self._force_kf[leg] = True
 
     def set_transport(self, leg: int, transport: Transport):
         self.sessions[leg] = RtpSession(transport, payload_type=VIDEO_PT,
@@ -169,8 +181,9 @@ class VideoStreamBatch:
             for i, sess in enumerate(self.sessions):
                 if sess is None:
                     continue
-                data = self.codec.encode(self._frame_to_bytes(frames[i]),
-                                         keyframe=True)
+                data = self.codecs[i].encode(self._frame_to_bytes(frames[i]),
+                                             keyframe=self._force_kf[i])
+                self._force_kf[i] = False
                 chunks = fragment_frame(data, self.mtu)
                 for k, c in enumerate(chunks):
                     sess.ts = self._ts
@@ -183,7 +196,7 @@ class VideoStreamBatch:
                 continue
             frame = self.assemblers[i].pop()
             if frame is not None:
-                decoded = self.codec.decode(frame)
+                decoded = self.codecs[i].decode(frame)
                 f = self._bytes_to_frame(decoded) if decoded else None
                 if f is not None:
                     self._last_rx[i] = f

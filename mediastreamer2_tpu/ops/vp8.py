@@ -1,0 +1,226 @@
+"""VP8 host codec via libvpx (ctypes) — the reference's main video codec.
+
+Reference: MSVp8Enc/Dec (src/videofilters/vp8.c:1,273 — libvpx with AVPF
+picture-id/RPSI/SLI logic) + RFC 7741 packetization (vp8rtpfmt.c).
+
+Host-filter tier (like Opus/GSM): frames cross the RTP boundary as encoded
+bytes; the device graph handles the pixel path.  libvpx ships no dev
+headers in this image, so the ABI surface is bound by **runtime probing**:
+`vpx_codec_enc_config_default` fills a buffer whose anchor defaults
+(320/240, 1/30 timebase, rc 256/4/63/100/100, bufs 6000/4000/5000,
+kf 128) pin the v1.12 struct offsets used below; `vpx_image_t` offsets are
+probed the same way in the test-suite.  Encoder/decoder ABI version = 1 on
+this build (verified by init return code).
+
+Wire format note: this class produces raw VP8 frames; RFC 7741 payload
+descriptors are added by Vp8RtpPacker (minimal X=0 form: S bit + PID).
+"""
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_vpx = None
+try:
+    _p = ctypes.util.find_library("vpx")
+    if _p:
+        _vpx = ctypes.CDLL(_p)
+        for f in ("vpx_codec_vp8_cx", "vpx_codec_vp8_dx", "vpx_img_alloc",
+                  "vpx_codec_get_cx_data", "vpx_codec_get_frame"):
+            getattr(_vpx, f).restype = ctypes.c_void_p
+        _vpx.vpx_codec_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_ulong, ctypes.c_longlong, ctypes.c_ulong]
+except OSError:                                    # pragma: no cover
+    _vpx = None
+
+# probed vpx_codec_enc_cfg offsets (libvpx v1.12, x86-64)
+_CFG_W, _CFG_H = 12, 16
+_CFG_TB_NUM, _CFG_TB_DEN = 28, 32
+_CFG_END_USAGE = 72            # 1 = CBR
+_CFG_TARGET_KBPS = 112
+_CFG_KF_MODE, _CFG_KF_MIN, _CFG_KF_MAX = 160, 164, 168
+# probed vpx_image_t offsets
+_IMG_DW, _IMG_DH = 24, 28
+_IMG_PLANES = (48, 56, 64)
+_IMG_STRIDES = (80, 84, 88)
+# probed vpx_codec_cx_pkt offsets (flags toggles with keyframes at +40;
+# +24 is pts, +32 is duration)
+_PKT_KIND, _PKT_BUF, _PKT_SZ, _PKT_FLAGS = 0, 8, 16, 40
+
+VPX_IMG_FMT_I420 = 0x102
+VPX_DL_REALTIME = 1
+VPX_EFLAG_FORCE_KF = 1
+VPX_FRAME_IS_KEY = 1
+ABI = 1
+
+
+def vp8_available() -> bool:
+    return _vpx is not None
+
+
+def _u(addr, off, n=4):
+    return int.from_bytes(ctypes.string_at(addr + off, n), "little")
+
+
+class Vp8Encoder:
+    def __init__(self, width: int, height: int, bitrate_bps: int = 500_000,
+                 fps: int = 25, kf_max_dist: int = 100):
+        if _vpx is None:
+            raise RuntimeError("libvpx not available")
+        self.w, self.h = width, height
+        iface = _vpx.vpx_codec_vp8_cx()
+        cfg = (ctypes.c_uint8 * 2048)()
+        _vpx.vpx_codec_enc_config_default(ctypes.c_void_p(iface), cfg, 0)
+        for off, v in ((_CFG_W, width), (_CFG_H, height),
+                       (_CFG_TB_NUM, 1), (_CFG_TB_DEN, fps),
+                       (_CFG_END_USAGE, 1),
+                       (_CFG_TARGET_KBPS, max(bitrate_bps // 1000, 30)),
+                       (_CFG_KF_MAX, kf_max_dist)):
+            struct.pack_into("<I", cfg, off, v)
+        self._cfg = cfg
+        self.ctx = (ctypes.c_uint8 * 512)()
+        r = _vpx.vpx_codec_enc_init_ver(self.ctx, ctypes.c_void_p(iface),
+                                        cfg, 0, ABI)
+        if r != 0:
+            raise RuntimeError(f"vp8 enc init: {r}")
+        self.img = _vpx.vpx_img_alloc(None, VPX_IMG_FMT_I420,
+                                      width, height, 16)
+        self.pts = 0
+        self.frames_encoded = 0
+
+    def set_bitrate(self, bps: int):
+        """cf. MS_VIDEO_ENCODER_SET_BITRATE: re-init config."""
+        struct.pack_into("<I", self._cfg, _CFG_TARGET_KBPS,
+                         max(bps // 1000, 30))
+        _vpx.vpx_codec_enc_config_set(self.ctx, self._cfg)
+
+    def encode_planes(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                      force_keyframe: bool = False) -> Tuple[bytes, bool]:
+        planes = [_u(self.img, o, 8) for o in _IMG_PLANES]
+        strides = [_u(self.img, o) for o in _IMG_STRIDES]
+        for plane, stride, arr in zip(planes, strides, (y, u, v)):
+            h, w = arr.shape
+            data = np.ascontiguousarray(arr, np.uint8)
+            for row in range(h):
+                ctypes.memmove(plane + row * stride,
+                               data[row].tobytes(), w)
+        flags = VPX_EFLAG_FORCE_KF if force_keyframe else 0
+        r = _vpx.vpx_codec_encode(self.ctx, self.img, self.pts, 1,
+                                  flags, VPX_DL_REALTIME)
+        if r != 0:
+            raise RuntimeError(f"vp8 encode: {r}")
+        self.pts += 1
+        self.frames_encoded += 1
+        it = ctypes.c_void_p(0)
+        out, is_key = b"", False
+        while True:
+            pkt = _vpx.vpx_codec_get_cx_data(self.ctx, ctypes.byref(it))
+            if not pkt:
+                break
+            if _u(pkt, _PKT_KIND) == 0:        # CX_FRAME_PKT
+                buf = _u(pkt, _PKT_BUF, 8)
+                sz = _u(pkt, _PKT_SZ, 8)
+                out += ctypes.string_at(buf, sz)
+                is_key = bool(_u(pkt, _PKT_FLAGS) & VPX_FRAME_IS_KEY)
+        return out, is_key
+
+
+class Vp8Decoder:
+    def __init__(self):
+        if _vpx is None:
+            raise RuntimeError("libvpx not available")
+        self.ctx = (ctypes.c_uint8 * 512)()
+        r = _vpx.vpx_codec_dec_init_ver(
+            self.ctx, ctypes.c_void_p(_vpx.vpx_codec_vp8_dx()), None, 0, ABI)
+        if r != 0:
+            raise RuntimeError(f"vp8 dec init: {r}")
+
+    def decode(self, data: bytes
+               ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        r = _vpx.vpx_codec_decode(self.ctx, data, len(data), None, 0)
+        if r != 0:
+            return None                         # corrupt frame
+        it = ctypes.c_void_p(0)
+        fr = _vpx.vpx_codec_get_frame(self.ctx, ctypes.byref(it))
+        if not fr:
+            return None
+        w, h = _u(fr, _IMG_DW), _u(fr, _IMG_DH)
+        planes = [_u(fr, o, 8) for o in _IMG_PLANES]
+        strides = [_u(fr, o) for o in _IMG_STRIDES]
+
+        def read(plane, stride, ph, pw):
+            buf = ctypes.string_at(plane, stride * ph)
+            return np.frombuffer(buf, np.uint8).reshape(ph, stride)[:, :pw]
+        y = read(planes[0], strides[0], h, w)
+        u = read(planes[1], strides[1], h // 2, w // 2)
+        v = read(planes[2], strides[2], h // 2, w // 2)
+        return y.copy(), u.copy(), v.copy()
+
+
+class Vp8FrameCodec:
+    """FrameCodec adapter for VideoStreamBatch (one instance per leg).
+
+    Frames cross as the framework's packed-I420 byte layout
+    ([h*3/2, w]: Y rows then interleaved half-res U,V rows — see
+    core/block.py block_shape)."""
+
+    name = "vp8"
+
+    def __init__(self, width: int, height: int, bitrate_bps: int = 500_000,
+                 fps: int = 25):
+        self.w, self.h = width, height
+        self.enc = Vp8Encoder(width, height, bitrate_bps, fps)
+        self.dec = Vp8Decoder()
+
+    def _unpack(self, frame: bytes):
+        a = np.frombuffer(frame, np.uint8).reshape(self.h * 3 // 2, self.w)
+        y = a[: self.h]
+        uv = a[self.h:].reshape(self.h // 2, 2, self.w // 2)
+        return y, uv[:, 0, :], uv[:, 1, :]
+
+    def _pack(self, y, u, v) -> bytes:
+        uv = np.stack([u, v], axis=1).reshape(self.h // 2, self.w)
+        return np.concatenate([y, uv], axis=0).tobytes()
+
+    def encode(self, frame: bytes, keyframe: bool) -> bytes:
+        y, u, v = self._unpack(frame)
+        data, _ = self.enc.encode_planes(y, u, v, force_keyframe=keyframe)
+        return data
+
+    def decode(self, data: bytes) -> Optional[bytes]:
+        out = self.dec.decode(data)
+        if out is None:
+            return None
+        return self._pack(*out)
+
+
+# --- minimal RFC 7741 payload descriptor (X=0 form) --------------------
+def vp8_payload_pack(fragments: List[bytes]) -> List[bytes]:
+    """Prepend the 1-byte descriptor: S=1 on the first partition fragment."""
+    out = []
+    for i, f in enumerate(fragments):
+        b0 = 0x10 if i == 0 else 0x00          # S bit, PID=0
+        out.append(bytes([b0]) + f)
+    return out
+
+
+def vp8_payload_unpack(payload: bytes) -> Tuple[bytes, bool]:
+    """Returns (vp8 data, is_partition_start)."""
+    if not payload:
+        return b"", False
+    b0 = payload[0]
+    if b0 & 0x80:                               # X bit: extended header
+        off = 2
+        if payload[1] & 0x80:                   # I: PictureID
+            off += 2 if (payload[off] & 0x80) else 1
+        if payload[1] & 0x40:                   # L: TL0PICIDX
+            off += 1
+        if payload[1] & 0x30:                   # T/K
+            off += 1
+        return payload[off:], bool(b0 & 0x10)
+    return payload[1:], bool(b0 & 0x10)
