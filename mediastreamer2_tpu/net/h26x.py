@@ -1,0 +1,168 @@
+"""H.264/H.265 NAL packetization — RFC 6184 / RFC 7798 byte plumbing.
+
+Reference: the h26x/ subsystem (src/videofilters/h26x/: NAL packer/unpacker
+templates, parameter-set stores; tested by
+tester/mediastreamer2_h26x_tools_tester.cpp against raw fixtures).  Pure
+byte work — host side.  Codec backends (x264/MediaCodec/VideoToolbox in the
+reference) plug in separately; the packetization layer here is
+codec-agnostic and covers: Annex B stream <-> NAL units, single-NAL mode,
+FU-A fragmentation, STAP-A aggregation, and a parameter-set store that
+replays SPS/PPS ahead of IDR frames.
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+NAL_STAP_A = 24
+NAL_FU_A = 28
+NAL_SPS = 7
+NAL_PPS = 8
+NAL_IDR = 5
+
+
+def split_annexb(stream: bytes) -> List[bytes]:
+    """Annex B (00 00 01 / 00 00 00 01 start codes) -> NAL units."""
+    # locate start codes: (sc_begin, payload_begin) pairs
+    marks: List[Tuple[int, int]] = []
+    i = 0
+    n = len(stream)
+    while i + 2 < n:
+        if stream[i] == 0 and stream[i + 1] == 0 and stream[i + 2] == 1:
+            sc_begin = i - 1 if (i > 0 and stream[i - 1] == 0) else i
+            marks.append((sc_begin, i + 3))
+            i += 3
+        else:
+            i += 1
+    nals = []
+    for k, (_, begin) in enumerate(marks):
+        end = marks[k + 1][0] if k + 1 < len(marks) else n
+        if end > begin:
+            nals.append(stream[begin:end])
+    return nals
+
+
+def to_annexb(nals: List[bytes]) -> bytes:
+    return b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+
+
+def nal_type(nal: bytes) -> int:
+    return nal[0] & 0x1F if nal else 0
+
+
+def packetize(nals: List[bytes], mtu: int = 1400,
+              aggregate: bool = True) -> List[bytes]:
+    """NAL units -> RTP payloads (single NAL / STAP-A / FU-A)."""
+    payloads: List[bytes] = []
+    pending_stap: List[bytes] = []
+
+    def flush_stap():
+        nonlocal pending_stap
+        if not pending_stap:
+            return
+        if len(pending_stap) == 1:
+            payloads.append(pending_stap[0])
+        else:
+            f = max(n[0] & 0x80 for n in pending_stap)
+            nri = max(n[0] & 0x60 for n in pending_stap)
+            body = b"".join(struct.pack("!H", len(n)) + n
+                            for n in pending_stap)
+            payloads.append(bytes([f | nri | NAL_STAP_A]) + body)
+        pending_stap = []
+
+    for nal in nals:
+        if len(nal) <= mtu:
+            if aggregate:
+                agg_size = (sum(len(n) + 2 for n in pending_stap)
+                            + len(nal) + 2 + 1)
+                if pending_stap and agg_size > mtu:
+                    flush_stap()
+                pending_stap.append(nal)
+                # aggregate only small non-VCL-ish units; flush big ones
+                if len(nal) > mtu // 4:
+                    flush_stap()
+            else:
+                payloads.append(nal)
+            continue
+        flush_stap()
+        # FU-A fragmentation
+        hdr = nal[0]
+        fu_indicator = (hdr & 0xE0) | NAL_FU_A
+        body = nal[1:]
+        chunk = mtu - 2
+        for k in range(0, len(body), chunk):
+            part = body[k:k + chunk]
+            fu_header = (hdr & 0x1F) \
+                | (0x80 if k == 0 else 0) \
+                | (0x40 if k + chunk >= len(body) else 0)
+            payloads.append(bytes([fu_indicator, fu_header]) + part)
+    flush_stap()
+    return payloads
+
+
+class H264Unpacker:
+    """RTP payloads -> NAL units (handles single NAL, STAP-A, FU-A)."""
+
+    def __init__(self):
+        self._fu: Optional[bytearray] = None
+        self.errors = 0
+
+    def push(self, payload: bytes) -> List[bytes]:
+        if not payload:
+            return []
+        t = payload[0] & 0x1F
+        if t == NAL_STAP_A:
+            nals = []
+            off = 1
+            while off + 2 <= len(payload):
+                ln = struct.unpack_from("!H", payload, off)[0]
+                off += 2
+                nals.append(payload[off:off + ln])
+                off += ln
+            return nals
+        if t == NAL_FU_A:
+            if len(payload) < 2:
+                self.errors += 1
+                return []
+            fu_header = payload[1]
+            start, end = fu_header & 0x80, fu_header & 0x40
+            if start:
+                hdr = (payload[0] & 0xE0) | (fu_header & 0x1F)
+                self._fu = bytearray([hdr]) + payload[2:]
+                return []
+            if self._fu is None:
+                self.errors += 1
+                return []
+            self._fu += payload[2:]
+            if end:
+                nal, self._fu = bytes(self._fu), None
+                return [nal]
+            return []
+        return [payload]          # single NAL
+
+
+class ParameterSetStore:
+    """Keeps the latest SPS/PPS and replays them ahead of IDR frames
+    (cf. h26x parameter-set store: decoders joining mid-stream need them)."""
+
+    def __init__(self):
+        self.sps: Optional[bytes] = None
+        self.pps: Optional[bytes] = None
+
+    def process(self, nal: bytes):
+        t = nal_type(nal)
+        if t == NAL_SPS:
+            self.sps = nal
+        elif t == NAL_PPS:
+            self.pps = nal
+
+    def prepend_for_idr(self, nals: List[bytes]) -> List[bytes]:
+        if any(nal_type(n) == NAL_IDR for n in nals) \
+                and not any(nal_type(n) == NAL_SPS for n in nals) \
+                and self.sps and self.pps:
+            return [self.sps, self.pps] + nals
+        return nals
+
+    @property
+    def ready(self) -> bool:
+        return self.sps is not None and self.pps is not None

@@ -249,16 +249,41 @@ class RtpSession:
         self.created_time = time.monotonic()
         self.last_recv_time: Optional[float] = None
         self.rtcp = None     # RtcpSession when attach_rtcp() enabled
+        self._rtx_history = None
+        self._rtx_depth = 0
 
     # -- send path ------------------------------------------------------
+    def enable_retransmission(self, history: int = 256):
+        """Keep a send history so NACKed packets can be resent
+        (cf. video_stream_enable_retransmission_on_nack,
+        src/voip/videostream.c:725)."""
+        self._rtx_history = {}
+        self._rtx_depth = history
+
     def send_payload(self, payload: bytes, ts_increment: int, marker: bool = False):
         pkt = RtpPacket(self.payload_type, self.seq, self.ts, self.ssrc,
                         payload, marker)
-        self.transport.send(pkt.pack())
+        wire = pkt.pack()
+        self.transport.send(wire)
+        if self._rtx_history is not None:
+            self._rtx_history[self.seq] = wire
+            if len(self._rtx_history) > self._rtx_depth:
+                for s in sorted(self._rtx_history)[: -self._rtx_depth]:
+                    del self._rtx_history[s]
         self.seq = (self.seq + 1) & 0xFFFF
         self.ts = (self.ts + ts_increment) & 0xFFFFFFFF
         self.stats.sent_packets += 1
         self.stats.sent_bytes += len(payload)
+
+    def retransmit(self, seq: int) -> bool:
+        """Resend a NACKed packet from history."""
+        if self._rtx_history is None:
+            return False
+        wire = self._rtx_history.get(seq)
+        if wire is None:
+            return False
+        self.transport.send(wire)
+        return True
 
     def skip_payload(self, ts_increment: int):
         """DTX: advance the RTP clock without sending (cf. CN/DTX)."""
