@@ -41,18 +41,31 @@ def _inv_mats(n: int):
     return cw, sw
 
 
+import os
+
+# Optional bf16 basis matrices (RFFT_BF16=1): measured neutral on v5e — the
+# AEC is HBM-bound, not MXU-bound — so f32 (exact) is the default.
+_USE_BF16 = os.environ.get("RFFT_BF16", "0") != "0"
+
+
+def _mm(x, m):
+    if _USE_BF16:
+        return jnp.matmul(x.astype(jnp.bfloat16), jnp.asarray(m, jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return x @ jnp.asarray(m)
+
+
 def rfft(x, n: int):
     """x [..., n] float32 -> (re, im) each [..., n//2+1]."""
     c, s = _fwd_mats(n)
-    return x @ jnp.asarray(c), x @ jnp.asarray(s)
+    return _mm(x, c), _mm(x, s)
 
 
 def irfft(re, im, n: int):
     """(re, im) [..., n//2+1] -> x [..., n]."""
     cw, sw = _inv_mats(n)
-    # Re(X) pairs with cos, Im(X) with -sin: x = Re@cw - Im@sw' ... derived:
     # x_t = (1/n) sum_k w_k [re_k cos(2pi kt/n) - im_k sin(2pi kt/n)]
-    return re @ jnp.asarray(cw) + im @ jnp.asarray(sw)
+    return _mm(re, cw) + _mm(im, sw)
 
 
 def cmul(ar, ai, br, bi):
