@@ -36,7 +36,12 @@ class MediaPlayer:
         self._spk_cb: Optional[Callable[[np.ndarray], None]] = None
 
     def open(self, path: str):
-        sig, rate = read_wav(path)
+        """Sniffs the container: .wav native, .mkv/.webm demuxed host-side
+        (cf. msmediaplayer.c open/sniff wav/mkv)."""
+        if path.lower().endswith((".mkv", ".webm")):
+            sig, rate = _read_mkv_audio(path)
+        else:
+            sig, rate = read_wav(path)
         self.rate = rate
         g = GraphBuilder(self.factory, batch=1)
         p = g.add("file_player", "play", fmt=Format(rate=rate), signal=sig)
@@ -96,6 +101,32 @@ class MediaPlayer:
         self.state = self.STATE_CLOSED
 
 
+def _read_mkv_audio(path: str):
+    """Decode the first audio track of an MKV to PCM (Opus or PCM codecs)."""
+    import numpy as np
+    from mediastreamer2_tpu.io.mkv import MkvReader, TRACK_TYPE_AUDIO
+    r = MkvReader(path)
+    track = next((t for t in r.tracks.values() if t.type == TRACK_TYPE_AUDIO),
+                 None)
+    if track is None:
+        raise ValueError("no audio track")
+    rate = int(track.sampling_rate) or 48000
+    if track.codec_id == "A_OPUS":
+        from mediastreamer2_tpu.ops.host_codecs import OpusDecoder
+        dec = OpusDecoder(rate=rate, channels=max(track.channels, 1))
+        frame = rate // 100                      # our recorder writes 10 ms
+        chunks = [dec.decode(f.data, frame * 6)  # decode up to 60 ms frames
+                  for f in r.frames() if f.track == track.number]
+        sig = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    elif track.codec_id.startswith("A_PCM"):
+        data = b"".join(f.data for f in r.frames()
+                        if f.track == track.number)
+        sig = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    else:
+        raise ValueError(f"unsupported mkv audio codec {track.codec_id}")
+    return sig, rate
+
+
 class MediaRecorder:
     """WAV recorder fed by an external source callback (mic or graph)."""
 
@@ -129,9 +160,25 @@ class MediaRecorder:
         self.ticker.run(n_ticks)
 
     def stop_and_save(self, path: str):
+        """Saves .wav (PCM16) or .mkv/.webm (Opus) by extension
+        (cf. msmediarecorder.c wav/mkv)."""
         self.ticker.stop()
         n = int(np.asarray(self.ticker.state["rec"]["tick"]))
         from mediastreamer2_tpu.ops.fileio import recorder_get_audio
         audio = recorder_get_audio(self.ticker.state["rec"], n, self.S)[0]
-        write_wav(path, audio, self.rate)
+        if path.lower().endswith((".mkv", ".webm")):
+            from mediastreamer2_tpu.io.mkv import (MkvWriter, MkvTrack,
+                                                   TRACK_TYPE_AUDIO)
+            from mediastreamer2_tpu.ops.host_codecs import OpusEncoder
+            if self.rate not in (8000, 12000, 16000, 24000, 48000):
+                raise ValueError("opus mkv needs an opus-compatible rate")
+            enc = OpusEncoder(rate=self.rate)
+            w = MkvWriter(path, [MkvTrack(1, TRACK_TYPE_AUDIO, "A_OPUS",
+                                          sampling_rate=self.rate, channels=1)])
+            F = self.rate // 100
+            for i in range(len(audio) // F):
+                w.write_frame(1, i * 10, enc.encode(audio[i * F:(i + 1) * F]))
+            w.close()
+        else:
+            write_wav(path, audio, self.rate)
         return path
