@@ -142,6 +142,34 @@ class SrtpContext:
         return data[:hdr_len] + payload
 
 
+def sdes_generate(suite: str = AES_CM_128_HMAC_SHA1_80) -> Tuple[str, bytes, bytes]:
+    """Generate an SDES a=crypto inline key (RFC 4568).
+
+    Returns (crypto_line_suffix, master_key, master_salt)."""
+    import base64
+    import os as _os
+    key = _os.urandom(16)
+    salt = _os.urandom(14)
+    inline = base64.b64encode(key + salt).decode()
+    return f"{suite} inline:{inline}", key, salt
+
+
+def sdes_parse(crypto_attr: str) -> Tuple[str, bytes, bytes]:
+    """Parse 'AES_CM_128_HMAC_SHA1_80 inline:<b64>' (tag stripped)."""
+    import base64
+    parts = crypto_attr.strip().split()
+    if parts and parts[0].isdigit():
+        parts = parts[1:]                 # leading tag
+    suite = parts[0]
+    if suite not in TAG_LEN:
+        raise ValueError(f"unsupported crypto suite {suite}")
+    inline = next(p for p in parts[1:] if p.startswith("inline:"))
+    km = base64.b64decode(inline[len("inline:"):].split("|")[0])
+    if len(km) != 30:
+        raise ValueError("bad SDES key length")
+    return suite, km[:16], km[16:30]
+
+
 class SrtpTransport(Transport):
     """Transport wrapper: protect on send, unprotect on recv
     (the modifier-pair layering of ms_srtp.cpp:1004-1019; stack two for
