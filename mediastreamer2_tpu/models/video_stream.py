@@ -145,6 +145,17 @@ class VideoStreamBatch:
         """cf. MS_VIDEO_ENCODER_REQ_VFU / FIR handling."""
         self._force_kf[leg] = True
 
+    def snapshot(self, leg: int, path: str, which: str = "recv"):
+        """Save the last received (or sent) frame as JPEG
+        (cf. MSJpegWriter snapshot branch, videostream.c local_jpegwriter)."""
+        from PIL import Image
+        from mediastreamer2_tpu.ops.video import yuv420_to_rgb
+        frame = self._last_rx[leg:leg + 1]
+        rgb = np.asarray(yuv420_to_rgb(frame, self.out_fmt.width,
+                                       self.out_fmt.height))[0]
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(path, "JPEG")
+        return path
+
     def set_transport(self, leg: int, transport: Transport):
         self.sessions[leg] = RtpSession(transport, payload_type=VIDEO_PT,
                                         clock_rate=90000)

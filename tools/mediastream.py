@@ -99,6 +99,53 @@ def cmd_bench(args):
           f"late {tx.ticker.stats.late_ticks})")
 
 
+def cmd_ring(args):
+    """Ring-tone playback (reference tools/ring.c)."""
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.models.ring_stream import RingStreamBatch
+    from mediastreamer2_tpu.io.wav import read_wav
+    import numpy as np
+    if args.file:
+        sig, rate = read_wav(args.file)
+    else:
+        rate = 8000
+        t = np.arange(rate) / rate
+        sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+               * (np.sin(2 * np.pi * 2 * t) > 0)).astype(np.float32)
+    ring = RingStreamBatch(Factory(), batch=1, signal=sig, rate=rate,
+                           loop=True)
+    chunks = []
+    ring.ticker.set_io(push=lambda t, o: chunks.append(o["spk"]))
+    ring.start(args.seconds * 100)
+    time.sleep(args.seconds)
+    ring.stop()
+    print(f"rang for {args.seconds}s ({len(chunks)} ticks)")
+
+
+def cmd_echo(args):
+    """Audio loopback echo test (reference tools/echo.c: mic->speaker)."""
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.core.graph import GraphBuilder
+    from mediastreamer2_tpu.core.block import Format, tick_samples
+    from mediastreamer2_tpu.core.ticker import Ticker
+    import numpy as np
+    f = Factory()
+    g = GraphBuilder(f, batch=1)
+    src = g.add("ext_source", "mic", fmt=Format(rate=args.rate))
+    vol = g.add("volume", "vol")
+    g.link(src, 0, vol, 0)
+    g.link(vol, 0, g.add("ext_sink", "spk"), 0)
+    tk = Ticker(g.build())
+    S = tick_samples(args.rate)
+    out = []
+    tk.set_io(pull=lambda t: {"mic": np.zeros((1, S), np.float32)},
+              push=lambda t, o: out.append(o["spk"]))
+    tk.warm_up()
+    tk.run(args.seconds * 100)
+    print(f"echo loop ran {tk.stats.ticks} ticks, load "
+          f"{tk.get_average_load():.3f}, late {tk.stats.late_ticks}")
+
+
 def cmd_play(args):
     from mediastreamer2_tpu.core.factory import Factory
     from mediastreamer2_tpu.models.media_player import MediaPlayer
@@ -150,6 +197,16 @@ def main():
     p = sub.add_parser("play")
     p.add_argument("file")
     p.set_defaults(fn=cmd_play)
+
+    r = sub.add_parser("ring")
+    r.add_argument("--file", default="")
+    r.add_argument("--seconds", type=int, default=3)
+    r.set_defaults(fn=cmd_ring)
+
+    e = sub.add_parser("echo")
+    e.add_argument("--rate", type=int, default=8000)
+    e.add_argument("--seconds", type=int, default=3)
+    e.set_defaults(fn=cmd_echo)
 
     args = ap.parse_args()
     if args.platform != "default":
