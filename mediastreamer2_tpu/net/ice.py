@@ -94,6 +94,14 @@ class IceCheckList:
         self._last_keepalive = time.monotonic()
 
     # -- candidate intake -------------------------------------------------
+    def start_srflx_gather(self, stun_server: Tuple[str, int]):
+        """Server-reflexive gathering: plain Binding to a STUN server; the
+        XOR-MAPPED-ADDRESS response becomes an srflx candidate
+        (cf. ice_session_gather_candidates)."""
+        req = stun.StunMessage(stun.BINDING_REQUEST)
+        self._gather_tx = req.transaction_id
+        self.send_fn(stun_server, req.pack())
+
     def add_local_candidate(self, cand: Candidate):
         self.local_candidates.append(cand)
         self._form_pairs()
@@ -203,6 +211,13 @@ class IceCheckList:
                         p.state = "waiting"      # triggered check
             self._update_state()
         elif msg.msg_type == stun.BINDING_RESPONSE:
+            if getattr(self, "_gather_tx", None) == msg.transaction_id:
+                self._gather_tx = None
+                mapped = msg.get_xor_mapped_address()
+                if mapped:
+                    self.add_local_candidate(Candidate.make(
+                        mapped[0], mapped[1], "srflx"))
+                return
             for p in self.pairs:
                 if p._tx_id == msg.transaction_id:
                     p.state = "succeeded"

@@ -31,6 +31,9 @@ TAG_LEN = {AES_CM_128_HMAC_SHA1_80: 10, AES_CM_128_HMAC_SHA1_32: 4}
 LABEL_RTP_ENCRYPTION = 0x00
 LABEL_RTP_AUTH = 0x01
 LABEL_RTP_SALT = 0x02
+LABEL_RTCP_ENCRYPTION = 0x03
+LABEL_RTCP_AUTH = 0x04
+LABEL_RTCP_SALT = 0x05
 
 
 def _aes_cm_keystream(key: bytes, iv16: bytes, n: int) -> bytes:
@@ -170,15 +173,74 @@ def sdes_parse(crypto_attr: str) -> Tuple[str, bytes, bytes]:
     return suite, km[:16], km[16:30]
 
 
+class SrtcpContext:
+    """SRTCP (RFC 3711 §3.4): E-bit + 31-bit index trailer, own KDF labels."""
+
+    def __init__(self, master_key: bytes, master_salt: bytes,
+                 suite: str = AES_CM_128_HMAC_SHA1_80):
+        self.suite = suite
+        self.k_e = derive_key(master_key, master_salt, LABEL_RTCP_ENCRYPTION, 16)
+        self.k_a = derive_key(master_key, master_salt, LABEL_RTCP_AUTH, 20)
+        self.k_s = derive_key(master_key, master_salt, LABEL_RTCP_SALT, 14)
+        self.tx_index = 0
+        self.replay: set = set()
+
+    def _iv(self, ssrc: int, index: int) -> bytes:
+        x = (int.from_bytes(self.k_s, "big") << 16) ^ (ssrc << 64) ^ (index << 16)
+        return (x & ((1 << 128) - 1)).to_bytes(16, "big")
+
+    def protect(self, packet: bytes) -> bytes:
+        if len(packet) < 8:
+            return packet
+        ssrc = struct.unpack("!I", packet[4:8])[0]
+        index = self.tx_index
+        self.tx_index = (self.tx_index + 1) & 0x7FFFFFFF
+        ks = _aes_cm_keystream(self.k_e, self._iv(ssrc, index),
+                               len(packet) - 8)
+        body = packet[:8] + bytes(a ^ b for a, b in zip(packet[8:], ks))
+        trailer = struct.pack("!I", 0x80000000 | index)     # E-bit set
+        tag = hmac.new(self.k_a, body + trailer,
+                       hashlib.sha1).digest()[: TAG_LEN[self.suite]]
+        return body + trailer + tag
+
+    def unprotect(self, packet: bytes) -> Optional[bytes]:
+        tag_len = TAG_LEN[self.suite]
+        if len(packet) < 8 + 4 + tag_len:
+            return None
+        tag = packet[-tag_len:]
+        trailer = packet[-tag_len - 4: -tag_len]
+        body = packet[: -tag_len - 4]
+        mac = hmac.new(self.k_a, body + trailer,
+                       hashlib.sha1).digest()[:tag_len]
+        if not hmac.compare_digest(mac, tag):
+            return None
+        word = struct.unpack("!I", trailer)[0]
+        index = word & 0x7FFFFFFF
+        if index in self.replay:
+            return None
+        self.replay.add(index)
+        if not (word & 0x80000000):          # E-bit clear: unencrypted
+            return body
+        ssrc = struct.unpack("!I", body[4:8])[0]
+        ks = _aes_cm_keystream(self.k_e, self._iv(ssrc, index),
+                               len(body) - 8)
+        return body[:8] + bytes(a ^ b for a, b in zip(body[8:], ks))
+
+
 class SrtpTransport(Transport):
     """Transport wrapper: protect on send, unprotect on recv
     (the modifier-pair layering of ms_srtp.cpp:1004-1019; stack two for
-    double encryption)."""
+    double encryption). RTCP on the same transport is protected as SRTCP
+    when rtcp contexts are supplied."""
 
-    def __init__(self, inner: Transport, tx: SrtpContext, rx: SrtpContext):
+    def __init__(self, inner: Transport, tx: SrtpContext, rx: SrtpContext,
+                 tx_rtcp: Optional[SrtcpContext] = None,
+                 rx_rtcp: Optional[SrtcpContext] = None):
         self.inner = inner
         self.tx = tx
         self.rx = rx
+        self.tx_rtcp = tx_rtcp
+        self.rx_rtcp = rx_rtcp
         self.auth_failures = 0
 
     @staticmethod
@@ -187,8 +249,8 @@ class SrtpTransport(Transport):
 
     def send(self, data: bytes):
         if self._is_rtcp(data):
-            # TODO(round2): SRTCP (RFC 3711 §3.4) — separate index/auth
-            self.inner.send(data)
+            self.inner.send(self.tx_rtcp.protect(data)
+                            if self.tx_rtcp else data)
             return
         self.inner.send(self.tx.protect(data))
 
@@ -196,7 +258,14 @@ class SrtpTransport(Transport):
         out = []
         for data in self.inner.recv_all():
             if self._is_rtcp(data):
-                out.append(data)
+                if self.rx_rtcp is not None:
+                    plain = self.rx_rtcp.unprotect(data)
+                    if plain is None:
+                        self.auth_failures += 1
+                    else:
+                        out.append(plain)
+                else:
+                    out.append(data)
                 continue
             plain = self.rx.unprotect(data)
             if plain is None:
