@@ -89,50 +89,56 @@ def _aec_params(ctx):
 
 
 def _aec_process(state, ins, params, ctx):
+    from mediastreamer2_tpu.ops import pallas_kernels as pk
     near, far = ins
     B, S = near.shape
     two_s = 2 * S
     P = state["Wm_r"].shape[1]
+    use_pallas = pk.mdf_available(B)
 
     far_blk = jnp.concatenate([state["far_prev"], far], axis=1)     # [B, 2S]
     Xr, Xi = rfft(far_blk, two_s)                                   # [B, F]
-    Xh_r = jnp.concatenate([Xr[:, None, :], state["Xh_r"][:, :-1]], axis=1)
-    Xh_i = jnp.concatenate([Xi[:, None, :], state["Xh_i"][:, :-1]], axis=1)
 
-    def apply(Wr, Wi):
-        Yr = jnp.sum(Wr * Xh_r - Wi * Xh_i, axis=1)
-        Yi = jnp.sum(Wr * Xh_i + Wi * Xh_r, axis=1)
-        return irfft(Yr, Yi, two_s)[:, S:]          # overlap-save tail
+    # --- history shift + dual filter apply ---------------------------------
+    if use_pallas:
+        # megakernel: taps+history stay VMEM-resident for the whole pass
+        Ym_r, Ym_i, Ys_r, Ys_i, Xh_r, Xh_i = pk.mdf_apply(
+            state["Wm_r"], state["Wm_i"], state["Ws_r"], state["Ws_i"],
+            state["Xh_r"], state["Xh_i"], Xr, Xi)
+        y_m = irfft(Ym_r, Ym_i, two_s)[:, S:]
+        y_s = irfft(Ys_r, Ys_i, two_s)[:, S:]
+    else:
+        Xh_r = jnp.concatenate([Xr[:, None, :], state["Xh_r"][:, :-1]], axis=1)
+        Xh_i = jnp.concatenate([Xi[:, None, :], state["Xh_i"][:, :-1]], axis=1)
 
-    y_m = apply(state["Wm_r"], state["Wm_i"])
-    y_s = apply(state["Ws_r"], state["Ws_i"])
+        def apply(Wr, Wi):
+            Yr = jnp.sum(Wr * Xh_r - Wi * Xh_i, axis=1)
+            Yi = jnp.sum(Wr * Xh_i + Wi * Xh_r, axis=1)
+            return irfft(Yr, Yi, two_s)[:, S:]      # overlap-save tail
+
+        y_m = apply(state["Wm_r"], state["Wm_i"])
+        y_s = apply(state["Ws_r"], state["Ws_i"])
     e_m = near - y_m
     e_s = near - y_s
 
-    # --- shadow adaptation: frequency-domain NLMS, gradient-constrained ----
+    # --- shadow adaptation inputs ------------------------------------------
     Er, Ei = rfft(jnp.concatenate([jnp.zeros_like(e_s), e_s], axis=1), two_s)
     Pxx = POW_EWMA * state["Pxx"] + (1 - POW_EWMA) * cabs2(Xr, Xi)
     inv_norm = 1.0 / (P * Pxx + 1e-6)
     mu = params["mu"] * params["adapt"].astype(jnp.float32)
-    Gr, Gi = cmul_conj(Xh_r, Xh_i, Er[:, None, :], Ei[:, None, :])
-    Gr = Gr * inv_norm[:, None, :]
-    Gi = Gi * inv_norm[:, None, :]
     # causality (gradient) constraint, ONE partition per tick round-robin —
     # the classic MDF cost reduction (speexdsp constrains one block per
     # frame): the big [F]<->[2S] DFT matmuls run on 1/P of the taps, and
     # each partition still gets re-projected every P*10 ms.
     cpos = state["cpos"]
-    gp_r = jax.lax.dynamic_slice_in_dim(Gr, cpos, 1, axis=1)   # [B,1,F]
-    gp_i = jax.lax.dynamic_slice_in_dim(Gi, cpos, 1, axis=1)
-    g_t = irfft(gp_r, gp_i, two_s)
-    g_t = g_t.at[:, :, S:].set(0.0)
+    hp_r = jax.lax.dynamic_slice_in_dim(Xh_r, cpos, 1, axis=1)[:, 0]
+    hp_i = jax.lax.dynamic_slice_in_dim(Xh_i, cpos, 1, axis=1)[:, 0]
+    gp_r, gp_i = cmul_conj(hp_r, hp_i, Er, Ei)
+    g_t = irfft(gp_r * inv_norm, gp_i * inv_norm, two_s)
+    g_t = g_t.at[:, S:].set(0.0)
     gc_r, gc_i = rfft(g_t, two_s)
-    Gr = jax.lax.dynamic_update_slice_in_dim(Gr, gc_r, cpos, axis=1)
-    Gi = jax.lax.dynamic_update_slice_in_dim(Gi, gc_i, cpos, axis=1)
-    Ws_r = state["Ws_r"] + mu[:, None, None] * Gr
-    Ws_i = state["Ws_i"] + mu[:, None, None] * Gi
 
-    # --- two-path transfer logic (per-leg, hysteretic) ---------------------
+    # --- two-path transfer decisions (per-leg, hysteretic) ------------------
     Em = ERR_EWMA * state["Em"] + (1 - ERR_EWMA) * (e_m * e_m).mean(axis=1)
     Es = ERR_EWMA * state["Es"] + (1 - ERR_EWMA) * (e_s * e_s).mean(axis=1)
     Dn = ERR_EWMA * state["Dn"] + (1 - ERR_EWMA) * (near * near).mean(axis=1)
@@ -144,12 +150,29 @@ def _aec_process(state, ins, params, ctx):
     reseed = reseed_cnt >= HOLD_TICKS
     promote_cnt = jnp.where(promote, 0, promote_cnt)
     reseed_cnt = jnp.where(reseed, 0, reseed_cnt)
-    p3 = promote[:, None, None]
-    r3 = reseed[:, None, None]
-    Wm_r = jnp.where(p3, Ws_r, state["Wm_r"])
-    Wm_i = jnp.where(p3, Ws_i, state["Wm_i"])
-    Ws_r = jnp.where(r3, state["Wm_r"], Ws_r)
-    Ws_i = jnp.where(r3, state["Wm_i"], Ws_i)
+
+    # --- gradient + NLMS update + transfer copies ---------------------------
+    if use_pallas:
+        Ws_r, Ws_i, Wm_r, Wm_i = pk.mdf_update(
+            cpos, state["Ws_r"], state["Ws_i"], state["Wm_r"], state["Wm_i"],
+            Xh_r, Xh_i, Er, Ei, inv_norm, gc_r, gc_i, mu,
+            promote.astype(jnp.float32), reseed.astype(jnp.float32))
+    else:
+        Gr, Gi = cmul_conj(Xh_r, Xh_i, Er[:, None, :], Ei[:, None, :])
+        Gr = Gr * inv_norm[:, None, :]
+        Gi = Gi * inv_norm[:, None, :]
+        Gr = jax.lax.dynamic_update_slice_in_dim(Gr, gc_r[:, None, :],
+                                                 cpos, axis=1)
+        Gi = jax.lax.dynamic_update_slice_in_dim(Gi, gc_i[:, None, :],
+                                                 cpos, axis=1)
+        Ws_r = state["Ws_r"] + mu[:, None, None] * Gr
+        Ws_i = state["Ws_i"] + mu[:, None, None] * Gi
+        p3 = promote[:, None, None]
+        r3 = reseed[:, None, None]
+        Wm_r = jnp.where(p3, Ws_r, state["Wm_r"])
+        Wm_i = jnp.where(p3, Ws_i, state["Wm_i"])
+        Ws_r = jnp.where(r3, state["Wm_r"], Ws_r)
+        Ws_i = jnp.where(r3, state["Wm_i"], Ws_i)
     Em = jnp.where(promote, Es, Em)
     Es = jnp.where(reseed, Em, Es)
 

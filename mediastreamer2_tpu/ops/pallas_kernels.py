@@ -92,3 +92,114 @@ def fused_volume_reference(x, gain_start, gain_end, dc, dc_enabled):
     ramp = jnp.arange(S, dtype=jnp.float32)[None, :] / S
     g = gain_start[:, None] * (1 - ramp) + gain_end[:, None] * ramp
     return jnp.clip(x * g, -1.0, 1.0), (x * x).mean(axis=1), mean
+
+
+# ---------------------------------------------------------------------------
+# MDF (echo canceller) megakernels: keep the [B, P, F] tap/history tensors
+# VMEM-resident across all elementwise stages of a tick, instead of letting
+# XLA materialize each intermediate to HBM. Two passes (the error spectrum
+# computed between them forces the split):
+#   mdf_apply:  shift history + dual filter apply        (reads 6, writes 2+)
+#   mdf_update: gradient + NLMS update + two-path copies (reads 6, writes 4)
+# ---------------------------------------------------------------------------
+MDF_TILE = 32
+
+
+def _mdf_tile(B):
+    t = min(MDF_TILE, B)
+    return t if B % t == 0 else 0     # 0 => caller falls back to jnp path
+
+
+def _mdf_apply_kernel(wm_r, wm_i, ws_r, ws_i, xh_r, xh_i, x_r, x_i,
+                      ym_r, ym_i, ys_r, ys_i, xh2_r, xh2_i):
+    P = wm_r.shape[1]
+    accs = [jnp.zeros_like(x_r[:]) for _ in range(4)]
+    am_r, am_i, as_r, as_i = accs
+    for p in range(P):
+        hr = x_r[:] if p == 0 else xh_r[:, p - 1, :]
+        hi = x_i[:] if p == 0 else xh_i[:, p - 1, :]
+        xh2_r[:, p, :] = hr
+        xh2_i[:, p, :] = hi
+        am_r += wm_r[:, p, :] * hr - wm_i[:, p, :] * hi
+        am_i += wm_r[:, p, :] * hi + wm_i[:, p, :] * hr
+        as_r += ws_r[:, p, :] * hr - ws_i[:, p, :] * hi
+        as_i += ws_r[:, p, :] * hi + ws_i[:, p, :] * hr
+    ym_r[:] = am_r
+    ym_i[:] = am_i
+    ys_r[:] = as_r
+    ys_i[:] = as_i
+
+
+def mdf_apply(Wm_r, Wm_i, Ws_r, Ws_i, Xh_r, Xh_i, Xr, Xi):
+    """Returns (Ym_r, Ym_i, Ys_r, Ys_i, Xh2_r, Xh2_i)."""
+    B, P, F = Wm_r.shape
+    tb = _mdf_tile(B)
+    grid = (B // tb,)
+    b3 = lambda: pl.BlockSpec((tb, P, F), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    b2 = lambda: pl.BlockSpec((tb, F), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mdf_apply_kernel,
+        grid=grid,
+        in_specs=[b3()] * 6 + [b2()] * 2,
+        out_specs=[b2()] * 4 + [b3()] * 2,
+        out_shape=[jax.ShapeDtypeStruct((B, F), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((B, P, F), jnp.float32)] * 2,
+        interpret=_use_interpret(),
+    )(Wm_r, Wm_i, Ws_r, Ws_i, Xh_r, Xh_i, Xr, Xi)
+
+
+def _mdf_update_kernel(cpos_ref, ws_r, ws_i, wm_r, wm_i, xh_r, xh_i,
+                       e_r, e_i, inv_norm, gc_r, gc_i, mu, promote, reseed,
+                       ws2_r, ws2_i, wm2_r, wm2_i):
+    P = ws_r.shape[1]
+    cpos = cpos_ref[0]
+    er, ei = e_r[:], e_i[:]
+    inv = inv_norm[:]
+    m = mu[:]                                     # [TB, 1]
+    pr = promote[:]                               # [TB, 1] (0/1)
+    rs = reseed[:]
+    for p in range(P):
+        hr, hi = xh_r[:, p, :], xh_i[:, p, :]
+        gr = (hr * er + hi * ei) * inv            # conj(Xh) * E
+        gi = (hr * ei - hi * er) * inv
+        use_c = (cpos == p)
+        gr = jnp.where(use_c, gc_r[:], gr)
+        gi = jnp.where(use_c, gc_i[:], gi)
+        up_r = ws_r[:, p, :] + m * gr
+        up_i = ws_i[:, p, :] + m * gi
+        wm2_r[:, p, :] = pr * up_r + (1 - pr) * wm_r[:, p, :]
+        wm2_i[:, p, :] = pr * up_i + (1 - pr) * wm_i[:, p, :]
+        ws2_r[:, p, :] = rs * wm_r[:, p, :] + (1 - rs) * up_r
+        ws2_i[:, p, :] = rs * wm_i[:, p, :] + (1 - rs) * up_i
+
+
+def mdf_update(cpos, Ws_r, Ws_i, Wm_r, Wm_i, Xh_r, Xh_i, Er, Ei,
+               inv_norm, Gc_r, Gc_i, mu, promote, reseed):
+    """Returns (Ws2_r, Ws2_i, Wm2_r, Wm2_i) — updated shadow + transferred
+    main, matching the two-path semantics of ops/aec.py."""
+    B, P, F = Ws_r.shape
+    tb = _mdf_tile(B)
+    grid = (B // tb,)
+    b3 = lambda: pl.BlockSpec((tb, P, F), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    b2 = lambda: pl.BlockSpec((tb, F), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    b1 = lambda: pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    col = lambda v: v.reshape(B, 1).astype(jnp.float32)
+    return pl.pallas_call(
+        _mdf_update_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [b3()] * 6 + [b2()] * 2 + [b2()] + [b2()] * 2 + [b1()] * 3,
+        out_specs=[b3()] * 4,
+        out_shape=[jax.ShapeDtypeStruct((B, P, F), jnp.float32)] * 4,
+        interpret=_use_interpret(),
+    )(jnp.asarray(cpos).reshape(1), Ws_r, Ws_i, Wm_r, Wm_i, Xh_r, Xh_i,
+      Er, Ei, inv_norm, Gc_r, Gc_i, col(mu), col(promote), col(reseed))
+
+
+def mdf_available(B: int) -> bool:
+    return pallas_enabled() and _mdf_tile(B) > 0

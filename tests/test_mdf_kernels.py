@@ -1,0 +1,49 @@
+"""MDF Pallas megakernels match the jnp reference path exactly."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mediastreamer2_tpu.core.block import Format
+from mediastreamer2_tpu.core.graph import GraphBuilder
+from conftest import make_speechlike
+
+
+def _run_ec(factory, disable_pallas, ticks=20, B=2, seed=0):
+    os.environ["PALLAS_DISABLE"] = "1" if disable_pallas else "0"
+    try:
+        g = GraphBuilder(factory, batch=B)
+        ns = g.add("ext_source", "near", fmt=Format(rate=16000))
+        fs = g.add("ext_source", "far", fmt=Format(rate=16000))
+        ec = g.add("echo_canceller", "ec", tail_ms=80)
+        g.link(ns, 0, ec, 0)
+        g.link(fs, 0, ec, 1)
+        g.link(ec, 0, g.add("ext_sink", "out"), 0)
+        cg = g.build()
+        st, p = cg.init_state(), cg.init_params()
+        S = 160
+        far = make_speechlike(S * ticks, 16000, seed=seed)
+        near = 0.5 * np.roll(far, 30) + 0.01 * make_speechlike(
+            S * ticks, 16000, seed=seed + 1)
+        outs = []
+        for i in range(ticks):
+            ext = {"near": np.broadcast_to(near[i*S:(i+1)*S], (B, S)).astype(np.float32),
+                   "far": np.broadcast_to(far[i*S:(i+1)*S], (B, S)).astype(np.float32)}
+            st, out, _ = cg.step(st, p, ext)
+            outs.append(np.asarray(out["out"]))
+        return np.stack(outs), st
+    finally:
+        os.environ["PALLAS_DISABLE"] = "0"
+
+
+def test_mdf_pallas_matches_jnp(factory):
+    out_p, st_p = _run_ec(factory, disable_pallas=False)
+    out_j, st_j = _run_ec(factory, disable_pallas=True)
+    np.testing.assert_allclose(out_p, out_j, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_p["ec"]["Wm_r"]),
+                               np.asarray(st_j["ec"]["Wm_r"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_p["ec"]["Es"]),
+                               np.asarray(st_j["ec"]["Es"]),
+                               rtol=2e-4, atol=1e-7)
