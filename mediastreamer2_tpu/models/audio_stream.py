@@ -37,6 +37,7 @@ from mediastreamer2_tpu.net.rtp import RtpSession, Transport
 
 # payload-type profile (RFC 3551 static types + our dynamic ones)
 PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11, "gsm": 3, "opus": 96}
+CN_PT = 13   # RFC 3389 comfort noise
 CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2}
 # host codecs run at the RTP boundary (cf. SURVEY.md §7: library codecs are
 # host filters, like the reference's hw codec backends); value = frame ms
@@ -171,6 +172,7 @@ class AudioStreamBatch:
         self.sessions: List[Optional[RtpSession]] = [None] * batch
         self.jb_params = jb_params or JBParams()
         self._dtx_silent = np.zeros(batch, bool)
+        self._was_voice = np.ones(batch, bool)
         self._lost_mask = np.zeros(batch, bool)
         self._host_enc = [None] * batch
         self._host_dec = [None] * batch
@@ -198,6 +200,9 @@ class AudioStreamBatch:
         self.sessions[leg] = RtpSession(
             transport, payload_type=PAYLOAD_TYPES[self.codec],
             clock_rate=self.rate, jitter_buffer=jb)
+        # CN packets are accepted; their 1-byte payload routes to PLC/CN fill
+        self.sessions[leg].accepted_payload_types = {
+            PAYLOAD_TYPES[self.codec], CN_PT}
 
     def enable_srtp(self, leg: int, tx_key: bytes, tx_salt: bytes,
                     rx_key: bytes, rx_salt: bytes, suite: str = None):
@@ -313,7 +318,17 @@ class AudioStreamBatch:
             if voice[i]:
                 sess.send_payload(self._encode_payload(tx[i]), ts_increment=self.S)
             else:
-                sess.skip_payload(ts_increment=self.S)   # DTX
+                if self._was_voice[i]:
+                    # RFC 3389 CN packet at silence onset (cf. vaddtx CN event)
+                    level = np.asarray(self.ticker.state["vad"]["floor"])[i]
+                    db = int(np.clip(-10 * np.log10(level + 1e-12), 0, 127))
+                    old_pt = sess.payload_type
+                    sess.payload_type = CN_PT
+                    sess.send_payload(bytes([db]), ts_increment=self.S)
+                    sess.payload_type = old_pt
+                else:
+                    sess.skip_payload(ts_increment=self.S)   # DTX
+        self._was_voice = voice.copy()
 
     # ------------------------------------------------------------------
     def start(self, n_ticks: int = 10 ** 9):
