@@ -202,4 +202,9 @@ def mdf_update(cpos, Ws_r, Ws_i, Wm_r, Wm_i, Xh_r, Xh_i, Er, Ei,
 
 
 def mdf_available(B: int) -> bool:
+    # Measured on v5e: XLA's own fusion of the MDF elementwise chain is ~6%
+    # faster than these kernels (F=481 lanes pad badly to 512). Kept opt-in
+    # (PALLAS_MDF=1) + correctness-tested; revisit with lane-aligned layouts.
+    if os.environ.get("PALLAS_MDF", "0") != "1":
+        return False
     return pallas_enabled() and _mdf_tile(B) > 0

@@ -12,6 +12,7 @@ from conftest import make_speechlike
 
 def _run_ec(factory, disable_pallas, ticks=20, B=2, seed=0):
     os.environ["PALLAS_DISABLE"] = "1" if disable_pallas else "0"
+    os.environ["PALLAS_MDF"] = "0" if disable_pallas else "1"
     try:
         g = GraphBuilder(factory, batch=B)
         ns = g.add("ext_source", "near", fmt=Format(rate=16000))
@@ -35,6 +36,7 @@ def _run_ec(factory, disable_pallas, ticks=20, B=2, seed=0):
         return np.stack(outs), st
     finally:
         os.environ["PALLAS_DISABLE"] = "0"
+        os.environ["PALLAS_MDF"] = "0"
 
 
 def test_mdf_pallas_matches_jnp(factory):
