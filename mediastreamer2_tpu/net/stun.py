@@ -96,10 +96,12 @@ class StunMessage:
         attrs.pop(ATTR_FINGERPRINT, None)
         body = self._encode_attrs(attrs)
         if password is not None:
-            # length includes the 24-byte MI attribute
+            # length includes the 24-byte MI attribute; key may be a raw
+            # bytes key (TURN long-term credential md5) or a password string
+            key = password if isinstance(password, bytes) else password.encode()
             hdr = struct.pack("!HHI", self.msg_type, len(body) + 24,
                               MAGIC_COOKIE) + self.transaction_id
-            mac = hmac.new(password.encode(), hdr + body, hashlib.sha1).digest()
+            mac = hmac.new(key, hdr + body, hashlib.sha1).digest()
             body += struct.pack("!HH", ATTR_MESSAGE_INTEGRITY, 20) + mac
         if fingerprint:
             hdr = struct.pack("!HHI", self.msg_type, len(body) + 8,
