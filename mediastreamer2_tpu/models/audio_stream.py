@@ -382,6 +382,29 @@ class AudioStreamBatch:
         sess = self.sessions[leg]
         return None if sess is None else sess.stats
 
+    def print_summary(self) -> str:
+        """cf. media_stream_print_summary (src/voip/mediastream.c:1080)."""
+        lines = [f"=== AudioStreamBatch[{self.batch}] codec={self.codec}"
+                 f"@{self.rate} ==="]
+        t = self.ticker.stats
+        lines.append(f"ticker: {t.ticks} ticks, load {t.avg_load:.3f}, "
+                     f"late {t.late_ticks}, mean {t.mean_step_ms:.2f} ms")
+        for i, sess in enumerate(self.sessions):
+            if sess is None:
+                continue
+            jb = sess.jitter_buffer
+            jbs = (f" jb[lost={jb.lost} late={jb.late} "
+                   f"underrun={jb.underruns}]" if jb else "")
+            lines.append(f"leg {i}: tx {sess.stats.sent_packets} pkts/"
+                         f"{sess.stats.sent_bytes}B, rx "
+                         f"{sess.stats.recv_packets} pkts{jbs}")
+        return "\n".join(lines)
+
+    def alive(self, leg: int, timeout_s: float = 5.0) -> bool:
+        """cf. media_stream_alive watchdog (mediastream.c:575)."""
+        sess = self.sessions[leg]
+        return sess is not None and sess.alive(timeout_s)
+
     def get_recording(self) -> Optional[np.ndarray]:
         if "rec" not in self.ticker.state:
             return None

@@ -56,11 +56,21 @@ def _partitions(ctx):
     return max(1, -(-tail_ms // 10))       # ceil(tail / tick)
 
 
+def _padded_bins(S: int) -> int:
+    """Frequency-axis storage size: pad rfft bins (S+1) up to a 128-lane
+    multiple when the overhead is small — aligned [B,P,F] tiles measurably
+    speed the elementwise MDF chain on TPU. Small rates keep natural size
+    (padding 81->128 would cost more than it saves)."""
+    F = S + 1
+    Fp = -(-F // 128) * 128
+    return Fp if (Fp - F) / F < 0.15 else F
+
+
 def _aec_init(ctx):
     B = ctx.batch
     S = ctx.in_formats[0].samples_per_tick
     P = _partitions(ctx)
-    F = S + 1                              # rfft bins of a 2S block
+    F = _padded_bins(S)                    # storage bins (maybe lane-padded)
     zc = lambda: jnp.zeros((B, P, F), jnp.float32)
     return {
         "Wm_r": zc(), "Wm_i": zc(),        # main (filtering) taps
@@ -96,8 +106,13 @@ def _aec_process(state, ins, params, ctx):
     P = state["Wm_r"].shape[1]
     use_pallas = pk.mdf_available(B)
 
+    F_nat = S + 1
+    F_pad = state["Pxx"].shape[1] - F_nat           # lane padding columns
     far_blk = jnp.concatenate([state["far_prev"], far], axis=1)     # [B, 2S]
     Xr, Xi = rfft(far_blk, two_s)                                   # [B, F]
+    if F_pad:
+        Xr = jnp.pad(Xr, ((0, 0), (0, F_pad)))
+        Xi = jnp.pad(Xi, ((0, 0), (0, F_pad)))
 
     # --- history shift + dual filter apply ---------------------------------
     if use_pallas:
@@ -105,8 +120,8 @@ def _aec_process(state, ins, params, ctx):
         Ym_r, Ym_i, Ys_r, Ys_i, Xh_r, Xh_i = pk.mdf_apply(
             state["Wm_r"], state["Wm_i"], state["Ws_r"], state["Ws_i"],
             state["Xh_r"], state["Xh_i"], Xr, Xi)
-        y_m = irfft(Ym_r, Ym_i, two_s)[:, S:]
-        y_s = irfft(Ys_r, Ys_i, two_s)[:, S:]
+        y_m = irfft(Ym_r[:, :F_nat], Ym_i[:, :F_nat], two_s)[:, S:]
+        y_s = irfft(Ys_r[:, :F_nat], Ys_i[:, :F_nat], two_s)[:, S:]
     else:
         Xh_r = jnp.concatenate([Xr[:, None, :], state["Xh_r"][:, :-1]], axis=1)
         Xh_i = jnp.concatenate([Xi[:, None, :], state["Xh_i"][:, :-1]], axis=1)
@@ -114,7 +129,7 @@ def _aec_process(state, ins, params, ctx):
         def apply(Wr, Wi):
             Yr = jnp.sum(Wr * Xh_r - Wi * Xh_i, axis=1)
             Yi = jnp.sum(Wr * Xh_i + Wi * Xh_r, axis=1)
-            return irfft(Yr, Yi, two_s)[:, S:]      # overlap-save tail
+            return irfft(Yr[:, :F_nat], Yi[:, :F_nat], two_s)[:, S:]
 
         y_m = apply(state["Wm_r"], state["Wm_i"])
         y_s = apply(state["Ws_r"], state["Ws_i"])
@@ -123,6 +138,9 @@ def _aec_process(state, ins, params, ctx):
 
     # --- shadow adaptation inputs ------------------------------------------
     Er, Ei = rfft(jnp.concatenate([jnp.zeros_like(e_s), e_s], axis=1), two_s)
+    if F_pad:
+        Er = jnp.pad(Er, ((0, 0), (0, F_pad)))
+        Ei = jnp.pad(Ei, ((0, 0), (0, F_pad)))
     Pxx = POW_EWMA * state["Pxx"] + (1 - POW_EWMA) * cabs2(Xr, Xi)
     inv_norm = 1.0 / (P * Pxx + 1e-6)
     mu = params["mu"] * params["adapt"].astype(jnp.float32)
@@ -134,9 +152,14 @@ def _aec_process(state, ins, params, ctx):
     hp_r = jax.lax.dynamic_slice_in_dim(Xh_r, cpos, 1, axis=1)[:, 0]
     hp_i = jax.lax.dynamic_slice_in_dim(Xh_i, cpos, 1, axis=1)[:, 0]
     gp_r, gp_i = cmul_conj(hp_r, hp_i, Er, Ei)
-    g_t = irfft(gp_r * inv_norm, gp_i * inv_norm, two_s)
+    gp_r = (gp_r * inv_norm)[:, :F_nat]
+    gp_i = (gp_i * inv_norm)[:, :F_nat]
+    g_t = irfft(gp_r, gp_i, two_s)
     g_t = g_t.at[:, S:].set(0.0)
     gc_r, gc_i = rfft(g_t, two_s)
+    if F_pad:
+        gc_r = jnp.pad(gc_r, ((0, 0), (0, F_pad)))
+        gc_i = jnp.pad(gc_i, ((0, 0), (0, F_pad)))
 
     # --- two-path transfer decisions (per-leg, hysteretic) ------------------
     Em = ERR_EWMA * state["Em"] + (1 - ERR_EWMA) * (e_m * e_m).mean(axis=1)
