@@ -57,13 +57,12 @@ def _partitions(ctx):
 
 
 def _padded_bins(S: int) -> int:
-    """Frequency-axis storage size: pad rfft bins (S+1) up to a 128-lane
-    multiple when the overhead is small — aligned [B,P,F] tiles measurably
-    speed the elementwise MDF chain on TPU. Small rates keep natural size
-    (padding 81->128 would cost more than it saves)."""
-    F = S + 1
-    Fp = -(-F // 128) * 128
-    return Fp if (Fp - F) / F < 0.15 else F
+    """Frequency-axis storage size. Measured on v5e: lane-padding the rfft
+    bins (481->512 @48k) made the MDF chain ~9% SLOWER — the extra HBM
+    traffic outweighs alignment gains (the chain is bandwidth-bound and XLA
+    tiles 481 fine). Natural size it is; the padding plumbing in
+    _aec_process stays (F_pad=0) for future layout experiments."""
+    return S + 1
 
 
 def _aec_init(ctx):
