@@ -23,6 +23,12 @@ RTCP_SDES = 202
 RTCP_BYE = 203
 RTCP_RTPFB = 205     # transport feedback (TMMBR, NACK)
 RTCP_PSFB = 206      # payload-specific (PLI, FIR, REMB)
+RTCP_XR = 207        # extended reports (RFC 3611)
+
+XR_BLOCK_RCVR_RTT = 4         # receiver reference time
+XR_BLOCK_VOIP_METRICS = 7     # VoIP metrics (used by qualityindicator)
+SDES_CNAME = 1
+SDES_TOOL = 6
 
 FMT_NACK = 1
 FMT_TMMBR = 3
@@ -75,7 +81,7 @@ class SenderReport:
                            self.rtp_ts, self.packet_count, self.octet_count)
         body += b"".join(r.pack() for r in self.reports)
         hdr = struct.pack("!BBH", 0x80 | len(self.reports), RTCP_SR,
-                          len(body) // 4 + 1)
+                          len(body) // 4)
         return hdr + body
 
 
@@ -88,7 +94,7 @@ class ReceiverReport:
         body = struct.pack("!I", self.ssrc)
         body += b"".join(r.pack() for r in self.reports)
         hdr = struct.pack("!BBH", 0x80 | len(self.reports), RTCP_RR,
-                          len(body) // 4 + 1)
+                          len(body) // 4)
         return hdr + body
 
 
@@ -123,7 +129,7 @@ class Feedback:
         else:
             raise ValueError(self.kind)
         body = struct.pack("!II", self.sender_ssrc, self.media_ssrc) + fci
-        hdr = struct.pack("!BBH", 0x80 | fmt, pt, len(body) // 4 + 1)
+        hdr = struct.pack("!BBH", 0x80 | fmt, pt, len(body) // 4)
         return hdr + body
 
 
@@ -133,6 +139,87 @@ def _mantissa_exp(bps: int, mant_bits: int = 17) -> Tuple[int, int]:
         bps >>= 1
         exp += 1
     return exp, bps
+
+
+@dataclasses.dataclass
+class Sdes:
+    ssrc: int
+    cname: str = ""
+    tool: str = ""
+
+    def pack(self) -> bytes:
+        items = b""
+        if self.cname:
+            c = self.cname.encode()
+            items += bytes([SDES_CNAME, len(c)]) + c
+        if self.tool:
+            t = self.tool.encode()
+            items += bytes([SDES_TOOL, len(t)]) + t
+        items += b"\x00"
+        items += b"\x00" * ((4 - len(items) % 4) % 4)
+        body = struct.pack("!I", self.ssrc) + items
+        hdr = struct.pack("!BBH", 0x80 | 1, RTCP_SDES, len(body) // 4)
+        return hdr + body
+
+
+@dataclasses.dataclass
+class XrVoipMetrics:
+    """RFC 3611 §4.7 VoIP metrics block (the qualityindicator's input —
+    reference computes MOS from these, src/voip/qualityindicator.c)."""
+    ssrc: int
+    loss_rate: int = 0          # fraction * 256
+    discard_rate: int = 0
+    burst_density: int = 0
+    gap_density: int = 0
+    burst_duration_ms: int = 0
+    gap_duration_ms: int = 0
+    round_trip_delay_ms: int = 0
+    end_system_delay_ms: int = 0
+    signal_level: int = 127     # dBm (127 = unavailable)
+    noise_level: int = 127
+    rerl: int = 127
+    r_factor: int = 127         # 127 = unavailable
+    mos_lq: int = 127           # MOS * 10 (10..50), 127 unavailable
+    mos_cq: int = 127
+    jb_nominal_ms: int = 0
+    jb_max_ms: int = 0
+
+    def pack(self) -> bytes:
+        blk = struct.pack("!BBH", XR_BLOCK_VOIP_METRICS, 0, 8)
+        blk += struct.pack("!I", self.ssrc)
+        blk += struct.pack("!BBBB", self.loss_rate & 0xFF,
+                           self.discard_rate & 0xFF,
+                           self.burst_density & 0xFF,
+                           self.gap_density & 0xFF)
+        blk += struct.pack("!HH", self.burst_duration_ms,
+                           self.gap_duration_ms)
+        blk += struct.pack("!HH", self.round_trip_delay_ms,
+                           self.end_system_delay_ms)
+        blk += struct.pack("!BBBB", self.signal_level & 0xFF,
+                           self.noise_level & 0xFF, self.rerl, 0)
+        blk += struct.pack("!BBBB", self.r_factor, 127,
+                           self.mos_lq, self.mos_cq)
+        blk += struct.pack("!BBH", 0, 0, 0)          # rx config + reserved
+        blk += struct.pack("!HH", self.jb_nominal_ms, self.jb_max_ms)
+        return blk
+
+    @classmethod
+    def unpack(cls, blk: bytes) -> "XrVoipMetrics":
+        ssrc = struct.unpack_from("!I", blk, 4)[0]
+        lr, dr, bd, gd = struct.unpack_from("!BBBB", blk, 8)
+        bdur, gdur = struct.unpack_from("!HH", blk, 12)
+        rtd, esd = struct.unpack_from("!HH", blk, 16)
+        sl, nl, rerl, _ = struct.unpack_from("!BBBB", blk, 20)
+        rf, _, mlq, mcq = struct.unpack_from("!BBBB", blk, 24)
+        jbn, jbm = struct.unpack_from("!HH", blk, 32)
+        return cls(ssrc, lr, dr, bd, gd, bdur, gdur, rtd, esd, sl, nl,
+                   rerl, rf, mlq, mcq, jbn, jbm)
+
+
+def pack_xr(sender_ssrc: int, blocks: List[bytes]) -> bytes:
+    body = struct.pack("!I", sender_ssrc) + b"".join(blocks)
+    hdr = struct.pack("!BBH", 0x80, RTCP_XR, len(body) // 4)
+    return hdr + body
 
 
 def parse_compound(data: bytes):
@@ -175,6 +262,27 @@ def parse_compound(data: bytes):
             elif pt == RTCP_RTPFB and fmt == FMT_NACK and len(fci) >= 4:
                 seq, _ = struct.unpack_from("!HH", fci)
                 out.append(Feedback("nack", snd, med, seq))
+        elif pt == RTCP_SDES and len(chunk) >= 4:
+            ssrc = struct.unpack_from("!I", chunk)[0]
+            s = Sdes(ssrc)
+            o = 4
+            while o + 2 <= len(chunk) and chunk[o] != 0:
+                item, ln = chunk[o], chunk[o + 1]
+                val = chunk[o + 2: o + 2 + ln].decode(errors="replace")
+                if item == SDES_CNAME:
+                    s.cname = val
+                elif item == SDES_TOOL:
+                    s.tool = val
+                o += 2 + ln
+            out.append(s)
+        elif pt == RTCP_XR and len(chunk) >= 4:
+            o = 4
+            while o + 4 <= len(chunk):
+                bt, _, bl = struct.unpack_from("!BBH", chunk, o)
+                blen = 4 * (bl + 1)
+                if bt == XR_BLOCK_VOIP_METRICS and o + blen <= len(chunk):
+                    out.append(XrVoipMetrics.unpack(chunk[o:o + blen]))
+                o += blen
         off += size
     return out
 
