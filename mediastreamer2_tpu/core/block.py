@@ -16,7 +16,6 @@ filter state (see ops/resample.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 TICK_MS = 10  # reference: src/base/msticker.c:46 TICKER_INTERVAL
 

@@ -15,8 +15,7 @@ additional descriptors with the same adapter interface.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import struct
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional
 
 # EBML element IDs (with marker bits, as written on the wire)
 EBML_HEADER = 0x1A45DFA3

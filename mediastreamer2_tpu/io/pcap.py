@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Optional
 
 from mediastreamer2_tpu.net.rtp import RtpPacket
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 MAGIC = b"SMF1"
 KIND_AUDIO, KIND_VIDEO = 0, 1

@@ -4,7 +4,6 @@ Only PCM16 and mu-law/A-law WAVs, which is what the reference's testers use.
 """
 from __future__ import annotations
 
-import struct
 import wave
 from typing import Tuple
 

@@ -17,13 +17,12 @@ AudioStreamBatch.set_transport.
 """
 from __future__ import annotations
 
-import time
-from typing import Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 from mediastreamer2_tpu.net.rtp import Transport, UdpTransport
 from mediastreamer2_tpu.net import stun
 from mediastreamer2_tpu.net.ice import IceSession, Candidate, IS_COMPLETED
-from mediastreamer2_tpu.net.dtls import DtlsSrtpSession, is_dtls, dtls_available
+from mediastreamer2_tpu.net.dtls import DtlsSrtpSession, is_dtls
 from mediastreamer2_tpu.net.zrtp import ZrtpSession, is_zrtp
 from mediastreamer2_tpu.net.srtp import SrtpContext, SrtcpContext, SrtpTransport
 

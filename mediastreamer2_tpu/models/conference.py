@@ -14,7 +14,7 @@ O(1), no recompile, no cap at 50.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax.numpy as jnp

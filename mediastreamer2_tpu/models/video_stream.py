@@ -19,11 +19,9 @@ feeds/repeats frames at camera cadence like MSVideoSource does.
 from __future__ import annotations
 
 import dataclasses
-import struct
 from typing import Dict, List, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from mediastreamer2_tpu.core.block import Format
 from mediastreamer2_tpu.core.graph import GraphBuilder

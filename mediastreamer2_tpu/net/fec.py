@@ -11,7 +11,7 @@ slots into the same structure later.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from mediastreamer2_tpu.net.rtp import RtpPacket
 

@@ -17,7 +17,7 @@ import dataclasses
 import random
 import string
 import time
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 from mediastreamer2_tpu.net import stun
 

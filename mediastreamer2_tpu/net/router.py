@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, List, Optional, Set
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

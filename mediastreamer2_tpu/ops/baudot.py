@@ -17,7 +17,7 @@ ITA2 table: US-TTY variant; LTRS/FIGS shifting handled by the host codec.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax

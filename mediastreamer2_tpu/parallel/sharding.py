@@ -11,7 +11,7 @@ host-side.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np

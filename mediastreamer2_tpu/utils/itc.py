@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import collections
 import threading
-from typing import Deque, Optional
+from typing import Deque
 
 import numpy as np
 
