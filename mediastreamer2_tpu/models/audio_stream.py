@@ -252,10 +252,20 @@ class AudioStreamBatch:
         self._lost_mask = lost
         if self.features.plc:
             self.ticker.params["plc"]["lost"] = jnp.asarray(lost)
+        self._feed_echo_limiter()
         ext = {"rtp_rx": rx}
         if "mic" in self.graph.ext_inputs:
             ext["mic"] = np.zeros((B, S), np.float32)
         return ext
+
+    def _feed_echo_limiter(self):
+        """Duplex gain coupling: vol_send ducks when vol_recv (speaker) is
+        active — the reference's echo-limiter peer link (msvolume.c peer,
+        wired in audiostream.c). One-tick-delayed energy copy via params."""
+        st = self.ticker.state
+        pr = self.ticker.params
+        if "vol_send" in pr and "vol_recv" in st:
+            pr["vol_send"]["peer_energy"] = st["vol_recv"]["energy"]
 
     def _pull_host_codec(self, tick: int) -> Dict[str, np.ndarray]:
         B, S = self.batch, self.S
