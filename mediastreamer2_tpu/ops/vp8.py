@@ -199,28 +199,43 @@ class Vp8FrameCodec:
         return self._pack(*out)
 
 
-# --- minimal RFC 7741 payload descriptor (X=0 form) --------------------
-def vp8_payload_pack(fragments: List[bytes]) -> List[bytes]:
-    """Prepend the 1-byte descriptor: S=1 on the first partition fragment."""
+# --- RFC 7741 payload descriptor ----------------------------------------
+def vp8_payload_pack(fragments: List[bytes],
+                     picture_id: Optional[int] = None) -> List[bytes]:
+    """Prepend the descriptor: S=1 on the first partition fragment; with
+    picture_id, the X+I extension carries a 15-bit PictureID (the AVPF
+    RPSI/SLI reference point, cf. vp8.c picture-id logic)."""
     out = []
     for i, f in enumerate(fragments):
-        b0 = 0x10 if i == 0 else 0x00          # S bit, PID=0
-        out.append(bytes([b0]) + f)
+        s_bit = 0x10 if i == 0 else 0x00
+        if picture_id is None:
+            out.append(bytes([s_bit]) + f)
+        else:
+            hdr = bytes([0x80 | s_bit, 0x80]) \
+                + struct.pack("!H", 0x8000 | (picture_id & 0x7FFF))
+            out.append(hdr + f)
     return out
 
 
-def vp8_payload_unpack(payload: bytes) -> Tuple[bytes, bool]:
-    """Returns (vp8 data, is_partition_start)."""
+def vp8_payload_unpack(payload: bytes
+                       ) -> Tuple[bytes, bool, Optional[int]]:
+    """Returns (vp8 data, is_partition_start, picture_id or None)."""
     if not payload:
-        return b"", False
+        return b"", False, None
     b0 = payload[0]
+    pid = None
     if b0 & 0x80:                               # X bit: extended header
         off = 2
         if payload[1] & 0x80:                   # I: PictureID
-            off += 2 if (payload[off] & 0x80) else 1
+            if payload[off] & 0x80:             # M: 15-bit
+                pid = struct.unpack_from("!H", payload, off)[0] & 0x7FFF
+                off += 2
+            else:
+                pid = payload[off] & 0x7F
+                off += 1
         if payload[1] & 0x40:                   # L: TL0PICIDX
             off += 1
         if payload[1] & 0x30:                   # T/K
             off += 1
-        return payload[off:], bool(b0 & 0x10)
-    return payload[1:], bool(b0 & 0x10)
+        return payload[off:], bool(b0 & 0x10), pid
+    return payload[1:], bool(b0 & 0x10), None

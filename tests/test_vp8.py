@@ -49,10 +49,20 @@ def test_vp8_forced_keyframe():
 
 def test_vp8_payload_descriptor():
     frags = vp8.vp8_payload_pack([b"abc", b"def"])
-    d0, s0 = vp8.vp8_payload_unpack(frags[0])
-    d1, s1 = vp8.vp8_payload_unpack(frags[1])
-    assert (d0, s0) == (b"abc", True)
-    assert (d1, s1) == (b"def", False)
+    d0, s0, p0 = vp8.vp8_payload_unpack(frags[0])
+    d1, s1, p1 = vp8.vp8_payload_unpack(frags[1])
+    assert (d0, s0, p0) == (b"abc", True, None)
+    assert (d1, s1, p1) == (b"def", False, None)
+
+
+def test_vp8_payload_picture_id():
+    frags = vp8.vp8_payload_pack([b"xyz"], picture_id=12345)
+    d, s, pid = vp8.vp8_payload_unpack(frags[0])
+    assert (d, s, pid) == (b"xyz", True, 12345)
+    # 7-bit form parses too
+    short = bytes([0x90, 0x80, 42]) + b"qq"
+    d, s, pid = vp8.vp8_payload_unpack(short)
+    assert (d, s, pid) == (b"qq", True, 42)
 
 
 def test_vp8_video_call(factory):
