@@ -84,6 +84,7 @@ class VideoStreamStats:
     frames_sent: int = 0
     frames_received: int = 0
     fir_sent: int = 0
+    camera_fallbacks: int = 0
 
 
 class VideoStreamBatch:
@@ -138,6 +139,13 @@ class VideoStreamBatch:
         self._ts = 0
         # first frame of every leg is a keyframe; FIR sets this too
         self._force_kf = [True] * batch
+        # dead-camera watchdog (ext-camera mode)
+        self._cam_frames = [None] * batch
+        self._cam_last_tick = [0] * batch
+        self._cam_dead = [False] * batch
+        self._static_fallback = None
+
+    CAMERA_DEAD_TICKS = 100      # 1 s without frames => camera presumed dead
 
     def request_keyframe(self, leg: int):
         """cf. MS_VIDEO_ENCODER_REQ_VFU / FIR handling."""
@@ -171,6 +179,36 @@ class VideoStreamBatch:
         return (np.frombuffer(data, np.uint8).astype(np.float32) / 255.0
                 ).reshape(self._frame_shape)
 
+    def feed_camera_frame(self, leg: int, frame: np.ndarray):
+        """External camera push (ext-camera mode). Resets the dead-camera
+        watchdog for the leg."""
+        self._cam_frames[leg] = frame
+        self._cam_last_tick[leg] = self.ticker.stats.ticks
+
+    def _camera_block(self, tick: int) -> np.ndarray:
+        """Dead-camera detection + static-image fallback (reference:
+        videostream.c dead_camera_check -> nowebcam substitution)."""
+        shape = self.graph.ext_inputs["cam"][0][1:]
+        out = np.zeros((self.batch,) + shape, np.float32)
+        for i in range(self.batch):
+            if tick - self._cam_last_tick[i] > self.CAMERA_DEAD_TICKS:
+                if not self._cam_dead[i]:
+                    self._cam_dead[i] = True
+                    self.stats[i].camera_fallbacks += 1
+                out[i] = self._fallback_frame(shape)
+            elif self._cam_frames[i] is not None:
+                self._cam_dead[i] = False
+                out[i] = self._cam_frames[i]
+        return out
+
+    def _fallback_frame(self, shape):
+        if self._static_fallback is None:
+            # mid-grey "no webcam" card (nowebcam.c role)
+            f = np.full(shape, 0.5, np.float32)
+            f[: shape[0] * 2 // 3: 8] = 0.8          # stripes so it's visible
+            self._static_fallback = f
+        return self._static_fallback
+
     def _pull(self, tick: int) -> Dict[str, np.ndarray]:
         for i, sess in enumerate(self.sessions):
             if sess is None:
@@ -178,8 +216,7 @@ class VideoStreamBatch:
             sess.poll()
         ext = {"rx_frames": self._last_rx}
         if "cam" in self.graph.ext_inputs:
-            ext["cam"] = np.zeros((self.batch,) + self.graph.ext_inputs["cam"][0][1:],
-                                  np.float32)
+            ext["cam"] = self._camera_block(tick)
         return ext
 
     def _push(self, tick: int, ext_out: Dict):
