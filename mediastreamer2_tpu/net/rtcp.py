@@ -315,11 +315,17 @@ class RtcpSession:
         if self.rtp.recv_ssrc is not None and jb is not None:
             expected = self.rtp.stats.recv_packets + jb.lost
             frac = min(255, int(256 * jb.lost / max(expected, 1)))
-            rb = [ReportBlock(self.rtp.recv_ssrc, frac, jb.lost, 0, 0,
-                              self._last_sr_lsr, 0)]
+            dlsr = 0
+            if self._last_sr_time:
+                dlsr = int((time.monotonic() - self._last_sr_time) * 65536)
+            rb = [ReportBlock(self.rtp.recv_ssrc, frac, jb.lost, 0,
+                              int(getattr(self.rtp, "jitter_units", 0.0)),
+                              self._last_sr_lsr, dlsr)]
         sr = SenderReport(self.rtp.ssrc, ns, nf, self.rtp.ts,
                           self.rtp.stats.sent_packets,
                           self.rtp.stats.sent_bytes, rb)
+        self._own_sr_ntp_mid = ((ns & 0xFFFF) << 16) | (nf >> 16)
+        self._own_sr_wall = now
         pkt = sr.pack()
         transport.send(pkt)
         return pkt
@@ -330,8 +336,21 @@ class RtcpSession:
                 self._last_sr_lsr = ((msg.ntp_sec & 0xFFFF) << 16) | \
                                     (msg.ntp_frac >> 16)
                 self._last_sr_time = time.monotonic()
+                self._rtt_from_reports(msg.reports)
                 self.remote_reports.extend(msg.reports)
             elif isinstance(msg, ReceiverReport):
+                self._rtt_from_reports(msg.reports)
                 self.remote_reports.extend(msg.reports)
             elif isinstance(msg, Feedback):
                 self.feedback_in.append(msg)
+
+    def _rtt_from_reports(self, reports):
+        """RFC 3550 §6.4.1 RTT: now - LSR - DLSR, when LSR matches our SR."""
+        own = getattr(self, "_own_sr_ntp_mid", None)
+        if own is None:
+            return
+        for rb in reports:
+            if rb.lsr == own and rb.lsr != 0:
+                elapsed = time.monotonic() - self._own_sr_wall
+                self.last_rtt_ms = max(
+                    0.0, (elapsed - rb.dlsr / 65536.0) * 1000.0)

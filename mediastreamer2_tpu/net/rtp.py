@@ -251,6 +251,12 @@ class RtpSession:
         self.rtcp = None     # RtcpSession when attach_rtcp() enabled
         self._rtx_history = None
         self._rtx_depth = 0
+        self._last_transit = None
+        self.jitter_units = 0.0    # RFC3550 interarrival jitter (ts units)
+
+    @property
+    def jitter_ms(self) -> float:
+        return self.jitter_units * 1000.0 / self.clock_rate
 
     # -- send path ------------------------------------------------------
     def enable_retransmission(self, history: int = 256):
@@ -296,7 +302,14 @@ class RtpSession:
             self.stats.discarded += 1
             return
         self.recv_ssrc = pkt.ssrc
-        self.last_recv_time = time.monotonic()
+        now = time.monotonic()
+        self.last_recv_time = now
+        # RFC 3550 §6.4.1 interarrival jitter (RTP timestamp units)
+        transit = now * self.clock_rate - pkt.timestamp
+        if self._last_transit is not None:
+            d = abs(transit - self._last_transit)
+            self.jitter_units += (d - self.jitter_units) / 16.0
+        self._last_transit = transit
         self.stats.recv_packets += 1
         self.stats.recv_bytes += len(pkt.payload)
         if self.on_packet:
