@@ -54,6 +54,8 @@ class AudioStreamFeatures:
     vad_dtx: bool = False
     dtmf: bool = False
     volume: bool = True
+    local_play: bool = False   # announcement mixer into the send path
+                               # (cf. audiostream.c local player branch)
 
 
 class AudioStreamBatch:
@@ -148,6 +150,14 @@ class AudioStreamBatch:
             vad = g.add("vad_dtx", "vad")
             g.link(last, 0, vad, 0)
             last = vad
+        if ft.local_play:
+            # announcement player mixed into the outgoing audio
+            player = g.add("file_player", "announce", fmt=fmt,
+                           signal=np.zeros(self.S, np.float32))
+            mx = g.add("mix2", "announce_mix")
+            g.link(last, 0, mx, 0)
+            g.link(player, 0, mx, 1)
+            last = mx
         if self.host_codec:
             g.link(last, 0, g.add("ext_sink", "rtp_tx"), 0)   # PCM out
         else:
@@ -351,6 +361,33 @@ class AudioStreamBatch:
 
     def stop(self):
         self.ticker.stop()
+
+    def play_announcement(self, signal: np.ndarray,
+                          legs: Optional[List[int]] = None):
+        """Inject an announcement into the send path of the given legs
+        (cf. audio_stream local player: play a file into the call).
+        Applied at the next tick boundary."""
+        if "announce" not in self.ticker.state:
+            raise RuntimeError("stream built without local_play feature")
+        legs = list(range(self.batch)) if legs is None else legs
+        sig = np.asarray(signal, np.float32)
+
+        def do_load(tk):
+            st = dict(tk.state["announce"])
+            data = np.asarray(st["data"])
+            if data.shape[1] < len(sig):
+                data = np.zeros((self.batch, len(sig)), np.float32)
+            length = np.asarray(st["length"]).copy()
+            pos = np.asarray(st["pos"]).copy()
+            data = data.copy()
+            for leg in legs:
+                data[leg, : len(sig)] = sig
+                length[leg] = len(sig)
+                pos[leg] = 0
+            tk.state = {**tk.state, "announce": {
+                "data": jnp.asarray(data), "length": jnp.asarray(length),
+                "pos": jnp.asarray(pos)}}
+        self.ticker.mutate(do_load)
 
     def enable_rtcp(self, interval_s: float = 5.0):
         """rtcp-mux SR/RR on every leg (cf. oRTP RTCP scheduler)."""
