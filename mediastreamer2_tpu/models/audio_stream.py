@@ -216,8 +216,14 @@ class AudioStreamBatch:
 
     def enable_srtp(self, leg: int, tx_key: bytes, tx_salt: bytes,
                     rx_key: bytes, rx_salt: bytes, suite: str = None):
-        """cf. media_stream_enable_srtp — wraps the leg's transport."""
-        from mediastreamer2_tpu.net.srtp import (SrtpContext, SrtpTransport,
+        """cf. media_stream_enable_srtp — wraps the leg's transport.
+
+        RTCP is protected as SRTCP with the same keys (the reference's
+        media_stream_enable_srtp covers both, ms_srtp.cpp:1004-1019); a leg
+        that negotiated SRTP must never emit plaintext SR/RR.
+        """
+        from mediastreamer2_tpu.net.srtp import (SrtpContext, SrtcpContext,
+                                                 SrtpTransport,
                                                  AES_CM_128_HMAC_SHA1_80)
         sess = self.sessions[leg]
         if sess is None:
@@ -226,7 +232,9 @@ class AudioStreamBatch:
         sess.transport = SrtpTransport(
             sess.transport,
             tx=SrtpContext(tx_key, tx_salt, suite),
-            rx=SrtpContext(rx_key, rx_salt, suite))
+            rx=SrtpContext(rx_key, rx_salt, suite),
+            tx_rtcp=SrtcpContext(tx_key, tx_salt, suite),
+            rx_rtcp=SrtcpContext(rx_key, rx_salt, suite))
 
     # ------------------------------------------------------------------
     def _decode_payload(self, payload: bytes) -> np.ndarray:

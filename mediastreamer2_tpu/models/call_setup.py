@@ -58,6 +58,8 @@ class CallSetup:
         self.zrtp: Optional[ZrtpSession] = None
         self.srtp_keys = None          # (tx_key, tx_salt, rx_key, rx_salt)
         self.sas: Optional[str] = None
+        self._expected_fingerprint: Optional[str] = None
+        self.security_failed = False   # set on fingerprint mismatch
         if key_agreement == "dtls":
             self.dtls = DtlsSrtpSession(is_server=not controlling)
         elif key_agreement == "zrtp":
@@ -77,6 +79,23 @@ class CallSetup:
         self.ice.set_remote_credentials(ufrag, pwd)
         for host, port in candidates:
             self.check_list.add_remote_candidate(Candidate.make(host, port))
+
+    def local_fingerprint(self) -> Optional[str]:
+        """SHA-256 cert fingerprint for our SDP ``a=fingerprint`` line."""
+        return self.dtls.local_fingerprint() if self.dtls is not None else None
+
+    def set_remote_fingerprint(self, fp: str):
+        """Expected peer cert fingerprint from the remote SDP a=fingerprint.
+
+        The reference verifies the DTLS peer certificate against the SDP
+        fingerprint (src/crypto/dtls_srtp.cpp fingerprint check); without
+        this, an on-path attacker could complete the handshake and obtain
+        the SRTP keys.  Accepts "sha-256 AA:BB:..." or the bare hex form.
+        """
+        fp = fp.strip()
+        if " " in fp:
+            fp = fp.split(None, 1)[1]
+        self._expected_fingerprint = fp.upper()
 
     def remote_media_addr(self) -> Optional[Tuple[str, int]]:
         sel = self.check_list.selected
@@ -107,7 +126,16 @@ class CallSetup:
                 self.dtls.handshake_step()
             for rec in self.dtls.pop_packets():
                 self._send_media_path(rec)
-            if self.dtls.is_established and self.srtp_keys is None:
+            if self.dtls.is_established and self.srtp_keys is None \
+                    and not self.security_failed:
+                if self._expected_fingerprint is not None:
+                    peer = self.dtls.peer_fingerprint()
+                    if peer is None or peer.upper() != self._expected_fingerprint:
+                        # MitM: handshake completed with a cert that does not
+                        # match the SDP fingerprint — fail the call, never
+                        # derive keys (reference dtls_srtp.cpp behaviour).
+                        self.security_failed = True
+                        return
                 ck, cs, sk, ss = self.dtls.export_srtp_keys()
                 # client (connect side) sends with client key
                 if self.ice.controlling:
@@ -138,6 +166,8 @@ class CallSetup:
 
     @property
     def ready(self) -> bool:
+        if self.security_failed:
+            return False
         secure_ok = (self.key_agreement == "none" or self.srtp_keys is not None)
         return self.ice.state == IS_COMPLETED and secure_ok
 
@@ -146,6 +176,7 @@ class CallSetup:
         view = _MediaView(self)
         if self.key_agreement == "none":
             return view
+        assert not self.security_failed, "peer fingerprint mismatch"
         assert self.srtp_keys is not None, "iterate() until ready first"
         tk, ts, rk, rs = self.srtp_keys
         return SrtpTransport(view,

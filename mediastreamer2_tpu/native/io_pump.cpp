@@ -14,6 +14,7 @@
 // Build: g++ -O2 -shared -fPIC -pthread io_pump.cpp -o _ms2io.so
 
 #include <atomic>
+#include <memory>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -79,7 +80,7 @@ class Pump {
   int add_socket(int fd) {
     {
       std::lock_guard<std::mutex> l(map_mu_);
-      queues_.emplace(fd, std::make_unique<SocketQueue>());
+      queues_.emplace(fd, std::make_shared<SocketQueue>());
     }
     epoll_event ev{};
     ev.events = EPOLLIN;
@@ -100,7 +101,7 @@ class Pump {
   //   [uint64 t_ns][uint32 len][len bytes] ...
   // Returns bytes written.
   int read(int fd, uint8_t* buf, int buflen) {
-    SocketQueue* sq = find(fd);
+    std::shared_ptr<SocketQueue> sq = find(fd);
     if (!sq) return -1;
     int off = 0;
     std::lock_guard<std::mutex> l(sq->mu);
@@ -120,15 +121,19 @@ class Pump {
   }
 
   uint64_t dropped(int fd) {
-    SocketQueue* sq = find(fd);
+    std::shared_ptr<SocketQueue> sq = find(fd);
     return sq ? sq->dropped : 0;
   }
 
  private:
-  SocketQueue* find(int fd) {
+  // Returns an owning reference: remove_socket() may erase the map entry
+  // concurrently (e.g. UdpTransport.close() during a packet burst); the
+  // shared_ptr keeps the queue alive until every user drops it, so the
+  // epoll thread can never touch a destroyed SocketQueue.
+  std::shared_ptr<SocketQueue> find(int fd) {
     std::lock_guard<std::mutex> l(map_mu_);
     auto it = queues_.find(fd);
-    return it == queues_.end() ? nullptr : it->second.get();
+    return it == queues_.end() ? nullptr : it->second;
   }
 
   void wake() {
@@ -152,7 +157,7 @@ class Pump {
           ssize_t r = ::read(wake_r_, tmp, sizeof tmp); (void)r;
           continue;
         }
-        SocketQueue* sq = find(fd);
+        std::shared_ptr<SocketQueue> sq = find(fd);
         if (!sq) continue;
         // drain the socket completely (edge of the burst)
         for (;;) {
@@ -177,7 +182,7 @@ class Pump {
   std::atomic<bool> running_;
   std::thread thread_;
   std::mutex map_mu_;
-  std::unordered_map<int, std::unique_ptr<SocketQueue>> queues_;
+  std::unordered_map<int, std::shared_ptr<SocketQueue>> queues_;
 };
 
 }  // namespace

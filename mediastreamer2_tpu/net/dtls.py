@@ -107,9 +107,11 @@ class DtlsSrtpSession:
                                              SRTP_PROFILE)
         if r != 0:
             raise RuntimeError("use_srtp failed")
-        # request + accept the peer's (self-signed) certificate: identity is
-        # verified out-of-band against the SDP a=fingerprint, exactly like
-        # the reference (dtls_srtp.cpp role/fingerprint handling)
+        # Accept any (self-signed) certificate at the TLS layer; the caller
+        # (CallSetup) MUST verify peer_fingerprint() against the SDP
+        # a=fingerprint after the handshake — that comparison, not X.509
+        # chain validation, is the RFC 5763 trust model the reference uses
+        # (dtls_srtp.cpp fingerprint check).
         self._verify_cb = ctypes.CFUNCTYPE(
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p)(lambda ok, store: 1)
         _ssl.SSL_CTX_set_verify(ctypes.c_void_p(self.ctx), SSL_VERIFY_PEER,

@@ -36,6 +36,19 @@ LABEL_RTCP_AUTH = 0x04
 LABEL_RTCP_SALT = 0x05
 
 
+def _rtp_header_len(packet: bytes) -> int:
+    """Unencrypted-portion length: 12 + CSRCs + header extension if X set.
+
+    RFC 3711 §3.1 — the extension header is NOT part of the Encrypted
+    Portion; skipping it keeps interop with compliant stacks.
+    """
+    n = 12 + 4 * (packet[0] & 0x0F)
+    if (packet[0] >> 4) & 1 and len(packet) >= n + 4:
+        ext_words = struct.unpack("!H", packet[n + 2:n + 4])[0]
+        n += 4 + 4 * ext_words
+    return min(n, len(packet))
+
+
 def _aes_cm_keystream(key: bytes, iv16: bytes, n: int) -> bytes:
     enc = Cipher(algorithms.AES(key), modes.CTR(iv16)).encryptor()
     return enc.update(b"\x00" * n)
@@ -92,7 +105,7 @@ class SrtpContext:
 
     # -- protect / unprotect ------------------------------------------------
     def protect(self, packet: bytes) -> bytes:
-        hdr_len = 12 + 4 * (packet[0] & 0x0F)
+        hdr_len = _rtp_header_len(packet)
         ssrc, seq = struct.unpack("!I", packet[8:12])[0], \
             struct.unpack("!H", packet[2:4])[0]
         roc = self.roc.get(ssrc, 0)
@@ -113,7 +126,7 @@ class SrtpContext:
         if len(packet) < 12 + tag_len:
             return None
         data, tag = packet[:-tag_len], packet[-tag_len:]
-        hdr_len = 12 + 4 * (data[0] & 0x0F)
+        hdr_len = _rtp_header_len(data)
         if len(data) < hdr_len:
             return None
         ssrc = struct.unpack("!I", data[8:12])[0]
@@ -184,6 +197,8 @@ class SrtcpContext:
         self.k_s = derive_key(master_key, master_salt, LABEL_RTCP_SALT, 14)
         self.tx_index = 0
         self.replay: set = set()
+        self._replay_max = -1            # highest index seen (window anchor)
+        self.REPLAY_WINDOW = 1024
 
     def _iv(self, ssrc: int, index: int) -> bytes:
         x = (int.from_bytes(self.k_s, "big") << 16) ^ (ssrc << 64) ^ (index << 16)
@@ -216,9 +231,19 @@ class SrtcpContext:
             return None
         word = struct.unpack("!I", trailer)[0]
         index = word & 0x7FFFFFFF
+        # bounded sliding window (like the RTP side): anything older than the
+        # window is rejected outright, so pruning never re-admits a replay,
+        # and a long-lived call holds at most REPLAY_WINDOW entries.
+        if index <= self._replay_max - self.REPLAY_WINDOW:
+            return None
         if index in self.replay:
             return None
         self.replay.add(index)
+        if index > self._replay_max:
+            self._replay_max = index
+            floor = self._replay_max - self.REPLAY_WINDOW
+            if len(self.replay) > self.REPLAY_WINDOW:
+                self.replay = {i for i in self.replay if i > floor}
         if not (word & 0x80000000):          # E-bit clear: unencrypted
             return body
         ssrc = struct.unpack("!I", body[4:8])[0]

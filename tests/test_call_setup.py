@@ -91,3 +91,30 @@ def test_ice_zrtp_media_sas(factory):
     sim, _ = audio_diff(sig, rx.get_recording()[0])
     assert sim > 0.9, f"zrtp call sim {sim}"
     a.close(); b.close()
+
+
+@pytest.mark.skipif(not dtls.dtls_available(), reason="libssl missing")
+def test_dtls_fingerprint_verified():
+    """Matching SDP fingerprints -> ready; a wrong one -> security_failed.
+
+    Mirrors the reference's dtls_srtp.cpp fingerprint check: the DTLS
+    handshake may complete, but keys are only derived when the peer cert
+    hashes to the SDP a=fingerprint value."""
+    a = CallSetup(controlling=True, key_agreement="dtls")
+    b = CallSetup(controlling=False, key_agreement="dtls")
+    a.set_remote_fingerprint(b.local_fingerprint())
+    b.set_remote_fingerprint(a.local_fingerprint())
+    assert _connect(a, b, timeout_s=8.0)
+    assert a.srtp_keys is not None and not a.security_failed
+    a.close(); b.close()
+
+    # now a MitM scenario: expected fingerprint doesn't match the peer cert
+    a = CallSetup(controlling=True, key_agreement="dtls")
+    b = CallSetup(controlling=False, key_agreement="dtls")
+    a.set_remote_fingerprint("sha-256 " + ":".join(["00"] * 32))
+    b.set_remote_fingerprint(a.local_fingerprint())
+    assert not _connect(a, b, timeout_s=3.0)
+    assert a.security_failed and a.srtp_keys is None
+    with pytest.raises(AssertionError):
+        a.media_transport()
+    a.close(); b.close()

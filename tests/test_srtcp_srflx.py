@@ -60,3 +60,41 @@ def test_ice_srflx_gathering():
     assert len(srflx) == 1
     assert (srflx[0].host, srflx[0].port) == ("203.0.113.7", 61000)
     assert srflx[0].priority >> 24 == 100      # srflx type preference
+
+
+def test_srtp_header_extension_not_encrypted():
+    """RFC 3711: the RTP header extension (X=1) is part of the
+    authenticated-but-not-encrypted portion."""
+    import os
+    from mediastreamer2_tpu.net.srtp import SrtpContext, _rtp_header_len
+    key, salt = os.urandom(16), os.urandom(14)
+    tx, rx = SrtpContext(key, salt), SrtpContext(key, salt)
+    # V=2, X=1, CC=0; one-word extension (profile 0xBEDE, len 1)
+    hdr = bytes([0x90, 96, 0, 1]) + (1234).to_bytes(4, "big") \
+        + (0xCAFEBABE).to_bytes(4, "big")
+    ext = b"\xbe\xde\x00\x01" + b"\x10\x41\x00\x00"
+    payload = bytes(range(40))
+    pkt = hdr + ext + payload
+    assert _rtp_header_len(pkt) == 12 + 8
+    prot = tx.protect(pkt)
+    # header + extension survive in the clear
+    assert prot[:20] == pkt[:20]
+    # payload is actually encrypted
+    assert prot[20:20 + 40] != payload
+    assert rx.unprotect(prot) == pkt
+
+
+def test_srtcp_replay_window_bounded():
+    import os
+    from mediastreamer2_tpu.net.srtp import SrtcpContext
+    key, salt = os.urandom(16), os.urandom(14)
+    tx, rx = SrtcpContext(key, salt), SrtcpContext(key, salt)
+    pkt = bytes([0x80, 200, 0, 6]) + (77).to_bytes(4, "big") + b"\x00" * 20
+    protected = [tx.protect(pkt) for _ in range(3000)]
+    for p in protected:
+        assert rx.unprotect(p) is not None
+    assert len(rx.replay) <= rx.REPLAY_WINDOW + 1
+    # replay of a recent packet rejected via the set...
+    assert rx.unprotect(protected[-1]) is None
+    # ...and of an ancient (pruned) one rejected via the window floor
+    assert rx.unprotect(protected[0]) is None
