@@ -50,11 +50,20 @@ class TickerStats:
 
 class Ticker:
     def __init__(self, graph, name: str = "ticker", interval_ms: int = TICK_MS,
-                 realtime: bool = True, event_queue: Optional[EventQueue] = None):
+                 realtime: bool = True, event_queue: Optional[EventQueue] = None,
+                 pipeline_depth: int = 0):
+        """pipeline_depth > 0 enables double-buffered async dispatch: tick
+        t's device step is launched and tick (t - depth)'s outputs are read
+        back in the same iteration, so device compute and device<->host
+        transfer overlap host I/O instead of serializing (SURVEY §7's
+        "double-buffered pinned rings"; the reference hides the same
+        latency inside oRTP's jitter buffer).  Outputs reach `io_push`
+        `depth` ticks late — callers absorb that as jitter-buffer depth."""
         self.graph = graph
         self.name = name
         self.interval_ms = interval_ms
         self.realtime = realtime
+        self.pipeline_depth = pipeline_depth
         self.stats = TickerStats()
         self.event_queue = event_queue or EventQueue()
         self.time_ms = 0             # virtual stream clock, cf. ticker->time
@@ -67,6 +76,7 @@ class Ticker:
         self._stop = threading.Event()
         self._mutations: list = []
         self._mut_lock = threading.Lock()
+        self._inflight: list = []    # [(tick, ext_out_futures, ev_futures)]
 
     # host I/O callbacks: pull(tick)->ext_in dict, push(tick, ext_out)
     def set_io(self, pull: Optional[Callable] = None, push: Optional[Callable] = None):
@@ -89,6 +99,18 @@ class Ticker:
         with self._mut_lock:
             self._mutations.append(fn)
 
+    def _publish(self, tick: int, ext_out, events):
+        """Force device->host readback and hand outputs/events to the app.
+        np.asarray (not block_until_ready, which is a no-op over the axon
+        tunnel) guarantees the data actually landed on the host."""
+        ext_out = {k: np.asarray(v) for k, v in ext_out.items()}
+        if self._io_push:
+            self._io_push(tick, ext_out)
+        if events:
+            self.event_queue.post_tensor_events(
+                {k: np.asarray(v) for k, v in events.items()}, tick)
+        return ext_out
+
     def do_tick(self) -> Dict:
         with self._mut_lock:
             muts, self._mutations = self._mutations, []
@@ -98,12 +120,17 @@ class Ticker:
         ext_in = self._io_pull(self.stats.ticks) if self._io_pull else {
             k: np.zeros(shape, dtype) for k, (shape, dtype) in self.graph.ext_inputs.items()}
         self.state, ext_out, events = self._step(self.state, self.params, ext_in)
-        ext_out = jax.block_until_ready(ext_out)
-        if self._io_push:
-            self._io_push(self.stats.ticks, ext_out)
-        if events:
-            self.event_queue.post_tensor_events(
-                {k: np.asarray(v) for k, v in events.items()}, self.stats.ticks)
+        if self.pipeline_depth > 0:
+            # async: dispatch returned immediately; publish the tick that
+            # has had `depth` intervals to complete, then return.
+            self._inflight.append((self.stats.ticks, ext_out, events))
+            if len(self._inflight) > self.pipeline_depth:
+                tick, out, ev = self._inflight.pop(0)
+                ext_out = self._publish(tick, out, ev)
+            else:
+                ext_out = {}
+        else:
+            ext_out = self._publish(self.stats.ticks, ext_out, events)
         dt_ms = (time.perf_counter() - t0) * 1e3
         s = self.stats
         s.ticks += 1
@@ -116,6 +143,12 @@ class Ticker:
             s.late_ticks += 1
             s.last_late_tick = s.ticks
         return ext_out
+
+    def drain(self):
+        """Publish all in-flight pipelined ticks (call after the last tick)."""
+        while self._inflight:
+            tick, out, ev = self._inflight.pop(0)
+            self._publish(tick, out, ev)
 
     def run(self, n_ticks: int):
         """Run n ticks; paced to the interval if realtime, else free-run."""
@@ -131,6 +164,7 @@ class Ticker:
                     time.sleep(next_edge - now)   # cf. wait_next_tick msticker.c:419-445
                 else:
                     next_edge = now
+        self.drain()
 
     def start(self, n_ticks: int = 10**9):
         self._stop.clear()

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import socket
 import struct
 import subprocess
 import threading
@@ -21,6 +22,23 @@ _lib = None
 _build_lock = threading.Lock()
 
 
+def _build_so(src: str, so: str) -> Optional[ctypes.CDLL]:
+    """Compile src -> so if stale, then load (None on any failure)."""
+    if not os.path.exists(so) or os.path.getmtime(src) > os.path.getmtime(so):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-pthread", src, "-o",
+                 so + ".tmp"],
+                check=True, capture_output=True, timeout=120)
+            os.replace(so + ".tmp", so)
+        except (subprocess.SubprocessError, OSError):
+            return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None
+
+
 def _ensure_built() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
@@ -28,19 +46,8 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
     with _build_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or (os.path.getmtime(_SRC)
-                                       > os.path.getmtime(_SO)):
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-pthread",
-                     _SRC, "-o", _SO + ".tmp"],
-                    check=True, capture_output=True, timeout=120)
-                os.replace(_SO + ".tmp", _SO)
-            except (subprocess.SubprocessError, OSError):
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
+        lib = _build_so(_SRC, _SO)
+        if lib is None:
             return None
         lib.ms2_pump_create.restype = ctypes.c_void_p
         lib.ms2_pump_destroy.argtypes = [ctypes.c_void_p]
@@ -100,6 +107,172 @@ class NativeIoPump:
         if self._pump:
             self._lib.ms2_pump_destroy(self._pump)
             self._pump = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Batched RTP edge (rtp_edge.cpp): header pack + sendmmsg / recvmmsg drain +
+# jitter-ring insert + per-tick playout, three C calls per tick for N legs.
+# ---------------------------------------------------------------------------
+_RTP_SO = os.path.join(_DIR, "_ms2rtp.so")
+_RTP_SRC = os.path.join(_DIR, "rtp_edge.cpp")
+_rtp_lib = None
+
+
+def _ensure_rtp_built() -> Optional[ctypes.CDLL]:
+    global _rtp_lib
+    if _rtp_lib is not None:
+        return _rtp_lib
+    with _build_lock:
+        if _rtp_lib is not None:
+            return _rtp_lib
+        lib = _build_so(_RTP_SRC, _RTP_SO)
+        if lib is None:
+            return None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.ms2_rtptx_create.restype = ctypes.c_void_p
+        lib.ms2_rtptx_create.argtypes = [ctypes.c_int] * 3
+        lib.ms2_rtptx_destroy.argtypes = [ctypes.c_void_p]
+        lib.ms2_rtptx_config.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_uint16, ctypes.c_uint32, ctypes.c_uint8]
+        lib.ms2_rtptx_send.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p, ctypes.c_uint32]
+        lib.ms2_rtptx_set_gso.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ms2_rtprx_create.restype = ctypes.c_void_p
+        lib.ms2_rtprx_create.argtypes = [ctypes.c_int] * 3
+        lib.ms2_rtprx_destroy.argtypes = [ctypes.c_void_p]
+        lib.ms2_rtprx_add_fd.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ms2_rtprx_map_ssrc.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                           ctypes.c_int]
+        lib.ms2_rtprx_set_prefill.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                              ctypes.c_int]
+        lib.ms2_rtprx_poll.argtypes = [ctypes.c_void_p]
+        lib.ms2_rtprx_read_tick.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p]
+        lib.ms2_rtprx_stats.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        u64p, u64p, u64p, u64p]
+        _rtp_lib = lib
+        return _rtp_lib
+
+
+def rtp_edge_available() -> bool:
+    return _ensure_rtp_built() is not None
+
+
+class BatchRtpTx:
+    """Batched RTP sender: one sendmmsg-backed socket carries N legs
+    (per-message destination addresses). payloads is a [N, psz] uint8
+    array; one call per tick."""
+
+    def __init__(self, sock, n_legs: int, payload_size: int):
+        lib = _ensure_rtp_built()
+        if lib is None:
+            raise RuntimeError("rtp_edge unavailable (g++ build failed)")
+        self._lib = lib
+        self._sock = sock
+        self.n_legs = n_legs
+        self.payload_size = payload_size
+        self._h = lib.ms2_rtptx_create(sock.fileno(), n_legs, payload_size)
+
+    def config(self, leg: int, ip: str, port: int, ssrc: int,
+               seq0: int = 0, ts0: int = 0, pt: int = 0):
+        self._lib.ms2_rtptx_config(self._h, leg, ip.encode(), port,
+                                   ssrc, seq0, ts0, pt)
+
+    def enable_gso(self, remote):
+        """Single-destination fast path: connect() the socket and let the
+        kernel split one 64-segment send into datagrams (UDP_SEGMENT).
+        Only valid when every leg targets `remote`."""
+        self._sock.connect(remote)
+        self._lib.ms2_rtptx_set_gso(self._h, 1)
+
+    def send(self, payloads, ts_inc: int, mask=None) -> int:
+        import numpy as _np
+        payloads = _np.ascontiguousarray(payloads, dtype=_np.uint8)
+        assert payloads.shape == (self.n_legs, self.payload_size)
+        mptr = None
+        if mask is not None:
+            mask = _np.ascontiguousarray(mask, dtype=_np.uint8)
+            mptr = mask.ctypes.data_as(ctypes.c_void_p)
+        return self._lib.ms2_rtptx_send(
+            self._h, payloads.ctypes.data_as(ctypes.c_void_p), mptr, ts_inc)
+
+    def close(self):
+        if self._h:
+            self._lib.ms2_rtptx_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class BatchRtpRx:
+    """Batched RTP receiver + fixed-ring jitter buffer for N legs.
+
+    poll() drains all registered sockets with recvmmsg and inserts into
+    per-leg seq rings; read_tick() pops one tick of payloads into a
+    [N, psz] uint8 matrix plus a present/missing flag vector."""
+
+    def __init__(self, n_legs: int, payload_size: int, ring_depth: int = 64):
+        import numpy as _np
+        lib = _ensure_rtp_built()
+        if lib is None:
+            raise RuntimeError("rtp_edge unavailable (g++ build failed)")
+        assert ring_depth & (ring_depth - 1) == 0, "depth must be pow2"
+        self._lib = lib
+        self.n_legs = n_legs
+        self.payload_size = payload_size
+        self._h = lib.ms2_rtprx_create(n_legs, payload_size, ring_depth)
+        self._out = _np.zeros((n_legs, payload_size), _np.uint8)
+        self._flags = _np.zeros((n_legs,), _np.uint8)
+        self._socks = []
+
+    def add_socket(self, sock, gro: bool = False):
+        self._socks.append(sock)               # keep fd alive
+        if gro:
+            try:                               # UDP_GRO: kernel coalesces
+                sock.setsockopt(socket.IPPROTO_UDP, 104, 1)
+            except OSError:
+                pass
+        self._lib.ms2_rtprx_add_fd(self._h, sock.fileno())
+
+    def map_ssrc(self, ssrc: int, leg: int):
+        self._lib.ms2_rtprx_map_ssrc(self._h, ssrc, leg)
+
+    def set_prefill(self, leg: int, packets: int):
+        self._lib.ms2_rtprx_set_prefill(self._h, leg, packets)
+
+    def poll(self) -> int:
+        return self._lib.ms2_rtprx_poll(self._h)
+
+    def read_tick(self):
+        self._lib.ms2_rtprx_read_tick(
+            self._h, self._out.ctypes.data_as(ctypes.c_void_p),
+            self._flags.ctypes.data_as(ctypes.c_void_p))
+        return self._out, self._flags
+
+    def stats(self, leg: int):
+        got = ctypes.c_uint64(); lost = ctypes.c_uint64()
+        late = ctypes.c_uint64(); recv = ctypes.c_uint64()
+        self._lib.ms2_rtprx_stats(self._h, leg, ctypes.byref(got),
+                                  ctypes.byref(lost), ctypes.byref(late),
+                                  ctypes.byref(recv))
+        return {"got": got.value, "lost": lost.value,
+                "late": late.value, "recv": recv.value}
+
+    def close(self):
+        if self._h:
+            self._lib.ms2_rtprx_destroy(self._h)
+            self._h = None
 
     def __del__(self):
         try:

@@ -1,0 +1,411 @@
+// Batched RTP edge: the native host half of MSRtpSend/MSRtpRecv at scale.
+//
+// Role parity: the reference's RTP edge is C code running per tick per
+// stream (src/otherfilters/msrtp.c:705-714 send, :1050-1091 recv + oRTP's
+// socket layer and jitter buffer). At thousands of batched legs, a
+// per-packet Python loop cannot meet the 10 ms tick: header packing,
+// sendto/recvfrom syscalls and jitter-buffer inserts all serialize on the
+// GIL. This module does the whole per-tick edge in three C calls:
+//
+//   tx_send(payload_matrix)   -> header pack + sendmmsg (per-msg dest addr)
+//   rx_poll()                 -> recvmmsg drain + parse + jitter ring insert
+//   rx_read_tick(out, flags)  -> per-leg playout pop into one [N,psz] matrix
+//
+// Jitter model: fixed-depth seq-indexed ring per leg with a packet-count
+// prefill (the steady-state component of oRTP's adaptive buffer); depth
+// adaptation decisions stay in Python (net/jitter.py) and apply here via
+// rx_set_prefill/resync — value-reconfig, no rebuild.
+//
+// C ABI only (ctypes; no pybind11 in this image). Built by native/__init__.py.
+
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <unordered_map>
+#include <vector>
+
+#include <arpa/inet.h>
+#include <errno.h>
+#include <netinet/in.h>
+#include <netinet/udp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#ifndef UDP_SEGMENT
+#define UDP_SEGMENT 103
+#endif
+#ifndef UDP_GRO
+#define UDP_GRO 104
+#endif
+
+namespace {
+
+constexpr int kHdr = 12;
+constexpr int kMmsgChunk = 512;
+
+struct TxLeg {
+  sockaddr_in dest{};
+  uint32_t ssrc = 0;
+  uint32_t ts = 0;
+  uint16_t seq = 0;
+  uint8_t pt = 0;
+  uint8_t enabled = 0;
+};
+
+class RtpTx {
+ public:
+  RtpTx(int fd, int n, int psz)
+      : fd_(fd), n_(n), psz_(psz), frames_(size_t(n) * (kHdr + psz)),
+        legs_(n), iov_(kMmsgChunk), msgs_(kMmsgChunk) {}
+
+  void config(int leg, const char* ip, int port, uint32_t ssrc, uint16_t seq0,
+              uint32_t ts0, uint8_t pt) {
+    TxLeg& l = legs_[leg];
+    l.dest.sin_family = AF_INET;
+    l.dest.sin_port = htons(uint16_t(port));
+    inet_pton(AF_INET, ip, &l.dest.sin_addr);
+    l.ssrc = ssrc;
+    l.seq = seq0;
+    l.ts = ts0;
+    l.pt = pt;
+    l.enabled = 1;
+  }
+
+  // UDP GSO fast path: all legs' packets ride one connected 4-tuple; the
+  // kernel splits one big send into kMaxSegs equal datagrams (UDP_SEGMENT),
+  // cutting syscalls + skb setup ~64x. Caller must connect() the socket.
+  void set_gso(int on) {
+    gso_ = on != 0;
+    if (gso_ && gso_buf_.empty())
+      gso_buf_.resize(size_t(kMaxSegs) * (kHdr + psz_));
+  }
+
+  // payloads: [n, psz] row-major; mask: per-leg send flag (nullptr = all).
+  // ts advances for every enabled leg (DTX keeps the RTP clock running,
+  // cf. rtp_session_sendm_with_ts timestamp semantics); seq only on send.
+  int send(const uint8_t* payloads, const uint8_t* mask, uint32_t ts_inc) {
+    if (gso_) return send_gso(payloads, mask, ts_inc);
+    int pending = 0, sent_total = 0;
+    for (int i = 0; i < n_; i++) {
+      TxLeg& l = legs_[i];
+      if (!l.enabled) continue;
+      if (mask && !mask[i]) {
+        l.ts += ts_inc;
+        continue;
+      }
+      uint8_t* f = frames_.data() + size_t(i) * (kHdr + psz_);
+      f[0] = 0x80;                       // V=2, no P/X/CC
+      f[1] = l.pt & 0x7F;
+      f[2] = uint8_t(l.seq >> 8);
+      f[3] = uint8_t(l.seq);
+      f[4] = uint8_t(l.ts >> 24);
+      f[5] = uint8_t(l.ts >> 16);
+      f[6] = uint8_t(l.ts >> 8);
+      f[7] = uint8_t(l.ts);
+      f[8] = uint8_t(l.ssrc >> 24);
+      f[9] = uint8_t(l.ssrc >> 16);
+      f[10] = uint8_t(l.ssrc >> 8);
+      f[11] = uint8_t(l.ssrc);
+      memcpy(f + kHdr, payloads + size_t(i) * psz_, psz_);
+      l.seq++;
+      l.ts += ts_inc;
+
+      iov_[pending] = {f, size_t(kHdr + psz_)};
+      mmsghdr& m = msgs_[pending];
+      memset(&m, 0, sizeof m);
+      m.msg_hdr.msg_name = &l.dest;
+      m.msg_hdr.msg_namelen = sizeof(sockaddr_in);
+      m.msg_hdr.msg_iov = &iov_[pending];
+      m.msg_hdr.msg_iovlen = 1;
+      if (++pending == kMmsgChunk) {
+        sent_total += flush(pending);
+        pending = 0;
+      }
+    }
+    if (pending) sent_total += flush(pending);
+    return sent_total;
+  }
+
+ private:
+  static constexpr int kMaxSegs = 64;    // kernel UDP_MAX_SEGMENTS
+
+  int send_gso(const uint8_t* payloads, const uint8_t* mask,
+               uint32_t ts_inc) {
+    const int frame = kHdr + psz_;
+    int in_buf = 0, sent_total = 0;
+    for (int i = 0; i < n_; i++) {
+      TxLeg& l = legs_[i];
+      if (!l.enabled) continue;
+      if (mask && !mask[i]) {
+        l.ts += ts_inc;
+        continue;
+      }
+      uint8_t* f = gso_buf_.data() + size_t(in_buf) * frame;
+      f[0] = 0x80;
+      f[1] = l.pt & 0x7F;
+      f[2] = uint8_t(l.seq >> 8);
+      f[3] = uint8_t(l.seq);
+      f[4] = uint8_t(l.ts >> 24);
+      f[5] = uint8_t(l.ts >> 16);
+      f[6] = uint8_t(l.ts >> 8);
+      f[7] = uint8_t(l.ts);
+      f[8] = uint8_t(l.ssrc >> 24);
+      f[9] = uint8_t(l.ssrc >> 16);
+      f[10] = uint8_t(l.ssrc >> 8);
+      f[11] = uint8_t(l.ssrc);
+      memcpy(f + kHdr, payloads + size_t(i) * psz_, psz_);
+      l.seq++;
+      l.ts += ts_inc;
+      if (++in_buf == kMaxSegs) {
+        sent_total += gso_flush(in_buf);
+        in_buf = 0;
+      }
+    }
+    if (in_buf) sent_total += gso_flush(in_buf);
+    return sent_total;
+  }
+
+  int gso_flush(int nseg) {
+    const int frame = kHdr + psz_;
+    iovec iov{gso_buf_.data(), size_t(nseg) * frame};
+    char ctrl[CMSG_SPACE(sizeof(uint16_t))] = {};
+    msghdr m{};
+    m.msg_iov = &iov;
+    m.msg_iovlen = 1;
+    if (nseg > 1) {
+      m.msg_control = ctrl;
+      m.msg_controllen = sizeof ctrl;
+      cmsghdr* cm = CMSG_FIRSTHDR(&m);
+      cm->cmsg_level = SOL_UDP;
+      cm->cmsg_type = UDP_SEGMENT;
+      cm->cmsg_len = CMSG_LEN(sizeof(uint16_t));
+      uint16_t seg = uint16_t(frame);
+      memcpy(CMSG_DATA(cm), &seg, sizeof seg);
+    }
+    for (;;) {
+      ssize_t r = sendmsg(fd_, &m, 0);
+      if (r >= 0) return nseg;
+      if (errno == EINTR) continue;
+      return 0;                          // EAGAIN burst: drop this chunk
+    }
+  }
+
+  int flush(int count) {
+    int done = 0;
+    while (done < count) {
+      int r = sendmmsg(fd_, msgs_.data() + done, unsigned(count - done), 0);
+      if (r <= 0) {
+        if (errno == EINTR) continue;
+        break;                           // EAGAIN under burst: drop remainder
+      }
+      done += r;
+    }
+    return done;
+  }
+
+  int fd_, n_, psz_;
+  bool gso_ = false;
+  std::vector<uint8_t> frames_;
+  std::vector<uint8_t> gso_buf_;
+  std::vector<TxLeg> legs_;
+  std::vector<iovec> iov_;
+  std::vector<mmsghdr> msgs_;
+};
+
+struct RxLeg {
+  uint16_t next_seq = 0;
+  uint8_t primed = 0;
+  uint8_t prefill = 2;                   // packets buffered before playout
+  uint8_t warmup_left = 0;
+  uint64_t got = 0, lost = 0, late = 0, recv = 0;
+};
+
+class RtpRx {
+ public:
+  RtpRx(int n, int psz, int depth)
+      : n_(n), psz_(psz), depth_(depth),
+        slot_seq_(size_t(n) * depth), slot_valid_(size_t(n) * depth, 0),
+        slot_data_(size_t(n) * depth * psz), legs_(n) {
+    // recvmmsg arena: 64 KiB buffers so a UDP_GRO-coalesced super-datagram
+    // (up to ~700 tick packets of one flow) lands in one msg; per-msg
+    // control space carries the kernel's UDP_GRO segment-size cmsg.
+    bufs_.resize(size_t(kRxChunk) * kRxBuf);
+    ctrl_.resize(size_t(kRxChunk) * kCtrl);
+    iov_.resize(kRxChunk);
+    msgs_.resize(kRxChunk);
+    for (int i = 0; i < kRxChunk; i++) {
+      iov_[i] = {bufs_.data() + size_t(i) * kRxBuf, kRxBuf};
+      memset(&msgs_[i], 0, sizeof(mmsghdr));
+      msgs_[i].msg_hdr.msg_iov = &iov_[i];
+      msgs_[i].msg_hdr.msg_iovlen = 1;
+      msgs_[i].msg_hdr.msg_control = ctrl_.data() + size_t(i) * kCtrl;
+      msgs_[i].msg_hdr.msg_controllen = kCtrl;
+    }
+  }
+
+  void add_fd(int fd) { fds_.push_back(fd); }
+
+  void map_ssrc(uint32_t ssrc, int leg) { ssrc_to_leg_[ssrc] = leg; }
+
+  void set_prefill(int leg, int k) {
+    legs_[leg].prefill = uint8_t(k);
+    legs_[leg].primed = 0;               // resync on next packet
+  }
+
+  int poll() {
+    int total = 0;
+    for (int fd : fds_) {
+      for (;;) {
+        for (int i = 0; i < kRxChunk; i++)
+          msgs_[i].msg_hdr.msg_controllen = kCtrl;
+        int r = recvmmsg(fd, msgs_.data(), kRxChunk, MSG_DONTWAIT, nullptr);
+        if (r <= 0) break;
+        for (int i = 0; i < r; i++) {
+          const uint8_t* buf = bufs_.data() + size_t(i) * kRxBuf;
+          int len = int(msgs_[i].msg_len);
+          int seg = gro_seg_size(msgs_[i].msg_hdr);
+          if (seg <= 0 || seg >= len) {
+            insert(buf, len);
+            total++;
+          } else {                       // GRO: split coalesced datagrams
+            for (int off = 0; off < len; off += seg) {
+              insert(buf + off, len - off < seg ? len - off : seg);
+              total++;
+            }
+          }
+        }
+        if (r < kRxChunk) break;
+      }
+    }
+    return total;
+  }
+
+  // out: [n, psz]; flags: 1 = packet present, 0 = missing (PLC on device).
+  void read_tick(uint8_t* out, uint8_t* flags) {
+    for (int i = 0; i < n_; i++) {
+      RxLeg& l = legs_[i];
+      uint8_t* dst = out + size_t(i) * psz_;
+      if (!l.primed || l.warmup_left) {
+        if (l.warmup_left) l.warmup_left--;
+        memset(dst, 0, psz_);
+        flags[i] = 0;
+        continue;
+      }
+      size_t s = size_t(i) * depth_ + (l.next_seq & (depth_ - 1));
+      if (slot_valid_[s] && slot_seq_[s] == l.next_seq) {
+        memcpy(dst, slot_data_.data() + s * psz_, psz_);
+        slot_valid_[s] = 0;
+        flags[i] = 1;
+        l.got++;
+      } else {
+        memset(dst, 0, psz_);
+        flags[i] = 0;
+        l.lost++;
+      }
+      l.next_seq++;
+    }
+  }
+
+  void stats(int leg, uint64_t* got, uint64_t* lost, uint64_t* late,
+             uint64_t* recv) const {
+    const RxLeg& l = legs_[leg];
+    *got = l.got;
+    *lost = l.lost;
+    *late = l.late;
+    *recv = l.recv;
+  }
+
+ private:
+  static constexpr int kRxChunk = 64;
+  static constexpr int kRxBuf = 65536;
+  static constexpr int kCtrl = 64;
+
+  static int gro_seg_size(msghdr& mh) {
+    for (cmsghdr* cm = CMSG_FIRSTHDR(&mh); cm; cm = CMSG_NXTHDR(&mh, cm)) {
+      if (cm->cmsg_level == SOL_UDP && cm->cmsg_type == UDP_GRO) {
+        int v;
+        memcpy(&v, CMSG_DATA(cm), sizeof v);
+        return v;
+      }
+    }
+    return 0;
+  }
+
+  void insert(const uint8_t* p, int len) {
+    if (len < kHdr + psz_ || (p[0] >> 6) != 2) return;
+    uint32_t ssrc = (uint32_t(p[8]) << 24) | (uint32_t(p[9]) << 16) |
+                    (uint32_t(p[10]) << 8) | p[11];
+    auto it = ssrc_to_leg_.find(ssrc);
+    if (it == ssrc_to_leg_.end()) return;
+    int leg = it->second;
+    RxLeg& l = legs_[leg];
+    uint16_t seq = uint16_t((p[2] << 8) | p[3]);
+    l.recv++;
+    if (!l.primed) {
+      l.primed = 1;
+      l.next_seq = seq;
+      l.warmup_left = l.prefill;
+    } else if (int16_t(seq - l.next_seq) < 0) {
+      l.late++;                          // playout already passed this seq
+      return;
+    }
+    size_t s = size_t(leg) * depth_ + (seq & (depth_ - 1));
+    slot_seq_[s] = seq;
+    slot_valid_[s] = 1;
+    memcpy(slot_data_.data() + s * psz_, p + kHdr, psz_);
+  }
+
+  int n_, psz_, depth_;
+  std::vector<int> fds_;
+  std::unordered_map<uint32_t, int> ssrc_to_leg_;
+  std::vector<uint16_t> slot_seq_;
+  std::vector<uint8_t> slot_valid_;
+  std::vector<uint8_t> slot_data_;
+  std::vector<RxLeg> legs_;
+  std::vector<uint8_t> bufs_;
+  std::vector<uint8_t> ctrl_;
+  std::vector<iovec> iov_;
+  std::vector<mmsghdr> msgs_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ms2_rtptx_create(int fd, int n_legs, int payload_size) {
+  return new RtpTx(fd, n_legs, payload_size);
+}
+void ms2_rtptx_destroy(void* p) { delete static_cast<RtpTx*>(p); }
+void ms2_rtptx_config(void* p, int leg, const char* ip, int port,
+                      uint32_t ssrc, uint16_t seq0, uint32_t ts0, uint8_t pt) {
+  static_cast<RtpTx*>(p)->config(leg, ip, port, ssrc, seq0, ts0, pt);
+}
+int ms2_rtptx_send(void* p, const uint8_t* payloads, const uint8_t* mask,
+                   uint32_t ts_inc) {
+  return static_cast<RtpTx*>(p)->send(payloads, mask, ts_inc);
+}
+void ms2_rtptx_set_gso(void* p, int on) {
+  static_cast<RtpTx*>(p)->set_gso(on);
+}
+
+void* ms2_rtprx_create(int n_legs, int payload_size, int ring_depth) {
+  return new RtpRx(n_legs, payload_size, ring_depth);
+}
+void ms2_rtprx_destroy(void* p) { delete static_cast<RtpRx*>(p); }
+void ms2_rtprx_add_fd(void* p, int fd) { static_cast<RtpRx*>(p)->add_fd(fd); }
+void ms2_rtprx_map_ssrc(void* p, uint32_t ssrc, int leg) {
+  static_cast<RtpRx*>(p)->map_ssrc(ssrc, leg);
+}
+void ms2_rtprx_set_prefill(void* p, int leg, int k) {
+  static_cast<RtpRx*>(p)->set_prefill(leg, k);
+}
+int ms2_rtprx_poll(void* p) { return static_cast<RtpRx*>(p)->poll(); }
+void ms2_rtprx_read_tick(void* p, uint8_t* out, uint8_t* flags) {
+  static_cast<RtpRx*>(p)->read_tick(out, flags);
+}
+void ms2_rtprx_stats(void* p, int leg, uint64_t* got, uint64_t* lost,
+                     uint64_t* late, uint64_t* recv) {
+  static_cast<RtpRx*>(p)->stats(leg, got, lost, late, recv);
+}
+
+}  // extern "C"

@@ -131,3 +131,26 @@ def test_ticker_synchronizer():
         skew = ts.update(nb_samples=i * 80, rate=8000, host_time_ms=i * 10 + 5)
     assert abs(skew - 5.0) < 0.5
     assert abs(ts.drift_ms(50 * 80, 8000, 50 * 10 + 5)) < 0.5
+
+
+def test_ticker_pipelined_outputs_complete(factory):
+    """pipeline_depth>0: outputs arrive `depth` ticks late but complete,
+    in order, and drain() flushes the tail."""
+    import numpy as np
+    from mediastreamer2_tpu import GraphBuilder, Format, tick_samples
+    from mediastreamer2_tpu.core.ticker import Ticker
+    S = tick_samples(8000)
+    ticks = 12
+    sig = np.arange(S * ticks, dtype=np.float32) / (S * ticks)
+    g = GraphBuilder(factory, batch=2)
+    p = g.add("file_player", "play", fmt=Format(rate=8000), signal=sig)
+    g.chain(p, g.add("ext_sink", "out"))
+    cg = g.build()
+    tk = Ticker(cg, realtime=False, pipeline_depth=3)
+    got = {}
+    tk.set_io(push=lambda t, out: got.update({t: np.asarray(out["out"][0])}))
+    tk.warm_up()
+    tk.run(ticks)
+    assert sorted(got) == list(range(ticks))
+    flat = np.concatenate([got[t] for t in range(ticks)])
+    np.testing.assert_allclose(flat, sig, atol=1e-6)
