@@ -1,0 +1,23 @@
+"""E2E conference bench harness: real localhost UDP both ways per tick,
+K-blocked device calls, fidelity oracle — small-N CPU validation of the
+machinery bench.py runs at scale on the TPU."""
+import pytest
+
+from mediastreamer2_tpu.native import rtp_edge_available
+from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
+
+pytestmark = pytest.mark.skipif(not rtp_edge_available(),
+                                reason="g++ build failed")
+
+
+def test_e2e_selfloop_traffic_and_fidelity(factory):
+    b = E2EConferenceBench(factory, n_legs=16, k_block=4, pipeline_depth=1)
+    try:
+        res = b.run(n_blocks=30, paced=False)
+        # self-loop traffic is sustained: jitter misses are rare once primed
+        assert res.loss_rate < 0.05, res
+        # transport fidelity: what probe legs sent == what they received
+        assert res.fidelity > 0.9, res
+        assert res.ticks == 28 * 4
+    finally:
+        b.close()
