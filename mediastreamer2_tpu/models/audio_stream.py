@@ -36,9 +36,13 @@ from mediastreamer2_tpu.net.jitter import JitterBuffer, JBParams
 from mediastreamer2_tpu.net.rtp import RtpSession, Transport
 
 # payload-type profile (RFC 3551 static types + our dynamic ones)
-PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11, "gsm": 3, "opus": 96}
+PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11, "gsm": 3, "opus": 96,
+                 "g722": 9, "g726_32": 97}
 CN_PT = 13   # RFC 3389 comfort noise
-CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2}
+CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2, "g722": 1}
+# RFC 3551 quirk: G.722 runs 16 kHz audio on an 8 kHz RTP clock (4.5.2);
+# its payload and timestamps advance at half the sample rate (msg722.c:169)
+RTP_CLOCK = {"g722": 8000}
 # host codecs run at the RTP boundary (cf. SURVEY.md §7: library codecs are
 # host filters, like the reference's hw codec backends); value = frame ms
 HOST_CODECS = {"opus": 10, "gsm": 20}
@@ -78,6 +82,10 @@ class AudioStreamBatch:
         self.codec = codec
         self.rate = rate
         self.S = tick_samples(rate)
+        self.rtp_clock = RTP_CLOCK.get(codec, rate)
+        # samples-worth of RTP clock per tick = timestamp increment and,
+        # for byte codecs, payload unit count
+        self.S_rtp = tick_samples(self.rtp_clock)
         self.features = features or AudioStreamFeatures()
         self.record_ticks = record_ticks
         fmt = Format(kind="pcm", rate=rate)
@@ -91,7 +99,8 @@ class AudioStreamBatch:
             rx = g.add("ext_source", "rtp_rx", fmt=fmt)
             last = rx
         else:
-            rx = g.add("ext_source", "rtp_rx", fmt=fmt.with_(kind=codec))
+            rx = g.add("ext_source", "rtp_rx",
+                       fmt=fmt.with_(kind=codec, rate=self.rtp_clock))
             dec = g.add(f"{codec}_dec", "dec")
             g.link(rx, 0, dec, 0)
             last = dec
@@ -209,7 +218,7 @@ class AudioStreamBatch:
         jb = JitterBuffer(self.jb_params)
         self.sessions[leg] = RtpSession(
             transport, payload_type=PAYLOAD_TYPES[self.codec],
-            clock_rate=self.rate, jitter_buffer=jb)
+            clock_rate=self.rtp_clock, jitter_buffer=jb)
         # CN packets are accepted; their 1-byte payload routes to PLC/CN fill
         self.sessions[leg].accepted_payload_types = {
             PAYLOAD_TYPES[self.codec], CN_PT}
@@ -238,14 +247,14 @@ class AudioStreamBatch:
 
     # ------------------------------------------------------------------
     def _decode_payload(self, payload: bytes) -> np.ndarray:
-        if self.codec in ("ulaw", "alaw"):
+        if self.codec in ("ulaw", "alaw", "g722"):
             return np.frombuffer(payload, np.uint8).astype(np.int32)
         if self.codec == "l16":
             return np.frombuffer(payload, ">i2").astype(np.int32)
         raise ValueError(self.codec)
 
     def _encode_payload(self, row: np.ndarray) -> bytes:
-        if self.codec in ("ulaw", "alaw"):
+        if self.codec in ("ulaw", "alaw", "g722"):
             return row.astype(np.uint8).tobytes()
         if self.codec == "l16":
             return row.astype(">i2").tobytes()
@@ -255,15 +264,16 @@ class AudioStreamBatch:
         if self.host_codec:
             return self._pull_host_codec(tick)
         B, S = self.batch, self.S
-        rx = np.zeros((B, S), np.int32)
+        rx = np.zeros((B, self.S_rtp), np.int32)
         lost = np.zeros(B, bool)
+        payload_len = self.S_rtp * CODEC_BYTES_PER_SAMPLE[self.codec]
         for i, sess in enumerate(self.sessions):
             if sess is None:
                 lost[i] = True
                 continue
             sess.poll()
             payload = sess.jitter_buffer.get_tick()
-            if payload is None or len(payload) != S * CODEC_BYTES_PER_SAMPLE[self.codec]:
+            if payload is None or len(payload) != payload_len:
                 lost[i] = True
             else:
                 rx[i] = self._decode_payload(payload)
@@ -344,7 +354,8 @@ class AudioStreamBatch:
             if sess is None:
                 continue
             if voice[i]:
-                sess.send_payload(self._encode_payload(tx[i]), ts_increment=self.S)
+                sess.send_payload(self._encode_payload(tx[i]),
+                                  ts_increment=self.S_rtp)
             else:
                 if self._was_voice[i]:
                     # RFC 3389 CN packet at silence onset (cf. vaddtx CN event)
@@ -352,10 +363,10 @@ class AudioStreamBatch:
                     db = int(np.clip(-10 * np.log10(level + 1e-12), 0, 127))
                     old_pt = sess.payload_type
                     sess.payload_type = CN_PT
-                    sess.send_payload(bytes([db]), ts_increment=self.S)
+                    sess.send_payload(bytes([db]), ts_increment=self.S_rtp)
                     sess.payload_type = old_pt
                 else:
-                    sess.skip_payload(ts_increment=self.S)   # DTX
+                    sess.skip_payload(ts_increment=self.S_rtp)  # DTX
         self._was_voice = voice.copy()
 
     # ------------------------------------------------------------------

@@ -18,3 +18,4 @@ from mediastreamer2_tpu.ops import eq          # noqa: F401
 from mediastreamer2_tpu.ops import video       # noqa: F401
 from mediastreamer2_tpu.ops import baudot      # noqa: F401
 from mediastreamer2_tpu.ops import adpcm       # noqa: F401
+from mediastreamer2_tpu.ops import g722        # noqa: F401
