@@ -1,18 +1,24 @@
 """Benchmark: concurrent 48 kHz AEC+resample+mix legs per chip at the 10 ms
-real-time deadline (BASELINE.md north-star; the reference analogue is
-tools/bench.c — add legs until the ticker misses its deadline).
+real-time deadline (BASELINE.md north-star; reference analogue tools/bench.c
+— add legs until the ticker misses).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "legs", "vs_baseline": N/1000}
+Two numbers are measured and both appear in the ONE output JSON line:
 
-Methodology notes (tunnel-aware):
-* The driver runs this over a TPU relay where dispatch round-trip is ~25 ms
-  and `block_until_ready` does not actually block, so timing forces a
-  **scalar checksum readback** and subtracts the independently measured
-  null-op RTT; K ticks are fused per device call (lax.scan) to amortize.
-* Inputs are synthesized on device (rolled noise) so no K-sized host
-  buffers inflate HBM; the only transfer per call is one float32.
-* A batch passes if net compute per tick <= 10 ms * SAFETY.
+* value / metric (headline): **end-to-end** legs — every leg's G.711 audio
+  crosses real localhost UDP both directions every tick (native
+  sendmmsg/GSO + recvmmsg/GRO edge, jitter-ring playout), is decoded,
+  resampled 8k->48k, echo-cancelled, AGC'd, conference-mixed (mix-minus),
+  downsampled and re-encoded on the TPU, with a cross-correlation fidelity
+  oracle (>= 0.9) between sent and received probe-leg audio.  Host work,
+  device compute AND host<->device transfer all inside the deadline.
+* device_only_legs: the device-compute-only capacity (round-1 metric),
+  which is what a PCIe-attached production host would see as the compute
+  ceiling; the delta to the headline is the transfer/tunnel cost.
+
+Tunnel-awareness: the benched TPU sits behind a ~40 MB/s network tunnel
+(measured), so device work is blocked K ticks per call with a D-deep
+pipeline and downloads overlap uploads on a reader thread.  The resulting
+added latency (K*(D+1)+prefill ticks) is reported, not hidden.
 """
 import json
 import os
@@ -25,9 +31,10 @@ import numpy as np
 
 DEADLINE_MS = 10.0
 SAFETY = 0.9            # require 10% headroom under the deadline
-K_TICKS = 50            # ticks fused per device call
+K_TICKS = 50            # ticks fused per device call (device-only metric)
 TARGET_BASELINE = 1000.0  # BASELINE.md: >=1000 legs/chip
 MAX_BATCH = 1 << 20
+E2E_BLOCKS = 24         # blocks per e2e trial (K=32 -> ~7.7 s paced)
 
 
 def _rtt_ms():
@@ -87,21 +94,16 @@ def measure_batch(batch: int, rtt_ms: float, repeats: int = 3):
         return None
 
 
-def main():
-    import jax
-    backend = jax.default_backend()
-    rtt = _rtt_ms()
-    print(f"# null-op RTT {rtt:.2f} ms", file=sys.stderr)
+def device_only_legs(rtt: float) -> tuple:
     budget = DEADLINE_MS * SAFETY
-
     lo, hi = 0, None
     b = 1024
     timings = {}
     while hi is None:
         ms = measure_batch(b, rtt)
         timings[b] = ms
-        print(f"# batch={b}: {ms if ms is None else round(ms, 3)} ms/tick",
-              file=sys.stderr)
+        print(f"# device-only batch={b}: "
+              f"{ms if ms is None else round(ms, 3)} ms/tick", file=sys.stderr)
         if ms is not None and ms <= budget:
             lo = b
             if b >= MAX_BATCH:
@@ -116,22 +118,99 @@ def main():
             break
         ms = measure_batch(mid, rtt)
         timings[mid] = ms
-        print(f"# batch={mid}: {ms if ms is None else round(ms, 3)} ms/tick",
-              file=sys.stderr)
+        print(f"# device-only batch={mid}: "
+              f"{ms if ms is None else round(ms, 3)} ms/tick", file=sys.stderr)
         if ms is not None and ms <= budget:
             lo = mid
         else:
             hi = mid
+    return lo, timings.get(lo)
 
-    value = lo
+
+def e2e_trial(n_legs: int, k_block: int, depth: int):
+    """One paced e2e run; returns E2EResult or None on failure."""
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
+    try:
+        b = E2EConferenceBench(Factory(), n_legs, k_block=k_block,
+                               pipeline_depth=depth)
+        try:
+            return b.run(E2E_BLOCKS, paced=True, warmup_blocks=3)
+        finally:
+            b.close()
+    except Exception as e:
+        print(f"# e2e n={n_legs}: failed ({type(e).__name__}: "
+              f"{str(e)[:120]})", file=sys.stderr)
+        return None
+
+
+def e2e_passes(res) -> bool:
+    if res is None:
+        return False
+    ticks = (E2E_BLOCKS - 3) * res.k_block
+    return (res.late_ticks <= max(1, ticks // 100)
+            and res.loss_rate < 0.02 and res.fidelity >= 0.9)
+
+
+def e2e_legs() -> tuple:
+    """Largest N passing the paced e2e run. Returns (n, result)."""
+    K, D = 32, 2
+    best = (0, None)
+    candidates = [1024, 2048, 3072, 4096, 6144, 8192]
+    lo_fail = None
+    for n in candidates:
+        res = e2e_trial(n, K, D)
+        ok = e2e_passes(res)
+        print(f"# e2e n={n}: "
+              f"{None if res is None else round(res.ms_per_tick, 2)} ms/tick "
+              f"late={getattr(res, 'late_ticks', '-')} "
+              f"loss={None if res is None else round(res.loss_rate, 4)} "
+              f"fid={None if res is None else round(res.fidelity, 3)} "
+              f"-> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+        if ok:
+            best = (n, res)
+        else:
+            lo_fail = n
+            break
+    if lo_fail and best[0]:
+        # one refinement step between last pass and first fail
+        mid = (best[0] + lo_fail) // 2 // 256 * 256
+        if best[0] < mid < lo_fail:
+            res = e2e_trial(mid, K, D)
+            ok = e2e_passes(res)
+            print(f"# e2e n={mid}: "
+                  f"{None if res is None else round(res.ms_per_tick, 2)} "
+                  f"ms/tick -> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+            if ok:
+                best = (mid, res)
+    return best
+
+
+def main():
+    import jax
+    backend = jax.default_backend()
+    rtt = _rtt_ms()
+    print(f"# null-op RTT {rtt:.2f} ms", file=sys.stderr)
+
+    dev_legs, dev_ms = device_only_legs(rtt)
+    n_e2e, res = e2e_legs()
+
     result = {
-        "metric": "concurrent 48kHz AEC+resample+mix legs per chip at 10ms deadline",
-        "value": int(value),
+        "metric": ("end-to-end 48kHz AEC+resample+mix G.711 legs per chip "
+                   "over real localhost UDP at 10ms deadline"),
+        "value": int(n_e2e),
         "unit": "legs",
-        "vs_baseline": round(value / TARGET_BASELINE, 3),
+        "vs_baseline": round(n_e2e / TARGET_BASELINE, 3),
         "backend": backend,
-        "ms_per_tick_at_value": (None if timings.get(value) is None
-                                 else round(timings.get(value, float("nan")), 3)),
+        "device_only_legs": int(dev_legs),
+        "device_only_ms_per_tick": (None if dev_ms is None
+                                    else round(dev_ms, 3)),
+        "e2e_ms_per_tick": (None if res is None
+                            else round(res.ms_per_tick, 3)),
+        "e2e_loss_rate": None if res is None else round(res.loss_rate, 5),
+        "e2e_fidelity": None if res is None else round(res.fidelity, 4),
+        "e2e_added_latency_ms": (None if res is None
+                                 else res.mouth_to_ear_ms),
         "rtt_ms": round(rtt, 2),
     }
     print(json.dumps(result))

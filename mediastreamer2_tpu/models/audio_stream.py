@@ -353,6 +353,13 @@ class AudioStreamBatch:
         for i, sess in enumerate(self.sessions):
             if sess is None:
                 continue
+            if sess.dtmf_active():
+                # RFC 4733: telephone-event packets replace the audio for
+                # the digit's duration (msrtp.c DTMF insertion mutes audio);
+                # the RTP clock keeps running underneath
+                sess.dtmf_tick(self.S_rtp)
+                sess.skip_payload(ts_increment=self.S_rtp)
+                continue
             if voice[i]:
                 sess.send_payload(self._encode_payload(tx[i]),
                                   ts_increment=self.S_rtp)
@@ -380,6 +387,42 @@ class AudioStreamBatch:
 
     def stop(self):
         self.ticker.stop()
+
+    # -- RFC 4733 DTMF over RTP (parity: msrtp.h:46-113) -----------------
+    def send_dtmf(self, leg: int, digit: str, duration_ms: int = 100,
+                  volume: int = 10):
+        """Queue a DTMF digit as telephone-event packets on the leg
+        (cf. audio_stream_send_dtmf / MS_RTP_SEND_SEND_DTMF)."""
+        sess = self.sessions[leg]
+        if sess is None:
+            raise RuntimeError("set_transport first")
+        sess.send_dtmf(digit, duration_ms=duration_ms, volume=volume)
+
+    def enable_dtmf_receive(self, leg: int, play_tone: bool = False,
+                            tone_ms: int = 100):
+        """Deliver inbound telephone-events to `dtmf_received` (and, with
+        play_tone, regenerate the dual tone into the leg's speaker path via
+        the device dtmf_gen — requires features.dtmf)."""
+        sess = self.sessions[leg]
+        if sess is None:
+            raise RuntimeError("set_transport first")
+        if not hasattr(self, "dtmf_received"):
+            self.dtmf_received: List = []
+
+        def on_dtmf(digit, volume, _leg=leg):
+            self.dtmf_received.append((_leg, digit))
+            if play_tone and self.features.dtmf:
+                from mediastreamer2_tpu.ops.tones import dtmf_freqs
+                f1, f2 = dtmf_freqs(digit)
+                samples = tone_ms * self.rate // 1000
+
+                def trigger(tk):
+                    p = tk.params["dtmf"]
+                    p["f1"] = p["f1"].at[_leg].set(f1)
+                    p["f2"] = p["f2"].at[_leg].set(f2)
+                    p["remaining"] = p["remaining"].at[_leg].set(samples)
+                self.ticker.mutate(trigger)
+        sess.on_dtmf = on_dtmf
 
     def play_announcement(self, signal: np.ndarray,
                           legs: Optional[List[int]] = None):

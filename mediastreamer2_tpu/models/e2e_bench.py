@@ -75,7 +75,7 @@ class E2EResult:
     k_block: int
     pipeline_depth: int
     ms_per_tick: float          # sustained wall time per tick, host+device+net
-    late_blocks: int
+    late_ticks: int             # tick edges missed by > 1 interval
     loss_rate: float            # jitter-buffer misses after warmup
     fidelity: float             # audio_diff(sent, received) on probe legs
     mouth_to_ear_ms: float      # added pipeline latency (K*(D+1) + prefill)
@@ -166,14 +166,33 @@ class E2EConferenceBench:
     def run(self, n_blocks: int, paced: bool = True,
             warmup_blocks: int = 2) -> E2EResult:
         import jax
+        from concurrent.futures import ThreadPoolExecutor
         N, K, D, S8 = self.n, self.K, self.D, self.S8
+        # The paced thread must NEVER block on the device: uploads+dispatch
+        # run on one worker (calls serialize there, so device state chains
+        # correctly) and downloads on another, overlapping both transfer
+        # directions with the tick loop (np.asarray/device_put release the
+        # GIL during tunnel/PCIe I/O).
+        uploader = ThreadPoolExecutor(max_workers=1)
+        reader = ThreadPoolExecutor(max_workers=1)
+
+        def fetch(txs, probes):
+            return (np.asarray(txs), np.asarray(probes[0]),
+                    np.asarray(probes[1]))
+
+        def gpu_block(stage_copy):
+            x = jax.device_put(stage_copy)
+            self.state, self._t_dev, txs, probes = self._run_block(
+                self.state, self._t_dev, x)
+            return reader.submit(fetch, txs, probes)
+
         # 0xFF is mu-law digital silence; zeros would decode loud (-0.24)
         stage = np.full((K, N, S8), 0xFF, np.uint8)
         cur_tx = np.full((K, N, S8), 0xFF, np.uint8)    # block being sent
         q: list = []                                     # in-flight device calls
         flags_missing = 0
         flags_total = 0
-        late_blocks = 0
+        late_ticks = 0
         t_start: Optional[float] = None
         ticks_timed = 0
         interval = 0.01
@@ -187,13 +206,16 @@ class E2EConferenceBench:
         for blk in range(n_blocks):
             if blk == warmup_blocks:
                 t_start = time.perf_counter()
-            blk_t0 = time.perf_counter()
             for k in range(K):
                 if paced:
                     now = time.perf_counter()
                     if now < next_edge:
                         time.sleep(next_edge - now)
-                    next_edge = max(next_edge + interval, now - 0.5)
+                    elif now > next_edge + interval:
+                        if blk >= warmup_blocks:
+                            late_ticks += 1   # cf. msticker late-tick event
+                        next_edge = now
+                    next_edge += interval
                 self.tx.send(cur_tx[k], ts_inc=S8)
                 self.rx.poll()
                 pay, fl = self.rx.read_tick()
@@ -204,27 +226,23 @@ class E2EConferenceBench:
                 if blk >= warmup_blocks:
                     flags_total += N
                     flags_missing += int(N - fl.sum())
-            x = jax.device_put(stage.copy())
-            self.state, self._t_dev, txs, probes = self._run_block(
-                self.state, self._t_dev, x)
-            q.append((txs, probes))
+            q.append(uploader.submit(gpu_block, stage.copy()))
             if len(q) > D:
-                txs_h, probes_h = q.pop(0)
-                cur_tx = np.asarray(txs_h)
-                self._sent_probe.append(np.asarray(probes_h[0]))
-                self._recv_probe.append(np.asarray(probes_h[1]))
-            if blk >= warmup_blocks:
-                ticks_timed += K
-                if (time.perf_counter() - blk_t0) > K * interval:
-                    late_blocks += 1
+                cur_tx, sent_p, recv_p = q.pop(0).result().result()
+                self._sent_probe.append(sent_p)
+                self._recv_probe.append(recv_p)
         total_s = time.perf_counter() - (t_start or time.perf_counter())
-        for txs_h, probes_h in q:
-            self._sent_probe.append(np.asarray(probes_h[0]))
-            self._recv_probe.append(np.asarray(probes_h[1]))
+        for fut in q:
+            _, sent_p, recv_p = fut.result().result()
+            self._sent_probe.append(sent_p)
+            self._recv_probe.append(recv_p)
+        uploader.shutdown(wait=True)
+        reader.shutdown(wait=True)
+        ticks_timed = (n_blocks - warmup_blocks) * K
         return E2EResult(
             n_legs=N, ticks=ticks_timed, k_block=K, pipeline_depth=D,
             ms_per_tick=total_s * 1e3 / max(ticks_timed, 1),
-            late_blocks=late_blocks,
+            late_ticks=late_ticks,
             loss_rate=flags_missing / max(flags_total, 1),
             fidelity=self.fidelity(),
             mouth_to_ear_ms=(K * (D + 1) + self.prefill) * 10.0)

@@ -27,6 +27,23 @@ import numpy as np
 RTP_VERSION = 2
 _HDR = struct.Struct("!BBHII")      # V/P/X/CC, M/PT, seq, timestamp, ssrc
 
+# RFC 4733 telephone-event (DTMF over RTP) — reference: the MSRtpSend DTMF
+# insertion path (src/otherfilters/msrtp.c) + msrtp.h:46-113 methods.
+TELEPHONE_EVENT_PT = 101            # common dynamic PT for telephone-event
+DTMF_DIGITS = "0123456789*#ABCD"    # event codes 0..15 (RFC 4733 §3.2)
+DTMF_END_REDUNDANCY = 3             # end packet sent 3x (RFC 4733 §5)
+
+
+@dataclasses.dataclass
+class _DtmfTx:
+    event: int
+    volume: int
+    total_units: int                # duration in RTP clock units
+    start_ts: int = 0
+    sent_units: int = 0
+    end_sent: int = 0
+    first: bool = True
+
 
 @dataclasses.dataclass
 class RtpPacket:
@@ -253,6 +270,12 @@ class RtpSession:
         self._rtx_depth = 0
         self._last_transit = None
         self.jitter_units = 0.0    # RFC3550 interarrival jitter (ts units)
+        # RFC 4733 telephone-event state
+        self.telephone_event_pt = TELEPHONE_EVENT_PT
+        self.on_dtmf: Optional[Callable[[str, int], None]] = None
+        self._dtmf_queue: List[_DtmfTx] = []
+        self._dtmf_cur: Optional[_DtmfTx] = None
+        self._dtmf_rx_ts: Optional[int] = None   # current inbound event ts
 
     @property
     def jitter_ms(self) -> float:
@@ -295,8 +318,71 @@ class RtpSession:
         """DTX: advance the RTP clock without sending (cf. CN/DTX)."""
         self.ts = (self.ts + ts_increment) & 0xFFFFFFFF
 
+    # -- RFC 4733 telephone-event send ------------------------------------
+    def send_dtmf(self, digit: str, duration_ms: int = 100, volume: int = 10):
+        """Queue a DTMF digit for transmission as telephone-event packets
+        (reference: MS_RTP_SEND_SEND_DTMF path in msrtp.c). Packets go out
+        on subsequent ticks via dtmf_tick(); audio should be suppressed
+        while active (the stream layer calls dtmf_active())."""
+        event = DTMF_DIGITS.index(digit.upper())
+        units = duration_ms * self.clock_rate // 1000
+        self._dtmf_queue.append(_DtmfTx(event=event, volume=volume,
+                                        total_units=units))
+
+    def dtmf_active(self) -> bool:
+        return self._dtmf_cur is not None or bool(self._dtmf_queue)
+
+    def dtmf_tick(self, ts_increment: int) -> bool:
+        """Advance the telephone-event sender by one tick. Returns True if
+        an event packet was emitted (caller skips audio but still advances
+        the clock with skip_payload). The event packets keep the event's
+        start timestamp with growing duration; the final packet has the E
+        bit and is sent DTMF_END_REDUNDANCY times (RFC 4733 §5)."""
+        if self._dtmf_cur is None:
+            if not self._dtmf_queue:
+                return False
+            self._dtmf_cur = self._dtmf_queue.pop(0)
+            self._dtmf_cur.start_ts = self.ts
+        ev = self._dtmf_cur
+        ev.sent_units = min(ev.sent_units + ts_increment, ev.total_units)
+        end = ev.sent_units >= ev.total_units
+        payload = struct.pack(
+            "!BBH", ev.event,
+            ((0x80 if end else 0) | (ev.volume & 0x3F)), ev.sent_units)
+        pkt = RtpPacket(self.telephone_event_pt, self.seq, ev.start_ts,
+                        self.ssrc, payload, marker=ev.first)
+        ev.first = False
+        self.transport.send(pkt.pack())
+        self.seq = (self.seq + 1) & 0xFFFF
+        self.stats.sent_packets += 1
+        if end:
+            ev.end_sent += 1
+            if ev.end_sent >= DTMF_END_REDUNDANCY:
+                self._dtmf_cur = None
+        return True
+
+    def _handle_telephone_event(self, pkt: RtpPacket):
+        """RFC 4733 receive: fire on_dtmf once per event.
+
+        Events are identified by their (constant) RTP timestamp, so the
+        digit fires on the *first packet seen* for a new event — robust to
+        loss of the marker packet, the end packets, or any subset: any
+        surviving packet of the event delivers the digit exactly once."""
+        if len(pkt.payload) < 4:
+            return
+        event, flags, _dur = struct.unpack("!BBH", pkt.payload[:4])
+        if event >= len(DTMF_DIGITS):
+            return
+        if pkt.timestamp != self._dtmf_rx_ts:
+            self._dtmf_rx_ts = pkt.timestamp
+            if self.on_dtmf:
+                self.on_dtmf(DTMF_DIGITS[event], flags & 0x3F)
+
     # -- recv path ------------------------------------------------------
     def _deliver(self, pkt: RtpPacket):
+        if pkt.payload_type == self.telephone_event_pt:
+            self._handle_telephone_event(pkt)
+            return
         accepted = self.accepted_payload_types or {self.payload_type}
         if pkt.payload_type not in accepted:
             self.stats.discarded += 1

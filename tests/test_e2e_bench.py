@@ -19,5 +19,6 @@ def test_e2e_selfloop_traffic_and_fidelity(factory):
         # transport fidelity: what probe legs sent == what they received
         assert res.fidelity > 0.9, res
         assert res.ticks == 28 * 4
+        assert res.late_ticks >= 0
     finally:
         b.close()
