@@ -82,6 +82,63 @@ def read_pcap(path: str) -> List[CapturedPacket]:
     return out
 
 
+def read_pcapng(path: str) -> List[CapturedPacket]:
+    """pcapng (the reference's tester/scenarios/*.pcapng files): SHB + IDB +
+    EPB block walk, per-interface link type and timestamp resolution."""
+    out: List[CapturedPacket] = []
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    endian = "<"
+    ifaces: List[tuple] = []            # (link_type, ticks_per_second)
+    while off + 12 <= len(data):
+        btype = struct.unpack_from(endian + "I", data, off)[0]
+        if btype == 0x0A0D0D0A:         # Section Header Block
+            bom = struct.unpack_from("<I", data, off + 8)[0]
+            endian = "<" if bom == 0x1A2B3C4D else ">"
+            ifaces = []
+            blen = struct.unpack_from(endian + "I", data, off + 4)[0]
+        else:
+            blen = struct.unpack_from(endian + "I", data, off + 4)[0]
+            if blen < 12 or off + blen > len(data):
+                break
+            body = data[off + 8: off + blen - 4]
+            if btype == 1:              # Interface Description Block
+                link_type = struct.unpack_from(endian + "H", body, 0)[0]
+                tps = 1_000_000         # default if_tsresol = 6 (microsec)
+                o = 8
+                while o + 4 <= len(body):
+                    code, olen = struct.unpack_from(endian + "HH", body, o)
+                    if code == 0:
+                        break
+                    if code == 9 and olen >= 1:        # if_tsresol
+                        v = body[o + 4]
+                        tps = (1 << (v & 0x7F)) if v & 0x80 else 10 ** v
+                    o += 4 + ((olen + 3) & ~3)
+                ifaces.append((link_type, tps))
+            elif btype == 6 and len(body) >= 20:       # Enhanced Packet Block
+                iface, ts_hi, ts_lo, caplen, _wl = struct.unpack_from(
+                    endian + "IIIII", body, 0)
+                frame = body[20:20 + caplen]
+                link_type, tps = ifaces[iface] if iface < len(ifaces) \
+                    else (LINKTYPE_ETHERNET, 1_000_000)
+                pkt = _parse_udp(link_type, frame)
+                if pkt is not None:
+                    pkt.ts = ((ts_hi << 32) | ts_lo) / tps
+                    out.append(pkt)
+        off += blen
+    return out
+
+
+def read_capture(path: str) -> List[CapturedPacket]:
+    """Sniff classic pcap vs pcapng and parse accordingly."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"\x0a\x0d\x0d\x0a":
+        return read_pcapng(path)
+    return read_pcap(path)
+
+
 def write_pcap(path: str, packets: List[CapturedPacket],
                src=("10.0.0.1", 5004), dst=("10.0.0.2", 5004)):
     """Write UDP packets as raw-IP classic pcap (tests fabricate scenarios)."""

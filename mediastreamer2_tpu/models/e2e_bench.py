@@ -229,8 +229,9 @@ class E2EConferenceBench:
             q.append(uploader.submit(gpu_block, stage.copy()))
             if len(q) > D:
                 cur_tx, sent_p, recv_p = q.pop(0).result().result()
-                self._sent_probe.append(sent_p)
-                self._recv_probe.append(recv_p)
+                if blk >= warmup_blocks:   # keep fidelity streams steady-state
+                    self._sent_probe.append(sent_p)
+                    self._recv_probe.append(recv_p)
         total_s = time.perf_counter() - (t_start or time.perf_counter())
         for fut in q:
             _, sent_p, recv_p = fut.result().result()

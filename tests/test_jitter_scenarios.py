@@ -1,0 +1,58 @@
+"""Jitter buffer vs the reference's REAL captured network pathologies
+(tester/scenarios/*.pcapng), replayed in capture time — the reference's
+jitterbuffer tester harness (mediastreamer2_jitterbuffer_tester.c:86-122):
+basic vs RLS algorithms, loss/late/underrun counters as oracles."""
+import os
+
+import pytest
+
+from mediastreamer2_tpu.net.jitter import JitterBuffer, JBParams, \
+    replay_capture
+
+SCEN = "/root/reference/tester/scenarios"
+pytestmark = pytest.mark.skipif(not os.path.isdir(SCEN),
+                                reason="reference scenarios not mounted")
+
+
+def _run(fname, algo, max_depth=50):
+    jb = JitterBuffer(JBParams(min_depth_ticks=2, nom_depth_ticks=4,
+                               max_depth_ticks=max_depth, algorithm=algo,
+                               refresh_ticks=250))
+    return replay_capture(os.path.join(SCEN, fname), jb)
+
+
+def test_534late_24loss_7000total():
+    """The reference's hardest audio scenario: 142 s, bursty arrival, 24
+    genuine losses, hundreds of late packets. RLS must adapt the depth and
+    beat basic decisively (ref: outoftime 580-690 basic vs 190-240 rls)."""
+    basic = _run("rtp-534late-24loss-7000total.pcapng", "basic")
+    rls = _run("rtp-534late-24loss-7000total.pcapng", "rls")
+    assert basic["recv"] == 7108 and rls["recv"] == 7108  # parity: packet_recv
+    # RLS recovers every late packet: only the 24 real losses remain
+    assert rls["lost"] == 24
+    assert rls["late"] == 0
+    # and conceals far fewer ticks than basic
+    basic_missed = basic["underruns"] + basic["late"] + basic["lost"]
+    rls_missed = rls["underruns"] + rls["late"] + rls["lost"]
+    assert rls_missed * 3 < basic_missed, (basic, rls)
+    # adapted depth grew beyond nominal to cover the late envelope
+    assert rls["depth_target"] > 4
+
+
+def test_120late_1000total():
+    basic = _run("rtp-120late-1000total.pcapng", "basic")
+    rls = _run("rtp-120late-1000total.pcapng", "rls")
+    assert basic["recv"] == 904 and rls["recv"] == 904
+    assert rls["lost"] == 0 and rls["late"] == 0
+    assert rls["underruns"] < basic["underruns"]
+
+
+def test_no_jitter_clean_capture():
+    """pcmu_8k_no_jitter.pcap: clean 50 s capture -> essentially everything
+    plays, nothing late (ref asserts outoftime <= 2, discarded == 0)."""
+    for algo in ("basic", "rls"):
+        r = _run("pcmu_8k_no_jitter.pcap", algo)
+        assert r["recv"] == 2524          # parity: packet_recv == 2524
+        assert r["late"] <= 2
+        assert r["lost"] == 0
+        assert r["played"] >= 2500
