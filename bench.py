@@ -135,7 +135,7 @@ def e2e_trial(n_legs: int, k_block: int, depth: int):
         b = E2EConferenceBench(Factory(), n_legs, k_block=k_block,
                                pipeline_depth=depth)
         try:
-            return b.run(E2E_BLOCKS, paced=True, warmup_blocks=3)
+            return b.run(E2E_BLOCKS, paced=True)
         finally:
             b.close()
     except Exception as e:
@@ -147,7 +147,7 @@ def e2e_trial(n_legs: int, k_block: int, depth: int):
 def e2e_passes(res) -> bool:
     if res is None:
         return False
-    ticks = (E2E_BLOCKS - 3) * res.k_block
+    ticks = res.ticks
     return (res.late_ticks <= max(1, ticks // 100)
             and res.loss_rate < 0.02 and res.fidelity >= 0.9)
 

@@ -70,9 +70,15 @@ class AudioStreamBatch:
                  features: Optional[AudioStreamFeatures] = None,
                  mic_signal: Optional[np.ndarray] = None,
                  record_ticks: int = 0,
+                 record_mixed: bool = False,
                  jb_params: Optional[JBParams] = None,
                  conference: bool = False):
-        """conference=True builds the *server* shape: each leg's decoded
+        """record_mixed=True records mic+received mixed (the reference's
+        mixed-call recording branch, src/voip/audiostream.c:1068-1088,
+        1834-1840: av_recorder fed from both directions) instead of the
+        receive side only.
+
+        conference=True builds the *server* shape: each leg's decoded
         audio feeds a deployment-wide conf_mixer whose mix-minus output is
         re-encoded back to that leg — the reference's audioconference
         endpoint splice (src/voip/audioconference.c:119-178) as a graph
@@ -126,7 +132,15 @@ class AudioStreamBatch:
         spk_tee = g.add("tee", "spk_tee")
         g.link(last, 0, spk_tee, 0)
         g.link(spk_tee, 0, g.add("ext_sink", "spk"), 0)
-        if record_ticks:
+        self.record_mixed = record_mixed and not conference
+        rec_mix = None
+        if record_ticks and self.record_mixed:
+            # both call directions into one recording (audiostream.c:1068)
+            rec_mix = g.add("mix2", "rec_mix")
+            g.link(spk_tee, 1, rec_mix, 0)
+            g.link(rec_mix, 0, g.add("file_recorder", "rec",
+                                     max_ticks=record_ticks), 0)
+        elif record_ticks:
             g.link(spk_tee, 1, g.add("file_recorder", "rec",
                                      max_ticks=record_ticks), 0)
 
@@ -167,6 +181,11 @@ class AudioStreamBatch:
             g.link(last, 0, mx, 0)
             g.link(player, 0, mx, 1)
             last = mx
+        if rec_mix is not None:
+            send_tee = g.add("tee", "send_tee")
+            g.link(last, 0, send_tee, 0)
+            g.link(send_tee, 1, rec_mix, 1)
+            last = send_tee
         if self.host_codec:
             g.link(last, 0, g.add("ext_sink", "rtp_tx"), 0)   # PCM out
         else:

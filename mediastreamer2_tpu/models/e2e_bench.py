@@ -143,8 +143,12 @@ class E2EConferenceBench:
             except OSError:
                 pass
         port = rx_sock.getsockname()[1]
-        self.prefill = self.K * (self.D + 1) + 4
-        depth = 1 << max(6, (self.prefill * 2 - 1).bit_length())
+        # packets arrive paced (one per leg per tick), so the ring only
+        # needs slack for scheduling hiccups at block boundaries — NOT the
+        # whole pipeline depth (the self-loop's latency shows up as stream
+        # offset, which seq-keyed playout absorbs for free)
+        self.prefill = max(8, self.K // 2)
+        depth = 1 << max(6, (self.prefill * 4 - 1).bit_length())
         self.tx = BatchRtpTx(tx_sock, n_legs, self.S8)
         self.rx = BatchRtpRx(n_legs, self.S8, ring_depth=depth)
         self.rx.add_socket(rx_sock, gro=True)
@@ -164,10 +168,13 @@ class E2EConferenceBench:
         self.rx.close()
 
     def run(self, n_blocks: int, paced: bool = True,
-            warmup_blocks: int = 2) -> E2EResult:
+            warmup_blocks: Optional[int] = None) -> E2EResult:
         import jax
         from concurrent.futures import ThreadPoolExecutor
         N, K, D, S8 = self.n, self.K, self.D, self.S8
+        if warmup_blocks is None:
+            # cover pipeline fill + jitter-ring priming before measuring
+            warmup_blocks = D + 2 + (self.prefill + K - 1) // K
         # The paced thread must NEVER block on the device: uploads+dispatch
         # run on one worker (calls serialize there, so device state chains
         # correctly) and downloads on another, overlapping both transfer
@@ -251,7 +258,6 @@ class E2EConferenceBench:
     def fidelity(self) -> float:
         """audio_diff between what probe legs sent and what they received
         back (decoded), across the whole run."""
-        from mediastreamer2_tpu.utils.audiodiff import audio_diff
         if not self._sent_probe:
             return 0.0
         # sent: u8 payloads [T,4,80] -> mu-law decode in numpy (host side;
@@ -267,6 +273,18 @@ class E2EConferenceBench:
             b = recv[:, leg].reshape(-1)
             if np.abs(a).max() < 1e-6 or np.abs(b).max() < 1e-6:
                 continue
-            sim, _ = audio_diff(a, b)
-            sims.append(sim)
+            # The recv stream lags the sent stream by the loop delay
+            # (pipeline + jitter prefill), always a whole number of ticks.
+            # Search tick-aligned shifts and score overlap-normalized
+            # correlation — whole-stream normalization (audio_diff) would
+            # penalize the non-overlapping edges, i.e. measure latency.
+            max_shift = (self.K * (self.D + 2) + self.prefill + 8) * 80
+            best = 0.0
+            for s in range(0, min(max_shift, len(b) - 800), 80):
+                n = min(len(a), len(b) - s)
+                aa, bb = a[:n], b[s:s + n]
+                denom = np.linalg.norm(aa) * np.linalg.norm(bb)
+                if denom > 0:
+                    best = max(best, float(np.dot(aa, bb) / denom))
+            sims.append(best)
         return float(min(sims)) if sims else 0.0

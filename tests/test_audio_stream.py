@@ -91,3 +91,53 @@ def test_call_dtx_stops_packets(factory):
     sent = marielle.sessions[0].stats.sent_packets
     assert sent < 130, f"DTX should suppress packets, sent {sent}"
     assert sent > 40
+
+
+def test_mixed_call_recording(factory):
+    """record_mixed: the recording contains BOTH the local mic and the
+    received far-end audio (parity: audiostream.c:1068-1088 mixed-call
+    recorder branch; round-1 recorded only the recv side).
+
+    Oracle: distinct tones per direction (A=433 Hz, B=1700 Hz) and spectral
+    energy checks — speechlike seeds cross-correlate too strongly to
+    discriminate directions."""
+    from mediastreamer2_tpu.core.block import tick_samples
+    S = tick_samples(8000)
+    ticks = 120
+    t = np.arange(S * ticks) / 8000.0
+    mic_a = (0.3 * np.sin(2 * np.pi * 433 * t)).astype(np.float32)
+    mic_b = (0.3 * np.sin(2 * np.pi * 1700 * t)).astype(np.float32)
+
+    def band_ratio(rec, f):
+        spec = np.abs(np.fft.rfft(rec))
+        freqs = np.fft.rfftfreq(len(rec), 1 / 8000)
+        peak = spec[(freqs > f - 20) & (freqs < f + 20)].max()
+        return peak / (np.median(spec) + 1e-9)
+
+    def call(record_mixed):
+        a = AudioStreamBatch(factory, 1, mic_signal=mic_a)
+        b = AudioStreamBatch(factory, 1, mic_signal=mic_b,
+                             record_ticks=ticks + 40,
+                             record_mixed=record_mixed)
+        pair = LoopbackPair()
+        a.set_transport(0, pair.endpoint(0))
+        b.set_transport(0, pair.endpoint(1))
+        a.ticker.warm_up(); b.ticker.warm_up()
+        b.start(ticks + 40)
+        a.run(ticks + 10)
+        a.stop(); b.stop()
+        return b.get_recording()[0]
+
+    def band_peak(rec, f):
+        spec = np.abs(np.fft.rfft(rec))
+        freqs = np.fft.rfftfreq(len(rec), 1 / 8000)
+        return spec[(freqs > f - 20) & (freqs < f + 20)].max()
+
+    rec = call(record_mixed=True)
+    assert band_ratio(rec, 433) > 50     # far end present
+    assert band_ratio(rec, 1700) > 50    # own mic present
+    rec2 = call(record_mixed=False)
+    assert band_ratio(rec2, 433) > 50    # far end present
+    # own mic absent from a recv-only recording: its 1700 Hz energy is a
+    # tiny fraction of the mixed recording's (mu-law noise floor remains)
+    assert band_peak(rec2, 1700) < band_peak(rec, 1700) / 20
