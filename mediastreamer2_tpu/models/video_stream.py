@@ -51,6 +51,93 @@ def fragment_frame(data: bytes, mtu: int) -> List[bytes]:
     return [data[i:i + chunk] for i in range(0, max(len(data), 1), chunk)]
 
 
+class H264FrameCodec(FrameCodec):
+    """H.264 via libavcodec/libx264 (ops/h264.py), Annex-B at the frame
+    boundary. Parity: h26x-encoder-filter.cpp / h26x-decoder-filter.cpp."""
+
+    name = "h264"
+
+    def __init__(self, width: int, height: int, bitrate_bps: int = 500_000,
+                 fps: int = 25):
+        from mediastreamer2_tpu.ops.h264 import H264Encoder, H264Decoder
+        self.enc = H264Encoder(width, height, bitrate_bps, int(fps))
+        self.dec = H264Decoder()
+
+    def encode(self, frame: bytes, keyframe: bool) -> bytes:
+        return self.enc.encode(frame, keyframe=keyframe)
+
+    def decode(self, data: bytes) -> Optional[bytes]:
+        frames = self.dec.decode(data)
+        return frames[-1] if frames else None
+
+
+class GenericPacketizer:
+    """Timestamp fragmentation + marker reassembly (MSDummyEnc-style
+    payloads; the generic half of vp8rtpfmt/h26x packers)."""
+
+    def __init__(self, mtu: int):
+        self.mtu = mtu
+        self.asm = FrameAssembler()
+
+    def pack(self, data: bytes) -> List[bytes]:
+        return fragment_frame(data, self.mtu)
+
+    def push(self, pkt):
+        self.asm.push(pkt)
+
+    def pop(self) -> Optional[bytes]:
+        return self.asm.pop()
+
+    @property
+    def dropped_incomplete(self):
+        return self.asm.dropped_incomplete
+
+
+class H264Packetizer:
+    """RFC 6184 payloads (single NAL / STAP-A / FU-A) with SPS/PPS store;
+    an access unit closes on the marker bit; seq gaps drop the AU (the
+    decoder then freezes until FIR recovery — h26x unpacker semantics)."""
+
+    def __init__(self, mtu: int):
+        from mediastreamer2_tpu.net.h26x import (H264Unpacker,
+                                                 ParameterSetStore)
+        self.mtu = mtu
+        self.unpacker = H264Unpacker()
+        self.ps = ParameterSetStore()
+        self._nals: List[bytes] = []
+        self.completed: List[bytes] = []
+        self._last_seq = None
+        self._gap = False
+        self.dropped_incomplete = 0
+
+    def pack(self, annexb: bytes) -> List[bytes]:
+        from mediastreamer2_tpu.net.h26x import packetize, split_annexb
+        nals = split_annexb(annexb)
+        return packetize(nals, self.mtu) if nals else []
+
+    def push(self, pkt):
+        if self._last_seq is not None and                 ((pkt.seq - self._last_seq) & 0xFFFF) != 1:
+            self._gap = True
+        self._last_seq = pkt.seq
+        for nal in self.unpacker.push(pkt.payload):
+            self.ps.process(nal)
+            self._nals.append(nal)
+        if pkt.marker:
+            if self._gap or not self._nals:
+                self.dropped_incomplete += 1
+            else:
+                from mediastreamer2_tpu.net.h26x import to_annexb
+                # IDR without in-band SPS/PPS: replay the stored parameter
+                # sets ahead of it (ParameterSetStore role, h26x framework)
+                nals = self.ps.prepend_for_idr(self._nals)
+                self.completed.append(to_annexb(nals))
+            self._nals = []
+            self._gap = False
+
+    def pop(self) -> Optional[bytes]:
+        return self.completed.pop(0) if self.completed else None
+
+
 class FrameAssembler:
     """Reassemble fragments by timestamp; marker bit closes the frame
     (the generic half of vp8rtpfmt/h26x unpacker behavior)."""
@@ -99,11 +186,20 @@ class VideoStreamBatch:
         self.batch = batch
         self.fmt = fmt or Format(kind="yuv420", width=320, height=240, fps=fps)
         self.out_fmt = out_fmt or self.fmt
+        if codec == "h264":               # convenience: full H.264 legs
+            w, h = self.out_fmt.width, self.out_fmt.height
+            codec_factory = lambda: H264FrameCodec(w, h, fps=fps)  # noqa: E731
+            packetizer_factory = lambda: H264Packetizer(mtu)       # noqa: E731
+        else:
+            packetizer_factory = None
         if codec_factory is not None:
             self.codecs = [codec_factory() for _ in range(batch)]
         else:
             self.codecs = [codec or FrameCodec()] * batch
         self.codec = self.codecs[0]
+        if packetizer_factory is None:
+            packetizer_factory = lambda: GenericPacketizer(mtu)    # noqa: E731
+        self.packetizers = [packetizer_factory() for _ in range(batch)]
         self.mtu = mtu
         self.fps = fps
         self.stats = [VideoStreamStats() for _ in range(batch)]
@@ -132,13 +228,14 @@ class VideoStreamBatch:
         self.ticker.set_io(pull=self._pull, push=self._push)
 
         self.sessions: List[Optional[RtpSession]] = [None] * batch
-        self.assemblers = [FrameAssembler() for _ in range(batch)]
+        self.assemblers = self.packetizers     # back-compat alias
         self._frame_shape = (self.out_fmt.height * 3 // 2, self.out_fmt.width)
         self._last_rx = np.zeros((batch,) + self._frame_shape, np.float32)
         self._tick_per_frame = max(1, int(round(100.0 / fps)))
         self._ts = 0
         # first frame of every leg is a keyframe; FIR sets this too
         self._force_kf = [True] * batch
+        self._last_dropped = [0] * batch
         # dead-camera watchdog (ext-camera mode)
         self._cam_frames = [None] * batch
         self._cam_last_tick = [0] * batch
@@ -166,7 +263,12 @@ class VideoStreamBatch:
         self.sessions[leg] = RtpSession(transport, payload_type=VIDEO_PT,
                                         clock_rate=90000)
         self.sessions[leg].jitter_buffer = None
-        self.starters[leg].activate()
+        # rtcp-mux feedback channel: FIR/PLI ride the same transport
+        # (cf. videostream.c AVPF FIR/PLI senders :2076-2100)
+        self.sessions[leg].attach_rtcp(interval_s=5.0)
+        # starter runs on the stream's virtual clock (ticks), not wall time,
+        # so free-running tests and realtime behave identically
+        self.starters[leg].activate(now=self.ticker.stats.ticks * 0.01)
 
     # -- host frame <-> bytes --------------------------------------------
     def _frame_to_bytes(self, frame: np.ndarray) -> bytes:
@@ -230,17 +332,19 @@ class VideoStreamBatch:
                 data = self.codecs[i].encode(self._frame_to_bytes(frames[i]),
                                              keyframe=self._force_kf[i])
                 self._force_kf[i] = False
-                chunks = fragment_frame(data, self.mtu)
+                chunks = self.packetizers[i].pack(data)
                 for k, c in enumerate(chunks):
                     sess.ts = self._ts
                     pkt_marker = (k == len(chunks) - 1)
                     sess.send_payload(c, ts_increment=0, marker=pkt_marker)
-                self.stats[i].frames_sent += 1
+                if chunks:
+                    self.stats[i].frames_sent += 1
         # reassembly (poll already drained into on_packet? we use manual)
         for i, sess in enumerate(self.sessions):
             if sess is None:
                 continue
-            frame = self.assemblers[i].pop()
+            frame = self.packetizers[i].pop()
+            decode_failed = False
             if frame is not None:
                 decoded = self.codecs[i].decode(frame)
                 f = self._bytes_to_frame(decoded) if decoded else None
@@ -248,16 +352,40 @@ class VideoStreamBatch:
                     self._last_rx[i] = f
                     self.stats[i].frames_received += 1
                     self.starters[i].on_frame_decoded()
-            # freeze-on-error + FIR policy (cf. videostream decoder error cb)
-            if self.starters[i].need_iframe() and self.fir_limiters[i].request_allowed():
-                self.stats[i].fir_sent += 1      # RTCP FIR emission point
+                else:
+                    # complete AU but nothing decodable (e.g. P-frames
+                    # without parameter sets after loss) — the reference's
+                    # decoder-error -> PLI path
+                    decode_failed = True
+            # inbound FIR/PLI -> force a keyframe on our encoder
+            if sess.rtcp is not None and sess.rtcp.feedback_in:
+                fbs, sess.rtcp.feedback_in = sess.rtcp.feedback_in, []
+                for fb in fbs:
+                    if fb.kind in ("fir", "pli"):
+                        self._force_kf[i] = True
+            # freeze-on-error + FIR policy (cf. videostream decoder error cb
+            # + msiframerequestslimiter rate limiting): request a keyframe
+            # when nothing decodable arrived (starter) or an access unit
+            # was lost to packet loss (decode-error PLI path)
+            now_s = self.ticker.stats.ticks * 0.01
+            dropped = self.packetizers[i].dropped_incomplete
+            broke = dropped > self._last_dropped[i]
+            self._last_dropped[i] = dropped
+            if (self.starters[i].need_iframe(now=now_s) or broke
+                    or decode_failed) \
+                    and self.fir_limiters[i].request_allowed(now=now_s):
+                self.stats[i].fir_sent += 1
+                from mediastreamer2_tpu.net.rtcp import Feedback
+                fb = Feedback("fir", sess.ssrc, sess.recv_ssrc or 0,
+                              value=self.stats[i].fir_sent & 0xFF)
+                sess.transport.send(fb.pack())
 
     def bind_assemblers(self):
         """Wire RTP on_packet to the frame assemblers (call after
         set_transport for all legs)."""
         for i, sess in enumerate(self.sessions):
             if sess is not None:
-                sess.on_packet = self.assemblers[i].push
+                sess.on_packet = self.packetizers[i].push
 
     def start(self, n_ticks: int = 10 ** 9):
         self.ticker.warm_up()

@@ -1,0 +1,84 @@
+"""H.264 end-to-end: libx264 encode -> RFC 6184 packetization -> loopback
+RTP (with loss) -> depacketize -> avcodec decode -> display, with RTCP
+FIR-driven keyframe recovery.  Parity: h26x-encoder/decoder-filter.cpp +
+tester/mediastreamer2_video_stream_tester.c:735-1349 (AVPF recovery under
+simulated loss)."""
+import numpy as np
+import pytest
+
+from mediastreamer2_tpu.core.block import Format
+from mediastreamer2_tpu.models.video_stream import VideoStreamBatch
+from mediastreamer2_tpu.net.rtp import LoopbackPair
+from mediastreamer2_tpu.net.netsim import NetworkSimulator, NetSimParams
+from mediastreamer2_tpu.ops.h264 import h264_available
+
+pytestmark = pytest.mark.skipif(not h264_available(),
+                                reason="libx264/avcodec unavailable")
+
+
+def test_h264_codec_roundtrip_quality():
+    from mediastreamer2_tpu.ops.h264 import H264Encoder, H264Decoder
+    w, h = 128, 96
+    enc = H264Encoder(w, h, bitrate_bps=400_000, fps=25)
+    dec = H264Decoder()
+    rng = np.random.default_rng(0)
+    base = (rng.random((h, w)) * 255).astype(np.uint8)
+    got = None
+    for k in range(10):
+        y = np.roll(base, k * 3, axis=1)
+        frame = y.tobytes() + bytes([128] * (w * h // 4)) * 2
+        for out in dec.decode(enc.encode(frame, keyframe=(k == 0))):
+            got = (k, out)
+    assert got is not None
+    k, out = got
+    y_ref = np.roll(base, k * 3, axis=1).astype(np.float32)
+    y_out = np.frombuffer(out[: w * h], np.uint8).astype(np.float32)
+    psnr = 10 * np.log10(255 ** 2 / np.mean((y_ref - y_out.reshape(h, w)) ** 2))
+    assert psnr > 28, psnr
+
+
+def test_h264_call_mire_to_display(factory):
+    fmt = Format(kind="yuv420", width=128, height=96, fps=25.0)
+    tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h264")
+    rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h264")
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.bind_assemblers(); rx.bind_assemblers()
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(80):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    assert tx.stats[0].frames_sent >= 15
+    assert rx.stats[0].frames_received >= 8
+    assert np.abs(rx._last_rx[0]).mean() > 0.05   # mire actually displayed
+
+
+def test_h264_fir_recovery_under_loss(factory):
+    """Loss breaks access units (dropped, not displayed); the receiver's
+    FIR makes the sender emit a fresh IDR and the stream recovers once the
+    network heals — the video_stream_tester AVPF pattern."""
+    fmt = Format(kind="yuv420", width=128, height=96, fps=25.0)
+    tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h264")
+    rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h264")
+    ns = NetworkSimulator(NetSimParams(loss_rate=25.0, seed=3))
+    pair = LoopbackPair(netsim=ns)
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.bind_assemblers(); rx.bind_assemblers()
+    rx.fir_limiters[0].min_interval_s = 0.3   # faster re-requests for test
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(100):                      # lossy phase
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    assert rx.packetizers[0].dropped_incomplete > 0
+    ns.p.loss_rate = 0.0                 # network heals
+    before = rx.stats[0].frames_received
+    for _ in range(200):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    after = rx.stats[0].frames_received
+    assert after - before >= 10, (before, after)
+    assert rx.stats[0].fir_sent > 0           # receiver asked for keyframes
