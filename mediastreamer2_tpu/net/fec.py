@@ -1,21 +1,28 @@
-"""Forward error correction — XOR repair packets (FlexFEC-style).
+"""Forward error correction — XOR repair packets (FlexFEC-style, RFC 8627).
 
-Reference: oRTP's FlexFEC ``FecStream`` (RFC 8627) managed by
+Reference: oRTP's FlexFEC ``FecStream`` managed by
 ``media_stream_create_or_update_fec_session`` (src/voip/mediastream.c:
-1229-1268).  Round-1 scope: the row-FEC core — every L media packets emit
-one repair packet that XORs their payloads (+ the length/timestamp fields),
-letting the receiver reconstruct any single loss per row.  The repair
-stream rides its own SSRC/payload type like FlexFEC; interleaved column FEC
-slots into the same structure later.
+1229-1268).  Protection schemes over an L x D block of media packets:
+
+* row:    every L consecutive packets -> one repair (recovers 1 loss/row)
+* col:    every L-th packet, D deep   -> one repair (recovers 1 loss/col,
+          i.e. survives a burst of up to L consecutive losses)
+* 2d:     both; the decoder iterates rows<->columns until no progress,
+          recovering patterns neither dimension can fix alone.
+
+Repair packets ride their own SSRC/payload type like FlexFEC; the header
+carries (base_seq, count, stride, ts_xor) so one format covers rows
+(stride=1, count=L) and columns (stride=L, count=D).
 """
 from __future__ import annotations
 
 import struct
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 from mediastreamer2_tpu.net.rtp import RtpPacket
 
 FEC_PT = 115
+_HDR = struct.Struct("!HHHI")      # base_seq, count, stride, ts_xor
 
 
 def _xor_bytes(a: bytes, b: bytes) -> bytes:
@@ -24,46 +31,63 @@ def _xor_bytes(a: bytes, b: bytes) -> bytes:
     return bytes(x ^ y for x, y in zip(a, b + b"\x00" * (len(a) - len(b))))
 
 
-class FecEncoder:
-    """Every L protected packets -> one repair packet."""
+def _protected(pkt: RtpPacket) -> bytes:
+    return struct.pack("!H", len(pkt.payload)) + pkt.payload
 
-    def __init__(self, L: int = 5, ssrc: int = 0xFEC0FEC0):
-        self.L = L
+
+class FecEncoder:
+    """L x D block FEC encoder. push() returns 0..n repair packets."""
+
+    def __init__(self, L: int = 5, D: int = 4, scheme: str = "row",
+                 ssrc: int = 0xFEC0FEC0):
+        assert scheme in ("row", "col", "2d")
+        self.L, self.D, self.scheme = L, D, scheme
         self.ssrc = ssrc
         self.repair_seq = 0
-        self._acc: Optional[bytes] = None
+        self._block: List[RtpPacket] = []
         self._base_seq: Optional[int] = None
-        self._count = 0
-        self._ts_xor = 0
 
-    def push(self, pkt: RtpPacket) -> Optional[RtpPacket]:
-        """Feed a media packet; returns a repair packet when a row closes."""
-        payload_with_len = struct.pack("!H", len(pkt.payload)) + pkt.payload
-        if self._acc is None:
-            self._acc = payload_with_len
-            self._base_seq = pkt.seq
-            self._ts_xor = pkt.timestamp
-            self._count = 1
-        else:
-            self._acc = _xor_bytes(self._acc, payload_with_len)
-            self._ts_xor ^= pkt.timestamp
-            self._count += 1
-        if self._count < self.L:
-            return None
-        hdr = struct.pack("!HHI", self._base_seq, self.L, self._ts_xor)
-        repair = RtpPacket(FEC_PT, self.repair_seq, 0, self.ssrc,
-                           hdr + self._acc)
+    def _repair(self, pkts: List[RtpPacket], base_seq: int,
+                stride: int) -> RtpPacket:
+        acc = _protected(pkts[0])
+        ts = pkts[0].timestamp
+        for p in pkts[1:]:
+            acc = _xor_bytes(acc, _protected(p))
+            ts ^= p.timestamp
+        hdr = _HDR.pack(base_seq, len(pkts), stride, ts & 0xFFFFFFFF)
+        rp = RtpPacket(FEC_PT, self.repair_seq, 0, self.ssrc, hdr + acc)
         self.repair_seq = (self.repair_seq + 1) & 0xFFFF
-        self._acc = None
-        return repair
+        return rp
+
+    def push(self, pkt: RtpPacket) -> List[RtpPacket]:
+        """Feed a media packet; returns repair packets as rows/cols close."""
+        if self._base_seq is None:
+            self._base_seq = pkt.seq
+        self._block.append(pkt)
+        out: List[RtpPacket] = []
+        n = len(self._block)
+        L, D = self.L, self.D
+        if self.scheme in ("row", "2d") and n % L == 0:
+            row = self._block[n - L: n]
+            out.append(self._repair(row, row[0].seq, 1))
+        block_size = L * D if self.scheme != "row" else L
+        if n >= block_size:
+            if self.scheme in ("col", "2d"):
+                for c in range(L):
+                    col = [self._block[r * L + c] for r in range(D)]
+                    out.append(self._repair(col, col[0].seq, L))
+            self._block = []
+            self._base_seq = None
+        return out
 
 
 class FecDecoder:
-    """Buffers media + repair packets; recovers single losses per row."""
+    """Buffers media + repair packets; iterative row/column recovery."""
 
-    def __init__(self, history: int = 128):
+    def __init__(self, history: int = 256):
         self.media: Dict[int, RtpPacket] = {}
         self.history = history
+        self.pending: List[bytes] = []     # repairs that couldn't fire yet
         self.recovered = 0
         self.unrecoverable = 0
 
@@ -73,32 +97,50 @@ class FecDecoder:
             for s in sorted(self.media)[: len(self.media) - self.history]:
                 del self.media[s]
 
-    def push_repair(self, repair: RtpPacket) -> Optional[RtpPacket]:
-        """Returns the reconstructed media packet if exactly one of the
-        row's packets is missing."""
-        base_seq, L, ts_xor = struct.unpack("!HHI", repair.payload[:8])
-        acc = repair.payload[8:]
+    def _try(self, payload: bytes) -> Optional[RtpPacket]:
+        base_seq, count, stride, ts_xor = _HDR.unpack_from(payload)
+        acc = payload[_HDR.size:]
         missing = []
-        for k in range(L):
-            seq = (base_seq + k) & 0xFFFF
+        for k in range(count):
+            seq = (base_seq + k * stride) & 0xFFFF
             pkt = self.media.get(seq)
             if pkt is None:
                 missing.append(seq)
             else:
-                acc = _xor_bytes(acc,
-                                 struct.pack("!H", len(pkt.payload)) + pkt.payload)
+                acc = _xor_bytes(acc, _protected(pkt))
                 ts_xor ^= pkt.timestamp
-        if not missing:
-            return None
-        if len(missing) > 1:
-            self.unrecoverable += 1
+        if not missing or len(missing) > 1:
             return None
         ln = struct.unpack("!H", acc[:2])[0]
         if ln > len(acc) - 2:
-            self.unrecoverable += 1
             return None
-        rec = RtpPacket(payload_type=0, seq=missing[0], timestamp=ts_xor,
-                        ssrc=0, payload=acc[2:2 + ln])
-        self.recovered += 1
+        rec = RtpPacket(payload_type=0, seq=missing[0],
+                        timestamp=ts_xor & 0xFFFFFFFF, ssrc=0,
+                        payload=acc[2:2 + ln])
         self.media[rec.seq] = rec
+        self.recovered += 1
         return rec
+
+    def push_repair(self, repair: RtpPacket) -> List[RtpPacket]:
+        """Returns newly reconstructed media packets (possibly several:
+        one recovery can unblock pending repairs in the other dimension)."""
+        out: List[RtpPacket] = []
+        rec = self._try(repair.payload)
+        if rec is None:
+            self.pending.append(repair.payload)
+            if len(self.pending) > 64:
+                self.pending.pop(0)
+                self.unrecoverable += 1
+            return out
+        out.append(rec)
+        # iterate: a recovered packet may complete other rows/columns
+        progress = True
+        while progress:
+            progress = False
+            for payload in list(self.pending):
+                rec = self._try(payload)
+                if rec is not None:
+                    self.pending.remove(payload)
+                    out.append(rec)
+                    progress = True
+        return out

@@ -13,14 +13,15 @@ def test_fec_recovers_single_loss():
     rng = np.random.default_rng(0)
     media = [RtpPacket(0, seq, seq * 160, 7, rng.bytes(40 + seq % 13))
              for seq in range(10)]
-    repairs = [r for p in media if (r := enc.push(p)) is not None]
+    repairs = [r for p in media for r in enc.push(p)]
     assert len(repairs) == 2
     lost_seq = 3
     for p in media:
         if p.seq != lost_seq:
             dec.push_media(p)
-    rec = dec.push_repair(repairs[0])
-    assert rec is not None
+    recs = dec.push_repair(repairs[0])
+    assert len(recs) == 1
+    rec = recs[0]
     assert rec.seq == lost_seq
     assert rec.payload == media[lost_seq].payload
     assert rec.timestamp == media[lost_seq].timestamp
@@ -31,11 +32,59 @@ def test_fec_double_loss_unrecoverable():
     enc = FecEncoder(L=4)
     dec = FecDecoder()
     media = [RtpPacket(0, s, s, 7, bytes([s]) * 20) for s in range(4)]
-    repair = [r for p in media if (r := enc.push(p))][0]
+    repair = [r for p in media for r in enc.push(p)][0]
     dec.push_media(media[0])
     dec.push_media(media[3])
-    assert dec.push_repair(repair) is None
-    assert dec.unrecoverable == 1
+    assert dec.push_repair(repair) == []     # parked as pending
+    # row FEC alone cannot fix a double loss; pending eventually ages out
+
+
+def test_fec_column_recovers_burst():
+    """Column FEC survives a burst of L consecutive losses that row FEC
+    cannot touch (RFC 8627 column scheme; oRTP FecStream parity)."""
+    L, D = 4, 3
+    enc = FecEncoder(L=L, D=D, scheme="col")
+    dec = FecDecoder()
+    rng = np.random.default_rng(1)
+    media = [RtpPacket(0, s, s * 160, 7, rng.bytes(30 + s % 7))
+             for s in range(L * D)]
+    repairs = [r for p in media for r in enc.push(p)]
+    assert len(repairs) == L                  # one repair per column
+    # burst: one whole row (L consecutive packets) lost
+    lost = set(range(L, 2 * L))
+    for p in media:
+        if p.seq not in lost:
+            dec.push_media(p)
+    recovered = [r for rp in repairs for r in dec.push_repair(rp)]
+    assert sorted(r.seq for r in recovered) == sorted(lost)
+    for r in recovered:
+        assert r.payload == media[r.seq].payload
+
+
+def test_fec_2d_iterative_recovery():
+    """2-D: a loss pattern with two losses in one row AND two in one
+    column resolves by iterating rows<->columns."""
+    L, D = 4, 4
+    enc = FecEncoder(L=L, D=D, scheme="2d")
+    dec = FecDecoder()
+    rng = np.random.default_rng(2)
+    media = [RtpPacket(0, s, s * 160, 7, rng.bytes(25 + s % 5))
+             for s in range(L * D)]
+    repairs = [r for p in media for r in enc.push(p)]
+    assert len(repairs) == D + L              # D rows + L columns
+    # L-shaped loss: (r0,c0),(r0,c1),(r1,c0) — row 0 has 2 losses, col 0
+    # has 2 losses; only iterative 2-D decoding resolves it
+    lost = {0, 1, L}
+    for p in media:
+        if p.seq not in lost:
+            dec.push_media(p)
+    recovered = []
+    for rp in repairs:
+        recovered.extend(dec.push_repair(rp))
+    assert sorted(r.seq for r in recovered) == sorted(lost)
+    for r in recovered:
+        assert r.payload == media[r.seq].payload
+    assert dec.recovered == 3
 
 
 # ------------------------------------------------------------------ NACK
