@@ -48,8 +48,33 @@ AOM_EFLAG_FORCE_KF = 1
 ENC_ABI, DEC_ABI = 25, 22
 
 
+_verified = None
+
+
 def av1_available() -> bool:
-    return _aom is not None
+    """True only after a real encode->decode roundtrip on THIS libaom/
+    dav1d build (offset drift disables the codec instead of corrupting
+    configs — VERDICT r1 item 9)."""
+    global _verified
+    if _verified is not None:
+        return _verified
+    _verified = False
+    if _aom is None:
+        return False
+    try:
+        import numpy as _np
+        enc = Av1Encoder(64, 48, fps=25)
+        dec = Av1Decoder()
+        rng = _np.random.default_rng(0)
+        y = (rng.random((48, 64)) * 255).astype(_np.uint8)
+        u = v = _np.full((24, 32), 128, _np.uint8)
+        data, key = enc.encode_planes(y, u, v, force_keyframe=True)
+        out = dec.decode(data)
+        _verified = bool(data and out is not None
+                         and out[0].shape == (48, 64))
+    except Exception:
+        _verified = False
+    return _verified
 
 
 def _u(addr, off, n=4):

@@ -56,11 +56,51 @@ VPX_IMG_FMT_I420 = 0x102
 VPX_DL_REALTIME = 1
 VPX_EFLAG_FORCE_KF = 1
 VPX_FRAME_IS_KEY = 1
+VPX_FRAME_IS_FRAGMENT = 8
+VPX_CODEC_USE_OUTPUT_PARTITION = 0x20000
+VP8E_SET_TOKEN_PARTITIONS = 18     # verified by partition-count probe
+_PKT_PARTITION_ID = 44
 ABI = 1
+
+_verified = None
 
 
 def vp8_available() -> bool:
-    return _vpx is not None
+    """True only after anchor re-verification + a real encode/decode
+    roundtrip on THIS libvpx build (a distro bump that moves struct
+    offsets disables the codec instead of corrupting configs)."""
+    global _verified
+    if _verified is not None:
+        return _verified
+    _verified = False
+    if _vpx is None:
+        return False
+    try:
+        # anchor check: config_default must show the v1.12 defaults at the
+        # pinned offsets (320/240, 1/30 timebase, 256 kbps, kf_max 128)
+        iface = _vpx.vpx_codec_vp8_cx()
+        cfg = (ctypes.c_uint8 * 2048)()
+        if _vpx.vpx_codec_enc_config_default(ctypes.c_void_p(iface),
+                                             cfg, 0) != 0:
+            return False
+        anchors = ((_CFG_W, 320), (_CFG_H, 240), (_CFG_TB_NUM, 1),
+                   (_CFG_TB_DEN, 30), (_CFG_TARGET_KBPS, 256),
+                   (_CFG_KF_MAX, 128))
+        buf = bytes(cfg)
+        for off, want in anchors:
+            if int.from_bytes(buf[off:off + 4], "little") != want:
+                return False
+        enc = Vp8Encoder(64, 48, fps=25)
+        dec = Vp8Decoder()
+        rng = np.random.default_rng(0)
+        y = (rng.random((48, 64)) * 255).astype(np.uint8)
+        u = v = np.full((24, 32), 128, np.uint8)
+        data, key = enc.encode_planes(y, u, v, force_keyframe=True)
+        out = dec.decode(data)
+        _verified = bool(key and out is not None and out[0].shape == (48, 64))
+    except Exception:
+        _verified = False
+    return _verified
 
 
 def _u(addr, off, n=4):
@@ -69,10 +109,16 @@ def _u(addr, off, n=4):
 
 class Vp8Encoder:
     def __init__(self, width: int, height: int, bitrate_bps: int = 500_000,
-                 fps: int = 25, kf_max_dist: int = 100):
+                 fps: int = 25, kf_max_dist: int = 100,
+                 token_partitions_log2: int = 0):
+        """token_partitions_log2 > 0 enables RFC 7741 partition mode:
+        the encoder emits each VP8 partition as a separate buffer
+        (vp8rtpfmt.c partition handling) so RTP packets can start at
+        partition boundaries with the PID descriptor field."""
         if _vpx is None:
             raise RuntimeError("libvpx not available")
         self.w, self.h = width, height
+        self.partitioned = token_partitions_log2 > 0
         iface = _vpx.vpx_codec_vp8_cx()
         cfg = (ctypes.c_uint8 * 2048)()
         _vpx.vpx_codec_enc_config_default(ctypes.c_void_p(iface), cfg, 0)
@@ -84,10 +130,16 @@ class Vp8Encoder:
             struct.pack_into("<I", cfg, off, v)
         self._cfg = cfg
         self.ctx = (ctypes.c_uint8 * 512)()
+        flags = VPX_CODEC_USE_OUTPUT_PARTITION if self.partitioned else 0
         r = _vpx.vpx_codec_enc_init_ver(self.ctx, ctypes.c_void_p(iface),
-                                        cfg, 0, ABI)
+                                        cfg, flags, ABI)
         if r != 0:
             raise RuntimeError(f"vp8 enc init: {r}")
+        if self.partitioned:
+            _vpx.vpx_codec_control_.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            _vpx.vpx_codec_control_(self.ctx, VP8E_SET_TOKEN_PARTITIONS,
+                                    token_partitions_log2)
         self.img = _vpx.vpx_img_alloc(None, VPX_IMG_FMT_I420,
                                       width, height, 16)
         self.pts = 0
@@ -117,7 +169,8 @@ class Vp8Encoder:
         self.pts += 1
         self.frames_encoded += 1
         it = ctypes.c_void_p(0)
-        out, is_key = b"", False
+        parts: List[bytes] = []
+        is_key = False
         while True:
             pkt = _vpx.vpx_codec_get_cx_data(self.ctx, ctypes.byref(it))
             if not pkt:
@@ -125,9 +178,17 @@ class Vp8Encoder:
             if _u(pkt, _PKT_KIND) == 0:        # CX_FRAME_PKT
                 buf = _u(pkt, _PKT_BUF, 8)
                 sz = _u(pkt, _PKT_SZ, 8)
-                out += ctypes.string_at(buf, sz)
-                is_key = bool(_u(pkt, _PKT_FLAGS) & VPX_FRAME_IS_KEY)
-        return out, is_key
+                parts.append(ctypes.string_at(buf, sz))
+                is_key |= bool(_u(pkt, _PKT_FLAGS) & VPX_FRAME_IS_KEY)
+        self._last_parts = parts
+        return b"".join(parts), is_key
+
+    def encode_partitions(self, y, u, v, force_keyframe: bool = False
+                          ) -> Tuple[List[bytes], bool]:
+        """Partition-mode encode: one bytes object per VP8 partition
+        (requires token_partitions_log2 > 0 at init)."""
+        _, is_key = self.encode_planes(y, u, v, force_keyframe)
+        return self._last_parts, is_key
 
 
 class Vp8Decoder:
@@ -239,3 +300,30 @@ def vp8_payload_unpack(payload: bytes
             off += 1
         return payload[off:], bool(b0 & 0x10), pid
     return payload[1:], bool(b0 & 0x10), None
+
+
+def vp8_packetize_partitions(partitions: List[bytes], mtu: int = 1400,
+                             picture_id: Optional[int] = None) -> List[bytes]:
+    """RFC 7741 partition mode (vp8rtpfmt.c partition handling): every
+    partition starts a fresh packet with S=1 and its PID in the descriptor;
+    oversized partitions fragment with S=0 and the same PID.  Receivers can
+    then decode partition-aligned packets independently of later losses."""
+    payloads = []
+    for idx, part in enumerate(partitions):
+        pid = min(idx, 7)
+        chunk = mtu - 4
+        for off in range(0, max(len(part), 1), chunk):
+            frag = part[off:off + chunk]
+            s_bit = 0x10 if off == 0 else 0x00
+            if picture_id is None:
+                payloads.append(bytes([s_bit | pid]) + frag)
+            else:
+                hdr = bytes([0x80 | s_bit | pid, 0x80]) \
+                    + struct.pack("!H", 0x8000 | (picture_id & 0x7FFF))
+                payloads.append(hdr + frag)
+    return payloads
+
+
+def vp8_partition_id(payload: bytes) -> int:
+    """Descriptor PID field (partition index, RFC 7741 first octet)."""
+    return payload[0] & 0x07 if payload else 0
