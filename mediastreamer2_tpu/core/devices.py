@@ -97,6 +97,10 @@ class SndCardManager:
         self.cards: List[SndCard] = []
         self._detectors: List[Callable[["SndCardManager"], None]] = []
         self.register_detector(_detect_null_cards)
+        # platform backends register like the reference's MSSndCardDesc
+        # detect functions (alsa.c): present only when the lib loads
+        from mediastreamer2_tpu.core.alsa import detect_alsa_cards
+        self.register_detector(detect_alsa_cards)
         self.reload()
 
     def register_detector(self, fn):

@@ -60,6 +60,10 @@ class AudioStreamFeatures:
     volume: bool = True
     local_play: bool = False   # announcement mixer into the send path
                                # (cf. audiostream.c local player branch)
+    # device-quirk-driven knobs (core/quirks.py -> audiostream.c:1642-1680)
+    mic_eq_gains: Optional[list] = None     # [(hz, gain, width_hz), ...]
+    spk_eq_gains: Optional[list] = None
+    ec_delay_ms: int = 0
 
 
 class AudioStreamBatch:
@@ -122,6 +126,11 @@ class AudioStreamBatch:
             vr = g.add("volume", "vol_recv")
             g.link(last, 0, vr, 0)
             last = vr
+        if ft.spk_eq_gains:
+            # device-specific speaker EQ from the quirk DB
+            se = g.add("equalizer", "spk_eq", gains=ft.spk_eq_gains)
+            g.link(last, 0, se, 0)
+            last = se
         self.conference = conference
         if conference:
             lv = g.add("audio_levels", "levels")    # RFC6464-style ranks
@@ -160,6 +169,11 @@ class AudioStreamBatch:
         else:
             mic = g.add("ext_source", "mic", fmt=fmt)
         last = mic
+        if ft.mic_eq_gains:
+            # device-specific microphone EQ (audiostream.c:1642-1680)
+            me = g.add("equalizer", "mic_eq", gains=ft.mic_eq_gains)
+            g.link(last, 0, me, 0)
+            last = me
         if ft.echo_canceller:
             ec = g.add("echo_canceller", "ec")
             g.link(last, 0, ec, 0)

@@ -1,0 +1,65 @@
+"""Device quirk DB + ALSA backend gating (parity: devices.c:58 applied at
+audiostream.c:1642-1680; alsa.c MSAlsaRead/Write)."""
+import numpy as np
+
+from mediastreamer2_tpu.core.quirks import (DeviceQuirks, register_quirks,
+                                            lookup_quirks, apply_quirks,
+                                            HAS_BUILTIN_AEC)
+from mediastreamer2_tpu.core.alsa import alsa_available, detect_alsa_cards
+from mediastreamer2_tpu.core.devices import SndCardManager
+from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
+                                                    AudioStreamFeatures)
+from mediastreamer2_tpu.net.rtp import LoopbackPair
+from conftest import make_speechlike
+
+
+def test_quirk_lookup_and_apply():
+    q = lookup_quirks("Jabra", "SPEAK 510")
+    assert q is not None and q.flags & HAS_BUILTIN_AEC
+    ft = AudioStreamFeatures(echo_canceller=True, agc=True)
+    apply_quirks(ft, q)
+    assert ft.echo_canceller is False        # device cancels echo itself
+    assert ft.agc is True
+
+    q2 = lookup_quirks("generic", "usb headset")
+    ft2 = apply_quirks(AudioStreamFeatures(), q2)
+    assert ft2.mic_eq_gains and ft2.ec_delay_ms == 120
+    assert lookup_quirks("unknown", "device") is None
+
+
+def test_quirk_eq_built_into_stream(factory):
+    """A stream built with quirk EQ gains carries mic_eq/spk_eq nodes and
+    still passes audio end-to-end."""
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    from mediastreamer2_tpu.core.block import tick_samples
+    ft = apply_quirks(AudioStreamFeatures(),
+                      lookup_quirks("generic", "usb headset"))
+    ft.spk_eq_gains = [(1000.0, 0.9, 400.0)]
+    S = tick_samples(8000)
+    ticks = 80
+    sig = make_speechlike(S * ticks, 8000, seed=3)
+    tx = AudioStreamBatch(factory, 1, mic_signal=sig, features=ft)
+    rx = AudioStreamBatch(factory, 1, record_ticks=ticks + 40, features=ft)
+    assert "mic_eq" in tx.ticker.state and "spk_eq" in rx.ticker.state
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    rx.start(ticks + 40)
+    tx.run(ticks + 10)
+    tx.stop(); rx.stop()
+    sim, _ = audio_diff(sig, rx.get_recording()[0])
+    assert sim > 0.85, sim
+
+
+def test_alsa_gated_detection():
+    """No libasound on this image: detection is a no-op, the manager still
+    works; with libasound present the card would register as alsa:default."""
+    mgr = SndCardManager()
+    names = [c.name for c in getattr(mgr, "cards", [])] or []
+    if alsa_available():
+        detect_alsa_cards(mgr)
+        assert mgr.get_card("alsa:default") is not None
+    else:
+        detect_alsa_cards(mgr)             # must not raise
+        assert mgr.get_card("alsa:default") is None
