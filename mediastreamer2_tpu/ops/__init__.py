@@ -19,3 +19,4 @@ from mediastreamer2_tpu.ops import video       # noqa: F401
 from mediastreamer2_tpu.ops import baudot      # noqa: F401
 from mediastreamer2_tpu.ops import adpcm       # noqa: F401
 from mediastreamer2_tpu.ops import g722        # noqa: F401
+from mediastreamer2_tpu.ops import g726        # noqa: F401
