@@ -397,3 +397,65 @@ class VideoStreamBatch:
 
     def stop(self):
         self.ticker.stop()
+
+
+class VideoBundleReceiver:
+    """Multi-SSRC video receive on ONE transport — bundle recv branches.
+
+    Parity: videostream.c:1766-1804 (bundle-mode recv branches, up to
+    VIDEO_STREAM_MAX_BRANCHES) + src/videofilters/video-aggregator.c (the
+    funnel feeding one decoder per contributing stream).  SSRCs are
+    auto-discovered (RtpBundle on_unknown_ssrc); each discovered source
+    gets its own packetizer + decoder branch; latest_frames() is the
+    aggregated output (e.g. for a composite display or SFU forwarding).
+    """
+
+    MAX_BRANCHES = 10            # cf. video-aggregator.c's 10 inputs
+
+    def __init__(self, transport: Transport, frame_shape,
+                 codec_factory=None, packetizer_factory=None,
+                 mtu: int = 1400):
+        from mediastreamer2_tpu.net.rtp import RtpBundle, RtpSession
+        self.bundle = RtpBundle(transport)
+        self.frame_shape = frame_shape
+        self._codec_factory = codec_factory or (lambda: FrameCodec())
+        self._pkt_factory = packetizer_factory or \
+            (lambda: GenericPacketizer(mtu))
+        self.branches: Dict[int, dict] = {}      # ssrc -> branch state
+        self.dropped_branches = 0
+        self.bundle.on_unknown_ssrc = self._discover
+
+    def _discover(self, pkt):
+        from mediastreamer2_tpu.net.rtp import RtpSession
+        if len(self.branches) >= self.MAX_BRANCHES:
+            self.dropped_branches += 1
+            return
+        sess = RtpSession.__new__(RtpSession)   # recv-only shell
+        packetizer = self._pkt_factory()
+        branch = {"packetizer": packetizer,
+                  "codec": self._codec_factory(),
+                  "frame": None, "frames_received": 0}
+        self.branches[pkt.ssrc] = branch
+
+        class _Sink:
+            def _deliver(self, p, _b=branch):
+                _b["packetizer"].push(p)
+        self.bundle.by_ssrc[pkt.ssrc] = _Sink()
+
+    def poll(self):
+        self.bundle.poll()
+        for ssrc, b in self.branches.items():
+            while True:
+                data = b["packetizer"].pop()
+                if data is None:
+                    break
+                decoded = b["codec"].decode(data)
+                if decoded is not None and \
+                        len(decoded) == self.frame_shape[0] * self.frame_shape[1]:
+                    b["frame"] = np.frombuffer(decoded, np.uint8).reshape(
+                        self.frame_shape)
+                    b["frames_received"] += 1
+
+    def latest_frames(self) -> Dict[int, np.ndarray]:
+        return {ssrc: b["frame"] for ssrc, b in self.branches.items()
+                if b["frame"] is not None}

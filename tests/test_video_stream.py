@@ -75,3 +75,37 @@ def test_video_call_under_loss_counts_incomplete(factory):
     a = rx.assemblers[0]
     assert a.dropped_incomplete > 0          # loss produced partial frames
     assert rx.stats[0].frames_received > 0   # but some frames still got through
+
+
+def test_video_bundle_aggregator_multi_ssrc(factory):
+    """Three senders multiplexed on ONE transport by SSRC; the receiver
+    auto-discovers branches and decodes all of them (parity:
+    videostream.c bundle recv branches + video-aggregator.c)."""
+    from mediastreamer2_tpu.models.video_stream import VideoBundleReceiver
+    from mediastreamer2_tpu.net.rtp import RtpSession
+    fmt = Format(kind="yuv420", width=32, height=24, fps=25.0)
+    pair = LoopbackPair()
+    shape = (24 * 3 // 2, 32)
+    rxr = VideoBundleReceiver(pair.endpoint(1), frame_shape=shape)
+    senders = []
+    for k in range(3):
+        s = RtpSession(pair.endpoint(0), payload_type=97, ssrc=0x100 + k,
+                       clock_rate=90000)
+        senders.append(s)
+    rng = np.random.default_rng(5)
+    frames = {s.ssrc: (rng.random(shape) * 255).astype(np.uint8)
+              for s in senders}
+    from mediastreamer2_tpu.models.video_stream import fragment_frame
+    for _ in range(3):                      # a few frames each
+        for s in senders:
+            chunks = fragment_frame(frames[s.ssrc].tobytes(), 512)
+            s.ts += 3600
+            for i, c in enumerate(chunks):
+                s.send_payload(c, ts_increment=0,
+                               marker=(i == len(chunks) - 1))
+        rxr.poll()
+    got = rxr.latest_frames()
+    assert sorted(got) == [0x100, 0x101, 0x102]
+    for ssrc, frame in got.items():
+        np.testing.assert_array_equal(frame, frames[ssrc])
+    assert all(b["frames_received"] >= 2 for b in rxr.branches.values())
