@@ -26,7 +26,7 @@ from cryptography.hazmat.primitives.asymmetric.x25519 import (
 
 MAGIC = b"ZT10"
 MSG_HELLO, MSG_HELLO_ACK, MSG_COMMIT, MSG_DH1, MSG_DH2, MSG_CONF1, \
-    MSG_CONF2, MSG_CONF2_ACK = range(8)
+    MSG_CONF2, MSG_CONF2_ACK, MSG_GOCLEAR, MSG_CLEAR_ACK = range(10)
 
 _B32 = "ybndrfg8ejkmcpqxot1uwisza345h769"   # z-base-32 (RFC 6189 SAS)
 
@@ -78,6 +78,7 @@ class ZrtpSession:
         self.sas: Optional[str] = None
         self.on_secrets = None
         self.on_sas = None
+        self.on_goclear = None      # fired when the call drops to clear RTP
         self.secrets_ready = False
 
     # -- wire helpers -----------------------------------------------------
@@ -146,6 +147,18 @@ class ZrtpSession:
             self._finish()
         elif t == MSG_CONF2_ACK:
             self._finish()
+        elif t == MSG_GOCLEAR:
+            # RFC 6189 §4.7.2: authenticated downgrade to clear RTP; the
+            # clear_hmac (keyed from the shared secret) prevents an
+            # attacker from forcing the call off SRTP
+            if self.s0 is None or not hmac.compare_digest(
+                    body, self._goclear_mac(peer=True)):
+                return                           # forged GoClear: ignore
+            self.send(self._msg(MSG_CLEAR_ACK, b""))
+            self._to_clear()
+        elif t == MSG_CLEAR_ACK:
+            if self.state == "clear_sent":
+                self._to_clear()
 
     def _maybe_commit(self):
         if self.state != "hello_sent" or self.peer_zid is None:
@@ -183,6 +196,25 @@ class ZrtpSession:
         self.sas = sas_b32(_kdf(self.s0, b"SAS", ctx, 4))
         # key continuity: retained secret for next call (bzrtp cache role)
         self.cache[self.peer_zid] = _kdf(self.s0, b"retained secret", ctx, 32)
+
+    def go_clear(self):
+        """Initiate the authenticated switch back to clear RTP
+        (cf. bzrtp GoClear support referenced from src/crypto/zrtp.c)."""
+        if self.state != "secure":
+            raise RuntimeError("GoClear only valid from secure state")
+        self.send(self._msg(MSG_GOCLEAR, self._goclear_mac()))
+        self.state = "clear_sent"
+
+    def _goclear_mac(self, peer: bool = False) -> bytes:
+        who = (not self.is_initiator) if peer else self.is_initiator
+        label = b"initiator goclear" if who else b"responder goclear"
+        return hmac.new(self.s0, label, hashlib.sha256).digest()
+
+    def _to_clear(self):
+        self.state = "clear"
+        self.secrets_ready = False
+        if self.on_goclear:
+            self.on_goclear()
 
     def _confirm_mac(self, peer: bool = False) -> bytes:
         who = (not self.is_initiator) if peer else self.is_initiator

@@ -84,3 +84,35 @@ def test_sas_encoding():
     assert sas_b32(b"\x00\x00\x00\x00") == "yyyy"
     s = sas_b32(b"\xff\xff\xf0")
     assert len(s) == 4
+
+
+def test_goclear_authenticated_downgrade():
+    """RFC 6189 GoClear: secure -> clear on both ends, authenticated by
+    the shared-secret HMAC; a forged GoClear is ignored."""
+    from mediastreamer2_tpu.net.zrtp import ZrtpSession, MSG_GOCLEAR, MAGIC
+    a_out, b_out = [], []
+    a = ZrtpSession(send=a_out.append)
+    b = ZrtpSession(send=b_out.append)
+    a.start(); b.start()
+    for _ in range(12):                    # pump until secure
+        for m in a_out[:]:
+            a_out.remove(m); b.process(m)
+        for m in b_out[:]:
+            b_out.remove(m); a.process(m)
+    assert a.state == "secure" and b.state == "secure"
+
+    cleared = []
+    b.on_goclear = lambda: cleared.append("b")
+    a.on_goclear = lambda: cleared.append("a")
+    # forged GoClear (wrong mac) must be ignored
+    b.process(MAGIC + bytes([MSG_GOCLEAR]) + b"\x00" * 32)
+    assert b.state == "secure" and cleared == []
+    # genuine GoClear
+    a.go_clear()
+    for _ in range(3):
+        for m in a_out[:]:
+            a_out.remove(m); b.process(m)
+        for m in b_out[:]:
+            b_out.remove(m); a.process(m)
+    assert b.state == "clear" and a.state == "clear"
+    assert sorted(cleared) == ["a", "b"]
