@@ -154,9 +154,9 @@ def e2e_passes(res) -> bool:
 
 def e2e_legs() -> tuple:
     """Largest N passing the paced e2e run. Returns (n, result)."""
-    K, D = 32, 2
+    K, D = 32, 3
     best = (0, None)
-    candidates = [1024, 2048, 3072, 4096, 6144, 8192]
+    candidates = [1024, 1536, 2048, 3072, 4096, 6144, 8192]
     lo_fail = None
     for n in candidates:
         res = e2e_trial(n, K, D)

@@ -260,12 +260,20 @@ class CompiledGraph:
             else:
                 fn = jax.jit(lambda st_, ins_, p_, _n=node, _c=ctx:
                              _n.fdef.process(st_, ins_, p_, _c))
+
+                def _force(tree):
+                    # block_until_ready is a no-op over the axon tunnel
+                    # (CLAUDE.md); a 4-byte scalar readback actually waits
+                    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                              if hasattr(x, "ravel") and x.size]
+                    if leaves:
+                        float(jnp.asarray(leaves[-1]).ravel()[0])
                 st2, outs, _ = fn(st, ins, p)
-                jax.block_until_ready(outs)
+                _force(outs)
                 t0 = _time.perf_counter()
                 for _ in range(iters):
                     st2, outs, _ = fn(st, ins, p)
-                jax.block_until_ready(outs)
+                _force(outs)
                 results[node.name] = (_time.perf_counter() - t0) / iters * 1e3
             for pin, v in enumerate(outs):
                 edge_vals[(i, pin)] = v

@@ -40,6 +40,8 @@ class MediaPlayer:
         (cf. msmediaplayer.c open/sniff wav/mkv)."""
         if path.lower().endswith((".mkv", ".webm")):
             sig, rate = _read_mkv_audio(path)
+        elif path.lower().endswith(".smff"):
+            sig, rate = _read_smff_audio(path)
         else:
             sig, rate = read_wav(path)
         self.rate = rate
@@ -99,6 +101,35 @@ class MediaPlayer:
         if self.ticker:
             self.ticker.stop()
         self.state = self.STATE_CLOSED
+
+
+def _read_smff_audio(path: str):
+    """Demux the SMFF container's audio track (cf. smff/player.cpp):
+    opus or pcm16 payloads -> one decoded signal."""
+    import numpy as np
+    from mediastreamer2_tpu.io.smff import SmffReader
+    r = SmffReader(path)
+    audio_idx = next((i for i, t in enumerate(r.tracks) if t.kind == 0), None)
+    if audio_idx is None:
+        raise ValueError("no audio track in smff")
+    track = r.tracks[audio_idx]
+    rate = track.a or 48000
+    chunks = []
+    if track.codec == "opus":
+        from mediastreamer2_tpu.ops.host_codecs import OpusDecoder
+        dec = OpusDecoder(rate=rate)
+        for fr in r.frames():
+            if fr.track == audio_idx:
+                chunks.append(dec.decode(fr.data, rate // 50))
+    elif track.codec in ("pcm16", "l16"):
+        for fr in r.frames():
+            if fr.track == audio_idx:
+                chunks.append(np.frombuffer(fr.data, "<i2"
+                                            ).astype(np.float32) / 32768.0)
+    else:
+        raise ValueError(f"unsupported smff audio codec {track.codec}")
+    sig = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    return sig, rate
 
 
 def _read_mkv_audio(path: str):

@@ -41,3 +41,35 @@ def test_record_mkv_then_play(factory, tmp_path):
     out = np.concatenate(out_chunks)
     sim, _ = audio_diff(sig, out)
     assert sim > 0.75, f"mkv record/play sim {sim}"
+
+
+def test_media_player_smff_audio(factory, tmp_path):
+    """MSMediaPlayer parity for the SMFF container (smff/player.cpp):
+    write pcm16 SMFF, open with MediaPlayer, play to the sink."""
+    import numpy as np
+    from mediastreamer2_tpu.io.smff import SmffWriter, SmffTrack
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    rate = 8000
+    n = rate  # 1 s
+    sig = (0.4 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+           ).astype(np.float32)
+    path = str(tmp_path / "clip.smff")
+    w = SmffWriter(path, [SmffTrack(kind=0, codec="pcm16", a=rate, b=1)])
+    pcm = (sig * 32768).clip(-32768, 32767).astype("<i2")
+    for k in range(0, n, 80):
+        w.write_frame(0, k * 1000 // rate, pcm[k:k + 80].tobytes())
+    w.close()
+
+    player = MediaPlayer(factory)
+    player.open(path)
+    got = []
+    player.set_output(lambda block: got.append(np.asarray(block)))
+    player.ticker.realtime = False
+    player.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+        "playing", __import__("jax.numpy", fromlist=["ones"]).ones((1,), bool)))
+    for _ in range(110):
+        player.ticker.do_tick()
+    out = np.concatenate(got)[:n]
+    sim, _ = audio_diff(sig, out)
+    assert sim > 0.99, sim
