@@ -4,12 +4,14 @@ Reference: src/voip/ice.c (4,895 LoC; API include/mediastreamer2/ice.h:
 276-593), driven per-tick from media_stream_iterate
 (src/voip/mediastream.c:547) and from inbound STUN packets (:532-533).
 
-Scope (round 1): host candidate gathering, remote candidate intake (SDP-ish
-tuples), pair formation with RFC priority math, connectivity checks with
-role/tiebreaker + USE-CANDIDATE nomination by the controlling agent,
-triggered checks on inbound requests, keepalives, state machine
-(running/completed/failed).  Server-reflexive/TURN gathering are stubs that
-plug in where marked (same check-list machinery).
+Scope: host/srflx/prflx candidate handling, pair formation with RFC
+priority math, **Ta-paced** connectivity checks (RFC 8445 §6.1.4.2, one new
+check per Ta across the session like ice.c's check timer), **foundation-
+based frozen/waiting coordination across check lists** (§6.1.2.6/§7.2.5.3.3:
+one pair per foundation starts waiting; a success unfreezes the foundation
+everywhere), **multi-component** check lists (RTP+RTCP: completion needs a
+nominated pair per component), role conflicts + USE-CANDIDATE nomination,
+triggered checks, keepalives, restart.
 """
 from __future__ import annotations
 
@@ -30,6 +32,7 @@ IS_CHECKING, IS_COMPLETED, IS_FAILED, IS_RUNNING = (
 RTO_MS = 500
 MAX_RETRANS = 4
 KEEPALIVE_S = 15.0
+TA_MS = 50                      # RFC 8445 §6.1.4.2 check pacing
 
 
 def random_ufrag(n=4):
@@ -110,15 +113,44 @@ class IceCheckList:
         self.remote_candidates.append(cand)
         self._form_pairs()
 
+    @staticmethod
+    def _pair_foundation(p: CandidatePair) -> str:
+        return f"{p.local.foundation}|{p.remote.foundation}"
+
     def _form_pairs(self):
         existing = {(p.local, p.remote) for p in self.pairs}
         for l in self.local_candidates:
             for r in self.remote_candidates:
                 if l.component == r.component and (l, r) not in existing:
-                    p = CandidatePair(l, r, state="waiting")
+                    p = CandidatePair(l, r, state="frozen")
                     p.compute_priority(self.session.controlling)
                     self.pairs.append(p)
         self.pairs.sort(key=lambda p: -p.priority)
+        self._unfreeze_initial()
+
+    def _unfreeze_initial(self):
+        """RFC 8445 §6.1.2.6: per foundation, the highest-priority pair of
+        the lowest component number goes waiting; the rest stay frozen
+        until a same-foundation check succeeds (possibly in another check
+        list of the session)."""
+        seen = set()
+        succeeded = self.session.succeeded_foundations
+        for p in self.pairs:
+            f = self._pair_foundation(p)
+            if p.state == "frozen" and f in succeeded:
+                p.state = "waiting"          # cross-list unfreeze
+                continue
+            if p.state == "frozen" and (f, p.local.component) not in seen \
+                    and p.local.component == min(
+                        q.local.component for q in self.pairs
+                        if self._pair_foundation(q) == f):
+                p.state = "waiting"
+            seen.add((f, p.local.component))
+
+    def unfreeze_foundation(self, foundation: str):
+        for p in self.pairs:
+            if p.state == "frozen" and self._pair_foundation(p) == foundation:
+                p.state = "waiting"
 
     # -- periodic processing (cf. ice_check_list_process) ------------------
     def process(self, now: Optional[float] = None):
@@ -131,14 +163,21 @@ class IceCheckList:
             if p.state == "in-progress" and now - p._sent_at > RTO_MS / 1e3:
                 if p._retrans >= MAX_RETRANS:
                     p.state = "failed"
+                    f = self._pair_foundation(p)
+                    if not any(q.state in ("waiting", "in-progress")
+                               and self._pair_foundation(q) == f
+                               for q in self.pairs):
+                        self.unfreeze_foundation(f)   # try the next tier
                 else:
                     self._send_check(p, now)
-        # launch next waiting check (one per process call, paced like the
-        # reference's check pacing)
-        for p in self.pairs:
-            if p.state == "waiting":
-                self._send_check(p, now)
-                break
+        # launch the next waiting check, Ta-paced across the whole session
+        # (ice.c's global check timer; one new check per Ta)
+        if self.session.ta_allows(now):
+            for p in self.pairs:
+                if p.state == "waiting":
+                    self._send_check(p, now)
+                    self.session.ta_consume(now)
+                    break
         self._update_state()
 
     def _send_check(self, p: CandidatePair, now: float):
@@ -159,9 +198,21 @@ class IceCheckList:
                      req.pack(password=s.remote_pwd))
 
     def _update_state(self):
-        if any(p.nominated and p.state == "succeeded" for p in self.pairs):
-            self.selected = next(p for p in self.pairs
-                                 if p.nominated and p.state == "succeeded")
+        """Completion requires a nominated+succeeded pair for EVERY
+        component present in the check list (RTP and RTCP when the stream
+        is not rtcp-mux — reference multi-component checks)."""
+        components = {p.local.component for p in self.pairs}
+        if not components:
+            return
+        self.selected_pairs = {}
+        for c in sorted(components):
+            hit = next((p for p in self.pairs
+                        if p.local.component == c and p.nominated
+                        and p.state == "succeeded"), None)
+            if hit is not None:
+                self.selected_pairs[c] = hit
+        if set(self.selected_pairs) == components:
+            self.selected = self.selected_pairs[min(components)]
             self.state = IS_COMPLETED
         elif self.pairs and all(p.state == "failed" for p in self.pairs):
             self.state = IS_FAILED
@@ -221,6 +272,9 @@ class IceCheckList:
             for p in self.pairs:
                 if p._tx_id == msg.transaction_id:
                     p.state = "succeeded"
+                    # unfreeze this foundation across ALL the session's
+                    # check lists (RFC 8445 §7.2.5.3.3)
+                    s.note_success(self._pair_foundation(p))
                     if s.controlling:
                         if self.selected is None:
                             # regular nomination: renominate with USE-CANDIDATE
@@ -252,6 +306,20 @@ class IceSession:
         self.remote_ufrag = ""
         self.remote_pwd = ""
         self.check_lists: List[IceCheckList] = []
+        self.succeeded_foundations: set = set()
+        self._next_check_at = 0.0
+
+    # -- Ta check pacing (shared across check lists, ice.c check timer) ----
+    def ta_allows(self, now: float) -> bool:
+        return now >= self._next_check_at
+
+    def ta_consume(self, now: float):
+        self._next_check_at = now + TA_MS / 1e3
+
+    def note_success(self, foundation: str):
+        self.succeeded_foundations.add(foundation)
+        for cl in self.check_lists:
+            cl.unfreeze_foundation(foundation)
 
     def set_remote_credentials(self, ufrag: str, pwd: str):
         self.remote_ufrag = ufrag
@@ -275,6 +343,7 @@ class IceSession:
         self.tiebreaker = random.getrandbits(64)
         self.local_ufrag = random_ufrag()
         self.local_pwd = random_ufrag(22)
+        self.succeeded_foundations.clear()
         for cl in self.check_lists:
             cl.pairs.clear()
             cl.remote_candidates.clear()

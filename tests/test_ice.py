@@ -108,3 +108,69 @@ def test_candidate_sdp_format():
     s = c.sdp()
     assert "1.2.3.4 5678 typ host" in s
     assert c.priority >> 24 == 126
+
+
+def test_ta_pacing_limits_new_checks():
+    """RFC 8445 6.1.4.2: at most one NEW check per Ta across the session."""
+    from mediastreamer2_tpu.net.ice import IceSession, Candidate, TA_MS
+    sent = []
+    s = IceSession(controlling=True)
+    s.set_remote_credentials("u", "p")
+    cl = s.add_check_list(lambda addr, data: sent.append(addr),
+                          ("10.0.0.1", 1000))
+    for k in range(6):
+        # distinct hosts => distinct foundations, all initially waiting
+        cl.add_remote_candidate(Candidate.make(f"10.0.1.{k + 2}", 2000))
+    now = 100.0
+    cl.process(now=now)
+    n1 = len(sent)
+    cl.process(now=now + 0.001)          # within Ta: no new check
+    assert len(sent) == n1
+    cl.process(now=now + TA_MS / 1e3 + 0.001)
+    assert len(sent) == n1 + 1
+
+
+def test_foundation_unfreezing_across_check_lists():
+    """A success on foundation F unfreezes F's pairs in every check list
+    (cross-list coordination, RFC 8445 7.2.5.3.3)."""
+    from mediastreamer2_tpu.net.ice import IceSession, Candidate
+    s = IceSession(controlling=True)
+    s.set_remote_credentials("u", "p")
+    cl1 = s.add_check_list(lambda a, d: None, ("10.0.0.1", 1000))
+    cl2 = s.add_check_list(lambda a, d: None, ("10.0.0.1", 1002))
+    for cl in (cl1, cl2):
+        cl.add_remote_candidate(Candidate.make("10.0.0.2", 2000))
+        cl.add_remote_candidate(Candidate.make("10.0.0.9", 2000, "srflx"))
+    f = cl1._pair_foundation(cl1.pairs[0])
+    # same-foundation pair in list 2 starts waiting only in list order;
+    # force-freeze it to prove the unfreeze path
+    for p in cl2.pairs:
+        p.state = "frozen"
+    s.note_success(f)
+    assert any(p.state == "waiting" and cl2._pair_foundation(p) == f
+               for p in cl2.pairs)
+    # unrelated foundations stay frozen
+    assert any(p.state == "frozen" for p in cl2.pairs)
+
+
+def test_multi_component_completion():
+    """RTP (component 1) and RTCP (component 2) must BOTH nominate before
+    the check list completes; selected_pairs maps per component."""
+    from mediastreamer2_tpu.net.ice import (IceSession, Candidate,
+                                            IS_COMPLETED, IS_RUNNING)
+    s = IceSession(controlling=True)
+    s.set_remote_credentials("u", "p")
+    cl = s.add_check_list(lambda a, d: None, ("10.0.0.1", 1000))
+    cl.add_local_candidate(Candidate.make("10.0.0.1", 1001, component=2))
+    cl.add_remote_candidate(Candidate.make("10.0.0.2", 2000, component=1))
+    cl.add_remote_candidate(Candidate.make("10.0.0.2", 2001, component=2))
+    p1 = next(p for p in cl.pairs if p.local.component == 1)
+    p2 = next(p for p in cl.pairs if p.local.component == 2)
+    p1.state = "succeeded"; p1.nominated = True
+    cl._update_state()
+    assert cl.state == IS_RUNNING          # RTCP component still pending
+    p2.state = "succeeded"; p2.nominated = True
+    cl._update_state()
+    assert cl.state == IS_COMPLETED
+    assert cl.selected_pairs[1] is p1 and cl.selected_pairs[2] is p2
+    assert cl.selected is p1
