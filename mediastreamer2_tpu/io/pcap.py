@@ -20,6 +20,7 @@ from mediastreamer2_tpu.net.rtp import RtpPacket
 
 MAGIC_USEC = 0xA1B2C3D4
 MAGIC_NSEC = 0xA1B23C4D
+LINKTYPE_NULL = 0          # BSD/macOS loopback: 4-byte AF family header
 LINKTYPE_ETHERNET = 1
 LINKTYPE_RAW = 101
 LINKTYPE_LINUX_SLL = 113
@@ -35,19 +36,29 @@ class CapturedPacket:
 
 def _parse_udp(link_type: int, frame: bytes) -> Optional[CapturedPacket]:
     if link_type == LINKTYPE_ETHERNET:
-        if len(frame) < 14 or frame[12:14] != b"\x08\x00":
+        if len(frame) < 14 or frame[12:14] not in (b"\x08\x00", b"\x86\xdd"):
             return None
         ip = frame[14:]
     elif link_type == LINKTYPE_LINUX_SLL:
         if len(frame) < 16 or frame[14:16] != b"\x08\x00":
             return None
         ip = frame[16:]
+    elif link_type == LINKTYPE_NULL:
+        if len(frame) < 4:
+            return None
+        fam = int.from_bytes(frame[:4], "little")
+        if fam not in (2, 0x02000000):     # AF_INET either byte order
+            return None
+        ip = frame[4:]
     else:                       # raw IP
         ip = frame
-    if len(ip) < 20 or ip[0] >> 4 != 4 or ip[9] != 17:
+    if len(ip) >= 48 and ip[0] >> 4 == 6 and ip[6] == 17:   # IPv6 + UDP
+        udp = ip[40:]
+    elif len(ip) >= 20 and ip[0] >> 4 == 4 and ip[9] == 17:
+        ihl = (ip[0] & 0xF) * 4
+        udp = ip[ihl:]
+    else:
         return None
-    ihl = (ip[0] & 0xF) * 4
-    udp = ip[ihl:]
     if len(udp) < 8:
         return None
     sport, dport, ulen, _ = struct.unpack("!HHHH", udp[:8])
@@ -168,7 +179,7 @@ class PcapRtpPlayer:
     def __init__(self, path: str, payload_type: Optional[int] = None,
                  time_scale: float = 1.0):
         self.packets = []
-        for cp in read_pcap(path):
+        for cp in read_capture(path):
             try:
                 pkt = RtpPacket.unpack(cp.udp_payload)
             except ValueError:

@@ -107,6 +107,7 @@ class H264Packetizer:
         self._nals: List[bytes] = []
         self.completed: List[bytes] = []
         self._last_seq = None
+        self._cur_ts = None
         self._gap = False
         self.dropped_incomplete = 0
 
@@ -123,16 +124,19 @@ class H264Packetizer:
             self.ps.process(nal)
             self._nals.append(nal)
         if pkt.marker:
-            if self._gap or not self._nals:
-                self.dropped_incomplete += 1
-            else:
-                from mediastreamer2_tpu.net.h26x import to_annexb
-                # IDR without in-band SPS/PPS: replay the stored parameter
-                # sets ahead of it (ParameterSetStore role, h26x framework)
-                nals = self.ps.prepend_for_idr(self._nals)
-                self.completed.append(to_annexb(nals))
-            self._nals = []
-            self._gap = False
+            self._close_au()
+
+    def _close_au(self):
+        if self._gap or not self._nals:
+            self.dropped_incomplete += 1
+        else:
+            from mediastreamer2_tpu.net.h26x import to_annexb
+            # IDR without in-band SPS/PPS: replay the stored parameter
+            # sets ahead of it (ParameterSetStore role, h26x framework)
+            nals = self.ps.prepend_for_idr(self._nals)
+            self.completed.append(to_annexb(nals))
+        self._nals = []
+        self._gap = False
 
     def pop(self) -> Optional[bytes]:
         return self.completed.pop(0) if self.completed else None

@@ -82,3 +82,55 @@ def test_h264_fir_recovery_under_loss(factory):
     after = rx.stats[0].frames_received
     assert after - before >= 10, (before, after)
     assert rx.stats[0].fir_sent > 0           # receiver asked for keyframes
+
+
+H264_SCENARIOS = "/root/reference/tester/scenarios"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(H264_SCENARIOS),
+                    reason="reference scenarios not mounted")
+def test_h264_real_capture_interop():
+    """Depacketize + decode the reference's REAL captured H.264 RTP streams
+    (tester/scenarios/h264_*.pcap) — wire-format interop evidence against
+    a third-party sender, incl. missing-PPS and corrupted-IDR pathologies
+    (the h264dec tester's fixtures)."""
+    import os
+    from mediastreamer2_tpu.io.pcap import read_capture
+    from mediastreamer2_tpu.net.rtp import RtpPacket
+    from mediastreamer2_tpu.models.video_stream import H264Packetizer
+    from mediastreamer2_tpu.ops.h264 import H264Decoder
+
+    def run(fname):
+        pkts = []
+        for cp in read_capture(os.path.join(H264_SCENARIOS, fname)):
+            try:
+                p = RtpPacket.unpack(cp.udp_payload)
+            except ValueError:
+                continue
+            pkts.append(p)
+        assert pkts, f"{fname}: no RTP parsed"
+        pk = H264Packetizer(mtu=1400)
+        dec = H264Decoder()
+        frames = 0
+        for p in pkts:
+            pk.push(p)
+            while True:
+                au = pk.pop()
+                if au is None:
+                    break
+                frames += len(dec.decode(au))
+        # flush the last AU (no trailing packet to close it)
+        pk._close_au()
+        au = pk.pop()
+        if au:
+            frames += len(dec.decode(au))
+        return frames, dec
+
+    # clean stream: one NAL per frame over IPv6, no marker bits
+    frames, dec = run("h264_one_nalu_per_frame.pcap")
+    assert frames >= 5, frames
+    assert dec.width > 0 and dec.height > 0
+    # pathological: second I-frame missing its PPS — decoder survives and
+    # still produces the earlier frames
+    frames2, _ = run("h264_missing_pps_in_second_i_frame.pcap")
+    assert frames2 >= 1, frames2
