@@ -63,3 +63,25 @@ def test_alsa_gated_detection():
     else:
         detect_alsa_cards(mgr)             # must not raise
         assert mgr.get_card("alsa:default") is None
+
+
+def test_screenshare_gated_and_pixel_path():
+    """Headless: availability gate is False without X11/DISPLAY, and the
+    BGRA->I420 pixel path (the part that doesn't need a display) is
+    correct (parity: msscreensharing_x11.cpp capture conversion)."""
+    from mediastreamer2_tpu.ops.screenshare import (screenshare_available,
+                                                    bgra_to_i420_block,
+                                                    ScreenShareSource)
+    if not screenshare_available():
+        import pytest
+        with pytest.raises(RuntimeError):
+            ScreenShareSource(64, 48)
+    # pure-red BGRA -> Y/U/V of red (BT.601)
+    bgra = np.zeros((48, 64, 4), np.uint8)
+    bgra[..., 2] = 255
+    block = bgra_to_i420_block(bgra)
+    assert block.shape == (72, 64)
+    y, uv = block[:48], block[48:].reshape(24, 2, 32)
+    assert abs(y.mean() - (0.257 * 255 + 16) / 255) < 0.01
+    assert abs(uv[:, 0].mean() - (-0.148 * 255 + 128) / 255) < 0.01  # U
+    assert abs(uv[:, 1].mean() - (0.439 * 255 + 128) / 255) < 0.01   # V
