@@ -65,16 +65,27 @@ def _padded_bins(S: int) -> int:
     return S + 1
 
 
+# HBM layout: the chain is bandwidth-bound on the six [B,P,F] tensors.
+# The MAIN taps are only read (written on rare promotes) and the far-end
+# history is shifted wholesale every tick — both tolerate bf16 storage
+# (compute upcasts to f32), halving their traffic. The SHADOW taps
+# accumulate mu*G every tick and stay f32: bf16 accumulation stalls once
+# updates drop under one ulp. ERLE is unchanged (tests assert >15 dB);
+# see ROUND2_NOTES.md for the measured legs/chip effect.
+STORE_DTYPE = jnp.bfloat16
+
+
 def _aec_init(ctx):
     B = ctx.batch
     S = ctx.in_formats[0].samples_per_tick
     P = _partitions(ctx)
     F = _padded_bins(S)                    # storage bins (maybe lane-padded)
     zc = lambda: jnp.zeros((B, P, F), jnp.float32)
+    zh = lambda: jnp.zeros((B, P, F), STORE_DTYPE)
     return {
-        "Wm_r": zc(), "Wm_i": zc(),        # main (filtering) taps
-        "Ws_r": zc(), "Ws_i": zc(),        # shadow (adapting) taps
-        "Xh_r": zc(), "Xh_i": zc(),        # far-end block spectra history
+        "Wm_r": zh(), "Wm_i": zh(),        # main (filtering) taps, bf16
+        "Ws_r": zc(), "Ws_i": zc(),        # shadow (adapting) taps, f32
+        "Xh_r": zh(), "Xh_i": zh(),        # far-end block spectra history
         "far_prev": jnp.zeros((B, S), jnp.float32),   # overlap-save
         "Pxx": jnp.full((B, F), 1e-6, jnp.float32),   # far PSD estimate
         "Em": jnp.full((B,), 1e-6, jnp.float32),      # smoothed main error
@@ -114,23 +125,35 @@ def _aec_process(state, ins, params, ctx):
         Xi = jnp.pad(Xi, ((0, 0), (0, F_pad)))
 
     # --- history shift + dual filter apply ---------------------------------
+    Wm_r_f = state["Wm_r"].astype(jnp.float32)
+    Wm_i_f = state["Wm_i"].astype(jnp.float32)
     if use_pallas:
-        # megakernel: taps+history stay VMEM-resident for the whole pass
+        # megakernel: taps+history stay VMEM-resident for the whole pass.
+        # Round the incoming block through the storage dtype FIRST so both
+        # code paths see identical (bf16-quantized) history values.
+        Xr_q = Xr.astype(STORE_DTYPE).astype(jnp.float32)
+        Xi_q = Xi.astype(STORE_DTYPE).astype(jnp.float32)
         Ym_r, Ym_i, Ys_r, Ys_i, Xh_r, Xh_i = pk.mdf_apply(
-            state["Wm_r"], state["Wm_i"], state["Ws_r"], state["Ws_i"],
-            state["Xh_r"], state["Xh_i"], Xr, Xi)
+            Wm_r_f, Wm_i_f, state["Ws_r"], state["Ws_i"],
+            state["Xh_r"].astype(jnp.float32),
+            state["Xh_i"].astype(jnp.float32), Xr_q, Xi_q)
         y_m = irfft(Ym_r[:, :F_nat], Ym_i[:, :F_nat], two_s)[:, S:]
         y_s = irfft(Ys_r[:, :F_nat], Ys_i[:, :F_nat], two_s)[:, S:]
     else:
-        Xh_r = jnp.concatenate([Xr[:, None, :], state["Xh_r"][:, :-1]], axis=1)
-        Xh_i = jnp.concatenate([Xi[:, None, :], state["Xh_i"][:, :-1]], axis=1)
+        # history shift in the storage dtype (bf16 traffic), upcast per use
+        Xh_r = jnp.concatenate([Xr[:, None, :].astype(state["Xh_r"].dtype),
+                                state["Xh_r"][:, :-1]], axis=1)
+        Xh_i = jnp.concatenate([Xi[:, None, :].astype(state["Xh_i"].dtype),
+                                state["Xh_i"][:, :-1]], axis=1)
 
         def apply(Wr, Wi):
-            Yr = jnp.sum(Wr * Xh_r - Wi * Xh_i, axis=1)
-            Yi = jnp.sum(Wr * Xh_i + Wi * Xh_r, axis=1)
+            Yr = jnp.sum(Wr * Xh_r.astype(jnp.float32)
+                         - Wi * Xh_i.astype(jnp.float32), axis=1)
+            Yi = jnp.sum(Wr * Xh_i.astype(jnp.float32)
+                         + Wi * Xh_r.astype(jnp.float32), axis=1)
             return irfft(Yr[:, :F_nat], Yi[:, :F_nat], two_s)[:, S:]
 
-        y_m = apply(state["Wm_r"], state["Wm_i"])
+        y_m = apply(Wm_r_f, Wm_i_f)
         y_s = apply(state["Ws_r"], state["Ws_i"])
     e_m = near - y_m
     e_s = near - y_s
@@ -148,8 +171,10 @@ def _aec_process(state, ins, params, ctx):
     # frame): the big [F]<->[2S] DFT matmuls run on 1/P of the taps, and
     # each partition still gets re-projected every P*10 ms.
     cpos = state["cpos"]
-    hp_r = jax.lax.dynamic_slice_in_dim(Xh_r, cpos, 1, axis=1)[:, 0]
-    hp_i = jax.lax.dynamic_slice_in_dim(Xh_i, cpos, 1, axis=1)[:, 0]
+    hp_r = jax.lax.dynamic_slice_in_dim(Xh_r, cpos, 1, axis=1
+                                        )[:, 0].astype(jnp.float32)
+    hp_i = jax.lax.dynamic_slice_in_dim(Xh_i, cpos, 1, axis=1
+                                        )[:, 0].astype(jnp.float32)
     gp_r, gp_i = cmul_conj(hp_r, hp_i, Er, Ei)
     gp_r = (gp_r * inv_norm)[:, :F_nat]
     gp_i = (gp_i * inv_norm)[:, :F_nat]
@@ -180,7 +205,9 @@ def _aec_process(state, ins, params, ctx):
             Xh_r, Xh_i, Er, Ei, inv_norm, gc_r, gc_i, mu,
             promote.astype(jnp.float32), reseed.astype(jnp.float32))
     else:
-        Gr, Gi = cmul_conj(Xh_r, Xh_i, Er[:, None, :], Ei[:, None, :])
+        Gr, Gi = cmul_conj(Xh_r.astype(jnp.float32),
+                           Xh_i.astype(jnp.float32),
+                           Er[:, None, :], Ei[:, None, :])
         Gr = Gr * inv_norm[:, None, :]
         Gi = Gi * inv_norm[:, None, :]
         Gr = jax.lax.dynamic_update_slice_in_dim(Gr, gc_r[:, None, :],
@@ -191,15 +218,18 @@ def _aec_process(state, ins, params, ctx):
         Ws_i = state["Ws_i"] + mu[:, None, None] * Gi
         p3 = promote[:, None, None]
         r3 = reseed[:, None, None]
-        Wm_r = jnp.where(p3, Ws_r, state["Wm_r"])
-        Wm_i = jnp.where(p3, Ws_i, state["Wm_i"])
-        Ws_r = jnp.where(r3, state["Wm_r"], Ws_r)
-        Ws_i = jnp.where(r3, state["Wm_i"], Ws_i)
+        Wm_r = jnp.where(p3, Ws_r.astype(STORE_DTYPE), state["Wm_r"])
+        Wm_i = jnp.where(p3, Ws_i.astype(STORE_DTYPE), state["Wm_i"])
+        Ws_r = jnp.where(r3, Wm_r_f, Ws_r)
+        Ws_i = jnp.where(r3, Wm_i_f, Ws_i)
     Em = jnp.where(promote, Es, Em)
     Es = jnp.where(reseed, Em, Es)
 
     e = jnp.where(promote[:, None], e_s, e_m)
     y = jnp.where(promote[:, None], y_s, y_m)
+    if use_pallas:
+        Xh_r = Xh_r.astype(STORE_DTYPE)
+        Xh_i = Xh_i.astype(STORE_DTYPE)
     e = jnp.where(params["enabled"][:, None], e, near)
 
     # --- residual echo suppression ------------------------------------------
@@ -240,14 +270,28 @@ register_filter(FilterDef(
 
 
 def get_state_blob(state_entry) -> bytes:
-    """Serialize EC state for warm restart (parity: speexec.c:119-150)."""
+    """Serialize EC state for warm restart (parity: speexec.c:119-150).
+    bf16-stored tensors (numpy has no bfloat16) travel as float32 and are
+    re-quantized on restore."""
     import io
     buf = io.BytesIO()
-    np.savez(buf, **{k: np.asarray(v) for k, v in state_entry.items()})
+    arrays = {}
+    bf16_keys = []
+    for k, v in state_entry.items():
+        a = np.asarray(jnp.asarray(v).astype(jnp.float32)) \
+            if jnp.asarray(v).dtype == jnp.bfloat16 else np.asarray(v)
+        if jnp.asarray(v).dtype == jnp.bfloat16:
+            bf16_keys.append(k)
+        arrays[k] = a
+    arrays["__bf16__"] = np.array(bf16_keys)
+    np.savez(buf, **arrays)
     return buf.getvalue()
 
 
 def set_state_blob(blob: bytes):
     import io
     data = np.load(io.BytesIO(blob))
-    return {k: jnp.asarray(data[k]) for k in data.files}
+    bf16 = set(data["__bf16__"].tolist()) if "__bf16__" in data.files else set()
+    return {k: (jnp.asarray(data[k]).astype(jnp.bfloat16) if k in bf16
+                else jnp.asarray(data[k]))
+            for k in data.files if k != "__bf16__"}
