@@ -54,14 +54,23 @@ class RtpPacket:
     payload: bytes
     marker: bool = False
     csrcs: Tuple[int, ...] = ()
+    # RFC 5285 one-byte header extensions: {ext_id: data}
+    extensions: Optional[Dict[int, bytes]] = None
 
     def pack(self) -> bytes:
-        b0 = (RTP_VERSION << 6) | (len(self.csrcs) & 0x0F)
+        x_bit = 1 if self.extensions else 0
+        b0 = (RTP_VERSION << 6) | (x_bit << 4) | (len(self.csrcs) & 0x0F)
         b1 = ((1 if self.marker else 0) << 7) | (self.payload_type & 0x7F)
         hdr = _HDR.pack(b0, b1, self.seq & 0xFFFF,
                         self.timestamp & 0xFFFFFFFF, self.ssrc & 0xFFFFFFFF)
         csrc = b"".join(struct.pack("!I", c) for c in self.csrcs)
-        return hdr + csrc + self.payload
+        ext = b""
+        if self.extensions:
+            body = b"".join(bytes([(eid << 4) | (len(d) - 1)]) + d
+                            for eid, d in self.extensions.items())
+            body += b"\x00" * ((-len(body)) % 4)
+            ext = struct.pack("!HH", 0xBEDE, len(body) // 4) + body
+        return hdr + csrc + ext + self.payload
 
     @classmethod
     def unpack(cls, data: bytes) -> "RtpPacket":
@@ -75,14 +84,30 @@ class RtpPacket:
         off = _HDR.size + 4 * cc
         csrcs = tuple(struct.unpack_from("!I", data, _HDR.size + 4 * i)[0]
                       for i in range(cc))
+        extensions = None
         if has_ext:
-            _, ext_len = struct.unpack_from("!HH", data, off)
+            profile, ext_len = struct.unpack_from("!HH", data, off)
+            body = data[off + 4: off + 4 + 4 * ext_len]
             off += 4 + 4 * ext_len
+            if profile == 0xBEDE:            # RFC 5285 one-byte form
+                extensions = {}
+                i = 0
+                while i < len(body):
+                    b = body[i]
+                    if b == 0:               # padding
+                        i += 1
+                        continue
+                    eid, ln = b >> 4, (b & 0x0F) + 1
+                    if eid == 15:
+                        break
+                    extensions[eid] = body[i + 1: i + 1 + ln]
+                    i += 1 + ln
         payload = data[off:]
         if (b0 >> 5) & 1:                      # padding
             payload = payload[: -payload[-1]] if payload else payload
         return cls(payload_type=b1 & 0x7F, seq=seq, timestamp=ts, ssrc=ssrc,
-                   payload=payload, marker=bool(b1 >> 7), csrcs=csrcs)
+                   payload=payload, marker=bool(b1 >> 7), csrcs=csrcs,
+                   extensions=extensions)
 
 
 @dataclasses.dataclass
@@ -289,9 +314,22 @@ class RtpSession:
         self._rtx_history = {}
         self._rtx_depth = history
 
+    def enable_audio_level_ext(self, ext_id: int = 1):
+        """RFC 6464 client-to-mixer audio level header extension
+        (reference: msrtp.c audio-level extension insertion; negotiated id
+        via SDP extmap). Call set_audio_level(dBov) per tick."""
+        self._level_ext_id = ext_id
+        self._level_dbov = 127
+
+    def set_audio_level(self, dbov: int, voice: bool = False):
+        self._level_dbov = (0x80 if voice else 0) | (min(127, max(0, dbov)))
+
     def send_payload(self, payload: bytes, ts_increment: int, marker: bool = False):
+        ext = None
+        if getattr(self, "_level_ext_id", None) is not None:
+            ext = {self._level_ext_id: bytes([self._level_dbov])}
         pkt = RtpPacket(self.payload_type, self.seq, self.ts, self.ssrc,
-                        payload, marker)
+                        payload, marker, extensions=ext)
         wire = pkt.pack()
         self.transport.send(wire)
         if self._rtx_history is not None:

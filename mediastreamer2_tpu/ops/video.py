@@ -211,3 +211,36 @@ register_filter(FilterDef(
     out_formats=lambda ctx: (), process=_analyse_process,
     interfaces=("video_display",),
 ))
+
+
+def compose_selfview(main, pip, corner: str = "bottom_right",
+                     scale: float = 0.25, margin: int = 8):
+    """Composite display with local self-view inset — MSVideoOut's layout
+    (reference: src/videofilters/videoout.c + layouts.c math).
+
+    main/pip: packed-I420 float blocks [B, h*3/2, w]; the pip is rescaled
+    to `scale` of the main picture and blended into the chosen corner.
+    Pure jnp: runs fused with the rest of the tick program.
+    """
+    B, bh, w = main.shape
+    h = bh * 2 // 3
+    pw = max(16, int(w * scale) // 2 * 2)
+    ph = max(12, int(h * scale) // 2 * 2)
+    pip_small = scale_yuv420(pip, w, h, pw, ph)          # [B, ph*3/2, pw]
+    if corner == "bottom_right":
+        x0, y0 = w - pw - margin, h - ph - margin
+    elif corner == "bottom_left":
+        x0, y0 = margin, h - ph - margin
+    elif corner == "top_right":
+        x0, y0 = w - pw - margin, margin
+    else:                                                # top_left
+        x0, y0 = margin, margin
+    x0, y0 = max(0, x0), max(0, y0) // 2 * 2
+    out_y = jax.lax.dynamic_update_slice(
+        main[:, :h], pip_small[:, :ph], (0, y0, x0))
+    # chroma rows are interleaved U,V half-res pairs in the packed layout
+    main_uv = main[:, h:].reshape(B, h // 2, 2, w // 2)
+    pip_uv = pip_small[:, ph:].reshape(B, ph // 2, 2, pw // 2)
+    out_uv = jax.lax.dynamic_update_slice(
+        main_uv, pip_uv, (0, y0 // 2, 0, x0 // 2))
+    return jnp.concatenate([out_y, out_uv.reshape(B, h // 2, w)], axis=1)

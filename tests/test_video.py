@@ -77,3 +77,46 @@ def test_analyse_display_event(factory):
     cg = g.build()
     st, out, ev = cg.step(cg.init_state(), cg.init_params(), {})
     assert 0.0 < float(np.asarray(ev["ana.frame_mean"])[0]) < 1.0
+
+
+def test_compose_selfview_pip():
+    """MSVideoOut composite self-view: pip lands in the corner, main
+    picture elsewhere untouched (videoout.c + layouts.c parity)."""
+    import jax.numpy as jnp
+    from mediastreamer2_tpu.ops.video import compose_selfview
+    B, w, h = 1, 64, 48
+    main = jnp.full((B, h * 3 // 2, w), 0.2, jnp.float32)
+    pip = jnp.full((B, h * 3 // 2, w), 0.9, jnp.float32)
+    out = np.asarray(compose_selfview(main, pip, "bottom_right",
+                                      scale=0.25, margin=4))
+    assert out.shape == (B, h * 3 // 2, w)
+    # bottom-right corner contains pip luma, top-left stays main
+    assert abs(out[0, 2, 2] - 0.2) < 0.05
+    assert abs(out[0, h - 6, w - 6] - 0.9) < 0.1
+
+
+def test_stream_regulator_paces_by_timestamp():
+    from mediastreamer2_tpu.core.worker import StreamRegulator
+    reg = StreamRegulator(clock_rate=90000)
+    for k in range(5):
+        reg.push(k * 3000, f"f{k}")          # 30 fps timestamps
+    assert reg.pop_due(0.0) == ["f0"]
+    assert reg.pop_due(0.034) == ["f1"]       # 1 frame due
+    assert reg.pop_due(0.100) == ["f2", "f3"]
+    assert reg.pop_due(0.200) == ["f4"]
+    assert reg.pop_due(0.3) == []
+
+
+def test_rtp_audio_level_extension_roundtrip():
+    """RFC 6464 one-byte header extension at the RTP edge (msrtp.c
+    audio-level insertion) — packs, survives transport, parses."""
+    from mediastreamer2_tpu.net.rtp import RtpSession, RtpPacket, LoopbackPair
+    pair = LoopbackPair()
+    tx = RtpSession(pair.endpoint(0), payload_type=0, clock_rate=8000)
+    tx.enable_audio_level_ext(ext_id=1)
+    tx.set_audio_level(23, voice=True)
+    tx.send_payload(b"\xff" * 80, ts_increment=80)
+    data = pair.endpoint(1).recv_all()[0]
+    pkt = RtpPacket.unpack(data)
+    assert pkt.extensions == {1: bytes([0x80 | 23])}
+    assert pkt.payload == b"\xff" * 80
