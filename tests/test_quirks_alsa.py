@@ -85,3 +85,26 @@ def test_screenshare_gated_and_pixel_path():
     assert abs(y.mean() - (0.257 * 255 + 16) / 255) < 0.01
     assert abs(uv[:, 0].mean() - (-0.148 * 255 + 128) / 255) < 0.01  # U
     assert abs(uv[:, 1].mean() - (0.439 * 255 + 128) / 255) < 0.01   # V
+
+
+def test_v4l2_gated_and_yuyv_conversion():
+    """Headless: no /dev/video* -> gated; the YUYV->I420 pixel path is
+    exact (parity: msv4l2.c capture conversion)."""
+    from mediastreamer2_tpu.core.v4l2 import (v4l2_available, list_devices,
+                                              yuyv_to_i420_block)
+    if not list_devices():
+        assert v4l2_available() is False
+    w, h = 8, 4
+    yuyv = np.zeros((h, w * 2), np.uint8)
+    yuyv[:, 0::4] = 200      # Y0
+    yuyv[:, 2::4] = 100      # Y1
+    yuyv[:, 1::4] = 60       # U
+    yuyv[:, 3::4] = 180      # V
+    block = yuyv_to_i420_block(yuyv, w, h)
+    assert block.shape == (h * 3 // 2, w)
+    y = block[:h] * 255
+    np.testing.assert_allclose(y[:, 0::2], 200, atol=0.5)
+    np.testing.assert_allclose(y[:, 1::2], 100, atol=0.5)
+    uv = (block[h:] * 255).reshape(h // 2, 2, w // 2)
+    np.testing.assert_allclose(uv[:, 0], 60, atol=0.5)
+    np.testing.assert_allclose(uv[:, 1], 180, atol=0.5)
