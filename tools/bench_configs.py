@@ -126,7 +126,7 @@ def measure(cfg: int, batch: int, rtt_ms: float) -> float:
 
 
 def legs_at_deadline(cfg: int, rtt: float, start: int = 256,
-                     cap: int = 1 << 20) -> tuple:
+                     cap: int = 1 << 18) -> tuple:
     budget = DEADLINE_MS * SAFETY
     lo, hi, b = 0, None, start
     best_ms = None
@@ -141,7 +141,7 @@ def legs_at_deadline(cfg: int, rtt: float, start: int = 256,
             b *= 2
         else:
             hi = b
-    while hi is not None and hi - lo > max(start // 2, lo // 8):
+    while hi is not None and hi - lo > max(start // 2, lo // 4):
         mid = (lo + hi) // 2 // 64 * 64
         if mid <= lo or mid >= hi:
             break

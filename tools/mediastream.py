@@ -176,7 +176,7 @@ def main():
     c.add_argument("--local-port", type=int, default=7078)
     c.add_argument("--remote", default="")
     c.add_argument("--codec", default="ulaw",
-                   choices=["ulaw", "alaw", "l16", "opus", "gsm"])
+                   choices=["ulaw", "alaw", "l16", "opus", "gsm", "g722"])
     c.add_argument("--rate", type=int, default=8000)
     c.add_argument("--ec", action="store_true", help="echo canceller")
     c.add_argument("--agc", action="store_true")
