@@ -225,6 +225,11 @@ class AudioStreamBatch:
         self.jb_params = jb_params or JBParams()
         self._dtx_silent = np.zeros(batch, bool)
         self._was_voice = np.ones(batch, bool)
+        # runtime ptime for byte codecs (MS_AUDIO_ENCODER_SET_PTIME; the
+        # QoS AudioBitrateDriver climbs the ptime ladder under loss)
+        self._ptime_ticks = [1] * batch
+        self._tx_tick_accum: List[list] = [[] for _ in range(batch)]
+        self._rx_tick_fifo: List[list] = [[] for _ in range(batch)]
         self._lost_mask = np.zeros(batch, bool)
         self._host_enc = [None] * batch
         self._host_dec = [None] * batch
@@ -293,23 +298,40 @@ class AudioStreamBatch:
             return row.astype(">i2").tobytes()
         raise ValueError(self.codec)
 
+    def set_ptime(self, leg: int, ptime_ms: int):
+        """cf. MS_AUDIO_ENCODER_SET_PTIME (audiostream.c:1608-1618): pack
+        ptime_ms worth of audio per packet — fewer packets, more latency;
+        the QoS ptime ladder calls this under loss. Byte codecs only
+        (host codecs have their own frame aggregation)."""
+        if self.host_codec:
+            raise ValueError("host codecs manage their own frame size")
+        assert ptime_ms % 10 == 0 and ptime_ms >= 10
+        self._ptime_ticks[leg] = ptime_ms // 10
+
     def _pull(self, tick: int) -> Dict[str, np.ndarray]:
         if self.host_codec:
             return self._pull_host_codec(tick)
         B, S = self.batch, self.S
         rx = np.zeros((B, self.S_rtp), np.int32)
         lost = np.zeros(B, bool)
-        payload_len = self.S_rtp * CODEC_BYTES_PER_SAMPLE[self.codec]
+        tick_len = self.S_rtp * CODEC_BYTES_PER_SAMPLE[self.codec]
         for i, sess in enumerate(self.sessions):
             if sess is None:
                 lost[i] = True
                 continue
             sess.poll()
-            payload = sess.jitter_buffer.get_tick()
-            if payload is None or len(payload) != payload_len:
-                lost[i] = True
+            fifo = self._rx_tick_fifo[i]
+            if not fifo:
+                payload = sess.jitter_buffer.get_tick()
+                if payload is not None and len(payload) >= tick_len \
+                        and len(payload) % tick_len == 0:
+                    # one packet may hold several ticks (sender ptime > 10)
+                    fifo.extend(payload[k:k + tick_len]
+                                for k in range(0, len(payload), tick_len))
+            if fifo:
+                rx[i] = self._decode_payload(fifo.pop(0))
             else:
-                rx[i] = self._decode_payload(payload)
+                lost[i] = True
         self._lost_mask = lost
         if self.features.plc:
             self.ticker.params["plc"]["lost"] = jnp.asarray(lost)
@@ -392,6 +414,14 @@ class AudioStreamBatch:
                 # the RTP clock keeps running underneath
                 sess.dtmf_tick(self.S_rtp)
                 sess.skip_payload(ts_increment=self.S_rtp)
+                continue
+            if voice[i] and self._ptime_ticks[i] > 1:
+                acc = self._tx_tick_accum[i]
+                acc.append(self._encode_payload(tx[i]))
+                if len(acc) >= self._ptime_ticks[i]:
+                    sess.send_payload(b"".join(acc),
+                                      ts_increment=self.S_rtp * len(acc))
+                    acc.clear()
                 continue
             if voice[i]:
                 sess.send_payload(self._encode_payload(tx[i]),

@@ -141,3 +141,27 @@ def test_mixed_call_recording(factory):
     # own mic absent from a recv-only recording: its 1700 Hz energy is a
     # tiny fraction of the mixed recording's (mu-law noise floor remains)
     assert band_peak(rec2, 1700) < band_peak(rec, 1700) / 20
+
+
+def test_ptime_packing(factory):
+    """MS_AUDIO_ENCODER_SET_PTIME parity: 40 ms packets (4 ticks each),
+    1/4 the packet count, audio still passes audio_diff."""
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    from mediastreamer2_tpu.core.block import tick_samples
+    S = tick_samples(8000)
+    ticks = 120
+    sig = make_speechlike(S * ticks, 8000, seed=13)
+    tx = AudioStreamBatch(factory, 1, mic_signal=sig)
+    rx = AudioStreamBatch(factory, 1, record_ticks=ticks + 40)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.set_ptime(0, 40)
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    rx.start(ticks + 40)
+    tx.run(ticks + 10)
+    tx.stop(); rx.stop()
+    sim, _ = audio_diff(sig, rx.get_recording()[0])
+    assert sim > 0.9, sim
+    # ~1/4 the packets of a 10 ms-ptime stream
+    assert tx.sessions[0].stats.sent_packets <= ticks // 4 + 4
