@@ -166,3 +166,144 @@ class ParameterSetStore:
     @property
     def ready(self) -> bool:
         return self.sps is not None and self.pps is not None
+
+
+# ---------------------------------------------------------------------------
+# H.265 / HEVC payloads (RFC 7798) — the other half of the reference's h26x
+# framework (src/videofilters/h26x/: shared NAL pack/unpack templates with
+# per-codec NAL-header rules; raw fixtures at tester/raw/h265-*).
+# ---------------------------------------------------------------------------
+H265_AP = 48                 # aggregation packet
+H265_FU = 49                 # fragmentation unit
+H265_VPS, H265_SPS, H265_PPS = 32, 33, 34
+
+
+def h265_nal_type(nal: bytes) -> int:
+    return (nal[0] >> 1) & 0x3F if nal else -1
+
+
+def h265_is_irap(nal: bytes) -> bool:
+    """IRAP (IDR/CRA/BLA) NAL types 16..21 — random access points."""
+    return 16 <= h265_nal_type(nal) <= 21
+
+
+def h265_packetize(nals: List[bytes], mtu: int = 1400) -> List[bytes]:
+    """NAL units -> RTP payloads (single NAL / AP / FU per RFC 7798)."""
+    payloads: List[bytes] = []
+    pending: List[bytes] = []
+
+    def layer_tid(ns):
+        # AP header carries min LayerId and min TID of the aggregated units
+        lid = min(((n[0] & 1) << 5) | (n[1] >> 3) for n in ns)
+        tid = min(n[1] & 0x07 for n in ns)
+        return lid, tid
+
+    def flush_ap():
+        nonlocal pending
+        if not pending:
+            return
+        if len(pending) == 1:
+            payloads.append(pending[0])
+        else:
+            f = max(n[0] & 0x80 for n in pending)
+            lid, tid = layer_tid(pending)
+            hdr = bytes([f | (H265_AP << 1) | (lid >> 5),
+                         ((lid & 0x1F) << 3) | tid])
+            body = b"".join(struct.pack("!H", len(n)) + n for n in pending)
+            payloads.append(hdr + body)
+        pending = []
+
+    for nal in nals:
+        if len(nal) <= mtu:
+            agg = sum(len(n) + 2 for n in pending) + len(nal) + 2 + 2
+            if pending and agg > mtu:
+                flush_ap()
+            pending.append(nal)
+            if len(nal) > mtu // 4:
+                flush_ap()
+            continue
+        flush_ap()
+        # FU: PayloadHdr(type=49) + FU header(S|E|FuType) + fragment
+        ph = bytes([(nal[0] & 0x81) | (H265_FU << 1), nal[1]])
+        fu_type = h265_nal_type(nal)
+        body = nal[2:]
+        chunk = mtu - 3
+        for k in range(0, len(body), chunk):
+            s = 0x80 if k == 0 else 0
+            e = 0x40 if k + chunk >= len(body) else 0
+            payloads.append(ph + bytes([s | e | fu_type]) + body[k:k + chunk])
+    flush_ap()
+    return payloads
+
+
+class H265Unpacker:
+    """RTP payloads -> H.265 NAL units (single / AP / FU)."""
+
+    def __init__(self):
+        self._fu: Optional[bytearray] = None
+        self.errors = 0
+
+    def push(self, payload: bytes) -> List[bytes]:
+        if len(payload) < 2:
+            return []
+        t = (payload[0] >> 1) & 0x3F
+        if t == H265_AP:
+            nals = []
+            off = 2
+            while off + 2 <= len(payload):
+                ln = struct.unpack_from("!H", payload, off)[0]
+                off += 2
+                nals.append(payload[off:off + ln])
+                off += ln
+            return nals
+        if t == H265_FU:
+            if len(payload) < 3:
+                self.errors += 1
+                return []
+            fu = payload[2]
+            start, end = fu & 0x80, fu & 0x40
+            if start:
+                hdr0 = (payload[0] & 0x81) | ((fu & 0x3F) << 1)
+                self._fu = bytearray([hdr0, payload[1]]) + payload[3:]
+                if not end:
+                    return []
+            elif self._fu is None:
+                self.errors += 1
+                return []
+            else:
+                self._fu += payload[3:]
+            if end and self._fu is not None:
+                nal, self._fu = bytes(self._fu), None
+                return [nal]
+            return []
+        return [payload]
+
+
+class H265ParameterSetStore:
+    """VPS/SPS/PPS store, replayed ahead of IRAP frames (the HEVC half of
+    the h26x parameter-set store)."""
+
+    def __init__(self):
+        self.vps: Optional[bytes] = None
+        self.sps: Optional[bytes] = None
+        self.pps: Optional[bytes] = None
+
+    def process(self, nal: bytes):
+        t = h265_nal_type(nal)
+        if t == H265_VPS:
+            self.vps = nal
+        elif t == H265_SPS:
+            self.sps = nal
+        elif t == H265_PPS:
+            self.pps = nal
+
+    @property
+    def ready(self) -> bool:
+        return None not in (self.vps, self.sps, self.pps)
+
+    def prepend_for_irap(self, nals: List[bytes]) -> List[bytes]:
+        if any(h265_is_irap(n) for n in nals) \
+                and not any(h265_nal_type(n) == H265_SPS for n in nals) \
+                and self.ready:
+            return [self.vps, self.sps, self.pps] + nals
+        return nals

@@ -1,0 +1,66 @@
+"""H.265/HEVC RTP payloads (RFC 7798) against the reference's raw fixtures
+(tester/raw/h265-iframe, h265-parameter-sets-frame) — the HEVC half of the
+h26x framework (h26x tools tester parity)."""
+import os
+
+import pytest
+
+from mediastreamer2_tpu.net.h26x import (split_annexb, to_annexb,
+                                         h265_nal_type, h265_is_irap,
+                                         h265_packetize, H265Unpacker,
+                                         H265ParameterSetStore)
+
+RAW = "/root/reference/tester/raw"
+pytestmark = pytest.mark.skipif(not os.path.isdir(RAW),
+                                reason="reference fixtures not mounted")
+
+
+def _nals(fname):
+    data = open(os.path.join(RAW, fname), "rb").read()
+    return split_annexb(data)
+
+
+def test_parameter_sets_fixture_parses():
+    nals = _nals("h265-parameter-sets-frame")
+    assert [h265_nal_type(n) for n in nals] == [32, 33, 34]  # VPS SPS PPS
+    ps = H265ParameterSetStore()
+    for n in nals:
+        ps.process(n)
+    assert ps.ready
+
+
+def test_iframe_roundtrip_small_mtu():
+    """The real 27 kB I-frame fragments into FUs and reassembles exactly."""
+    nals = _nals("h265-iframe")
+    assert nals and any(h265_is_irap(n) for n in nals)
+    payloads = h265_packetize(nals, mtu=1400)
+    assert len(payloads) > len(nals)          # FU fragmentation happened
+    assert all(len(p) <= 1403 for p in payloads)
+    un = H265Unpacker()
+    out = []
+    for p in payloads:
+        out.extend(un.push(p))
+    assert out == nals
+    assert un.errors == 0
+
+
+def test_aggregation_packet_roundtrip():
+    """Small parameter sets aggregate into one AP and unpack in order."""
+    nals = _nals("h265-parameter-sets-frame")
+    payloads = h265_packetize(nals, mtu=1400)
+    assert len(payloads) == 1                 # one AP carries all three
+    assert (payloads[0][0] >> 1) & 0x3F == 48
+    un = H265Unpacker()
+    assert un.push(payloads[0]) == nals
+
+
+def test_prepend_for_irap():
+    ps = H265ParameterSetStore()
+    for n in _nals("h265-parameter-sets-frame"):
+        ps.process(n)
+    frame = _nals("h265-iframe")
+    irap_only = [n for n in frame if h265_is_irap(n)]
+    out = ps.prepend_for_irap(irap_only)
+    assert [h265_nal_type(n) for n in out[:3]] == [32, 33, 34]
+    # annexb round trip preserved
+    assert split_annexb(to_annexb(out)) == out
