@@ -140,7 +140,14 @@ class BandwidthController:
             self._window.pop(0)
         self.est_bps = 0.7 * self.est_bps + 0.3 * bps if self.est_bps else bps
         was = self.congested
-        self.congested = (loss_rate > 0.05) or (jitter_rising and loss_rate > 0.01)
+        # a bandwidth edge shows as a receive-rate drop with delay growth
+        # and often NO loss (the bottleneck buffers) — the reference's
+        # detector keys on exactly that (bandwidthcontroller.c congestion
+        # state from the oRTP video bandwidth estimator)
+        med = sorted(self._window)[len(self._window) // 2]
+        rate_drop = len(self._window) >= 5 and bps < 0.75 * med
+        self.congested = (loss_rate > 0.05) \
+            or (jitter_rising and (loss_rate > 0.01 or rate_drop))
         if self.congested:
             target = max(self.est_bps * 0.7, 16000)
             self.emit_feedback(int(target))
