@@ -69,6 +69,8 @@ def read_pcap(path: str) -> List[CapturedPacket]:
     out: List[CapturedPacket] = []
     with open(path, "rb") as f:
         hdr = f.read(24)
+        if len(hdr) < 24:
+            raise ValueError("truncated pcap header")
         magic = struct.unpack("<I", hdr[:4])[0]
         if magic == MAGIC_USEC:
             div, endian = 1e6, "<"

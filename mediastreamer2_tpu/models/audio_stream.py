@@ -177,7 +177,15 @@ class AudioStreamBatch:
         if ft.echo_canceller:
             ec = g.add("echo_canceller", "ec")
             g.link(last, 0, ec, 0)
-            g.link(spk_tee, 2, ec, 1)          # far-end reference = speaker
+            if ft.ec_delay_ms:
+                # align the far reference with the echo path (the quirk
+                # DB's delay hint, audiostream.c:1642-1680 -> EC delay)
+                dl = g.add("delay_line", "ec_delay",
+                           max_delay_ms=max(200, ft.ec_delay_ms))
+                g.link(spk_tee, 2, dl, 0)
+                g.link(dl, 0, ec, 1)
+            else:
+                g.link(spk_tee, 2, ec, 1)      # far-end reference = speaker
             last = ec
         if ft.volume or ft.agc or ft.noise_gate:
             vs = g.add("volume", "vol_send")

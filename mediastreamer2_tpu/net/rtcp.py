@@ -234,18 +234,21 @@ def parse_compound(data: bytes):
         if pt == RTCP_SR and len(chunk) >= 24:
             ssrc, ns, nf, ts, pc, oc = struct.unpack_from("!IIIIII", chunk)
             reports = [ReportBlock.unpack(chunk[24 + 24 * i:])
-                       for i in range(count)]
+                       for i in range(count)
+                       if len(chunk) >= 24 + 24 * (i + 1)]
             out.append(SenderReport(ssrc, ns, nf, ts, pc, oc, reports))
         elif pt == RTCP_RR and len(chunk) >= 4:
             ssrc = struct.unpack_from("!I", chunk)[0]
             reports = [ReportBlock.unpack(chunk[4 + 24 * i:])
-                       for i in range(count)]
+                       for i in range(count)
+                       if len(chunk) >= 4 + 24 * (i + 1)]
             out.append(ReceiverReport(ssrc, reports))
         elif pt in (RTCP_RTPFB, RTCP_PSFB) and len(chunk) >= 8:
             snd, med = struct.unpack_from("!II", chunk)
             fci = chunk[8:]
             fmt = count
-            if pt == RTCP_PSFB and fmt == FMT_REMB and fci[:4] == b"REMB":
+            if pt == RTCP_PSFB and fmt == FMT_REMB \
+                    and fci[:4] == b"REMB" and len(fci) >= 8:
                 _, b1, lo = struct.unpack_from("!BBH", fci, 4)
                 exp = b1 >> 2
                 mant = ((b1 & 0x3) << 16) | lo

@@ -82,10 +82,14 @@ class RtpPacket:
         cc = b0 & 0x0F
         has_ext = (b0 >> 4) & 1
         off = _HDR.size + 4 * cc
+        if len(data) < off:
+            raise ValueError("truncated CSRC list")
         csrcs = tuple(struct.unpack_from("!I", data, _HDR.size + 4 * i)[0]
                       for i in range(cc))
         extensions = None
         if has_ext:
+            if len(data) < off + 4:
+                raise ValueError("truncated extension header")
             profile, ext_len = struct.unpack_from("!HH", data, off)
             body = data[off + 4: off + 4 + 4 * ext_len]
             off += 4 + 4 * ext_len

@@ -108,3 +108,33 @@ def test_v4l2_gated_and_yuyv_conversion():
     uv = (block[h:] * 255).reshape(h // 2, 2, w // 2)
     np.testing.assert_allclose(uv[:, 0], 60, atol=0.5)
     np.testing.assert_allclose(uv[:, 1], 180, atol=0.5)
+
+
+def test_delay_line_and_ec_delay_wiring(factory):
+    """delay_line shifts per-leg by whole ticks; a stream built with an
+    ec_delay_ms quirk carries the delay node with the right setting."""
+    import jax.numpy as jnp
+    from mediastreamer2_tpu import GraphBuilder, Format, tick_samples
+    from mediastreamer2_tpu.core.ticker import Ticker
+    S = tick_samples(8000)
+    g = GraphBuilder(factory, batch=2)
+    src = g.add("ext_source", "in", fmt=Format(rate=8000))
+    dl = g.add("delay_line", "dl", max_delay_ms=100)
+    g.chain(src, dl, g.add("ext_sink", "out"))
+    tk = Ticker(g.build(), realtime=False)
+    tk.params["dl"]["delay_ticks"] = jnp.asarray([0, 3])
+    outs = []
+    tk.set_io(pull=lambda t: {"in": np.full((2, S), float(t + 1), np.float32)},
+              push=lambda t, o: outs.append(np.asarray(o["out"])))
+    tk.warm_up()
+    for _ in range(6):
+        tk.do_tick()
+    assert outs[5][0, 0] == 6.0          # leg 0: passthrough
+    assert outs[5][1, 0] == 3.0          # leg 1: 3 ticks behind
+
+    ft = apply_quirks(AudioStreamFeatures(echo_canceller=True),
+                      lookup_quirks("generic", "usb headset"))
+    st = AudioStreamBatch(factory, 1, features=ft)
+    assert "ec_delay" in st.ticker.state
+    st.ticker.params["ec_delay"]["delay_ticks"] = \
+        np.full((1,), ft.ec_delay_ms // 10)
