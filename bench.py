@@ -149,16 +149,27 @@ def e2e_passes(res) -> bool:
         return False
     ticks = res.ticks
     return (res.late_ticks <= max(1, ticks // 100)
+            and res.ms_per_tick <= DEADLINE_MS * 1.03
             and res.loss_rate < 0.02 and res.fidelity >= 0.9)
+
+
+def _kd_for(n: int) -> tuple:
+    """Block size / pipeline depth ladder: bigger N needs more in-flight
+    buffering to ride out the tunnel's transfer bursts (latency cost is
+    reported in the result, and irrelevant on PCIe hosts where K=1)."""
+    return (32, 3) if n <= 1536 else (64, 6)
+
+
+
 
 
 def e2e_legs() -> tuple:
     """Largest N passing the paced e2e run. Returns (n, result)."""
-    K, D = 32, 3
     best = (0, None)
-    candidates = [1024, 1536, 2048, 3072, 4096, 6144, 8192]
+    candidates = [1536, 2048, 2560, 3072, 4096, 6144]
     lo_fail = None
     for n in candidates:
+        K, D = _kd_for(n)
         res = e2e_trial(n, K, D)
         ok = e2e_passes(res)
         print(f"# e2e n={n}: "
@@ -176,6 +187,7 @@ def e2e_legs() -> tuple:
         # one refinement step between last pass and first fail
         mid = (best[0] + lo_fail) // 2 // 256 * 256
         if best[0] < mid < lo_fail:
+            K, D = _kd_for(mid)
             res = e2e_trial(mid, K, D)
             ok = e2e_passes(res)
             print(f"# e2e n={mid}: "

@@ -220,7 +220,10 @@ class E2EConferenceBench:
                         time.sleep(next_edge - now)
                     elif now > next_edge + interval:
                         if blk >= warmup_blocks:
-                            late_ticks += 1   # cf. msticker late-tick event
+                            # a stall spanning M intervals is M late ticks
+                            # (cf. msticker late accounting) — otherwise a
+                            # block-boundary pause of 100 ms counts once
+                            late_ticks += int((now - next_edge) / interval)
                         next_edge = now
                     next_edge += interval
                 self.tx.send(cur_tx[k], ts_inc=S8)
