@@ -306,6 +306,33 @@ class AudioStreamBatch:
             return row.astype(">i2").tobytes()
         raise ValueError(self.codec)
 
+    def enable_batch_edge(self, rx_sock, tx_sock, remote, ssrc_base: int = 0x5000,
+                          prefill: int = 4):
+        """Replace the per-leg Python RTP path with the native batched edge
+        (native/rtp_edge.cpp): ONE sendmmsg/GSO call sends all legs, ONE
+        recvmmsg/GRO drain + C++ jitter-ring playout feeds the tick — the
+        production fast path for byte codecs at thousands of legs (the
+        per-leg RtpSession path remains for feature-rich legs: RTCP, DTMF,
+        SRTP wrapping).
+
+        Legs transmit SSRC ssrc_base+i and expect the same SSRCs inbound
+        (BUNDLE-style multiplexing on one socket pair)."""
+        from mediastreamer2_tpu.native import BatchRtpTx, BatchRtpRx
+        if self.host_codec:
+            raise ValueError("batch edge supports byte codecs only")
+        psz = self.S_rtp * CODEC_BYTES_PER_SAMPLE[self.codec]
+        self._edge_tx = BatchRtpTx(tx_sock, self.batch, psz)
+        self._edge_rx = BatchRtpRx(self.batch, psz, ring_depth=64)
+        self._edge_rx.add_socket(rx_sock, gro=True)
+        for i in range(self.batch):
+            self._edge_tx.config(i, remote[0], remote[1],
+                                 ssrc=ssrc_base + i,
+                                 pt=PAYLOAD_TYPES[self.codec])
+            self._edge_rx.map_ssrc(ssrc_base + i, i)
+            self._edge_rx.set_prefill(i, prefill)
+        self._edge_tx.enable_gso(remote)
+        self.batch_edge = True
+
     def set_ptime(self, leg: int, ptime_ms: int):
         """cf. MS_AUDIO_ENCODER_SET_PTIME (audiostream.c:1608-1618): pack
         ptime_ms worth of audio per packet — fewer packets, more latency;
@@ -316,7 +343,45 @@ class AudioStreamBatch:
         assert ptime_ms % 10 == 0 and ptime_ms >= 10
         self._ptime_ticks[leg] = ptime_ms // 10
 
+    batch_edge = False
+
+    def _pull_batch_edge(self, tick: int) -> Dict[str, np.ndarray]:
+        """Whole-batch pull: one poll + one playout pop, zero per-leg
+        Python. Payload matrix decodes vectorized (u8/i16 view)."""
+        B = self.batch
+        self._edge_rx.poll()
+        pay, flags = self._edge_rx.read_tick()
+        if self.codec in ("ulaw", "alaw", "g722"):
+            rx = pay.astype(np.int32)
+        else:                                   # l16
+            rx = pay.view(">i2").astype(np.int32).reshape(B, self.S_rtp)
+        lost = flags == 0
+        self._lost_mask = lost
+        if self.features.plc:
+            self.ticker.params["plc"]["lost"] = jnp.asarray(lost)
+        self._feed_echo_limiter()
+        ext = {"rtp_rx": rx}
+        if "mic" in self.graph.ext_inputs:
+            ext["mic"] = np.zeros((B, self.S), np.float32)
+        return ext
+
+    def _push_batch_edge(self, tick: int, ext_out: Dict):
+        tx = np.asarray(ext_out["rtp_tx"])
+        if self.codec in ("ulaw", "alaw", "g722"):
+            payloads = tx.astype(np.uint8)
+        else:
+            payloads = np.ascontiguousarray(
+                tx.astype(">i2")).view(np.uint8).reshape(self.batch, -1)
+        if self.features.vad_dtx:
+            mask = np.asarray(self.ticker.state["vad"]["voice"]
+                              ).astype(np.uint8)
+        else:
+            mask = None
+        self._edge_tx.send(payloads, ts_inc=self.S_rtp, mask=mask)
+
     def _pull(self, tick: int) -> Dict[str, np.ndarray]:
+        if self.batch_edge:
+            return self._pull_batch_edge(tick)
         if self.host_codec:
             return self._pull_host_codec(tick)
         B, S = self.batch, self.S
@@ -392,6 +457,8 @@ class AudioStreamBatch:
         return ext
 
     def _push(self, tick: int, ext_out: Dict):
+        if self.batch_edge:
+            return self._push_batch_edge(tick, ext_out)
         tx = np.asarray(ext_out["rtp_tx"])
         if self.features.vad_dtx:
             voice = np.asarray(self.ticker.state["vad"]["voice"])

@@ -166,3 +166,44 @@ def test_host_edge_throughput():
     assert st["recv"] >= ticks // 2       # most packets actually moved
     assert dt_ms < 8.0, f"host edge tick took {dt_ms:.2f} ms at {n} legs"
     s1.close(); s2.close(); tx.close(); rx.close()
+
+
+def test_audio_stream_batch_edge(factory):
+    """AudioStreamBatch over the native batched edge: two 8-leg streams on
+    one real UDP socket pair (BUNDLE-style SSRC mux), whole-batch pull/
+    push — the production fast path at scale."""
+    import jax
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    from mediastreamer2_tpu.core.block import tick_samples
+    from conftest import make_speechlike
+
+    B, ticks = 8, 100
+    S = tick_samples(8000)
+    sig = make_speechlike(S * ticks, 8000, seed=9)
+    a_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    a_sock.bind(("127.0.0.1", 0))
+    b_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    b_sock.bind(("127.0.0.1", 0))
+    b_sock.setblocking(False)
+    a_sock.setblocking(False)
+
+    tx = AudioStreamBatch(factory, B, mic_signal=sig)
+    rx = AudioStreamBatch(factory, B, record_ticks=ticks + 40)
+    tx.enable_batch_edge(rx_sock=a_sock, tx_sock=a_sock,
+                         remote=b_sock.getsockname())
+    rx.enable_batch_edge(rx_sock=b_sock, tx_sock=b_sock,
+                         remote=a_sock.getsockname())
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    import time as _time
+    for _ in range(ticks + 20):
+        tx.ticker.do_tick()
+        _time.sleep(0.0005)
+        rx.ticker.do_tick()
+    rec = rx.get_recording()
+    sims = [audio_diff(sig, rec[i])[0] for i in range(B)]
+    assert min(sims) > 0.9, sims
+    st = rx._edge_rx.stats(0)
+    assert st["recv"] >= ticks
+    a_sock.close(); b_sock.close()
