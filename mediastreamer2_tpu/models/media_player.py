@@ -34,12 +34,18 @@ class MediaPlayer:
         self.rate = 0
         self.on_eof: Optional[Callable[[], None]] = None
         self._spk_cb: Optional[Callable[[np.ndarray], None]] = None
+        # video branch (A/V files): on_video(yuv_tuple) paced by timestamps
+        self.on_video: Optional[Callable[[tuple], None]] = None
+        self._video_reg = None
+        self._video_dec = None
+        self.video_frames_played = 0
 
     def open(self, path: str):
         """Sniffs the container: .wav native, .mkv/.webm demuxed host-side
         (cf. msmediaplayer.c open/sniff wav/mkv)."""
         if path.lower().endswith((".mkv", ".webm")):
             sig, rate = _read_mkv_audio(path)
+            self._open_mkv_video(path)
         elif path.lower().endswith(".smff"):
             sig, rate = _read_smff_audio(path)
         else:
@@ -63,9 +69,38 @@ class MediaPlayer:
         self.state = self.STATE_PAUSED
         self.duration_ms = len(sig) * 1000 // rate
 
+    def _open_mkv_video(self, path: str):
+        """Video branch (msmediaplayer.c's player->decoder->display chain):
+        VP8 track frames queue into a StreamRegulator and decode on
+        release, delivered via on_video((y, u, v))."""
+        from mediastreamer2_tpu.io.mkv import MkvReader, TRACK_TYPE_VIDEO
+        from mediastreamer2_tpu.ops.vp8 import vp8_available, Vp8Decoder
+        from mediastreamer2_tpu.core.worker import StreamRegulator
+        r = MkvReader(path)
+        vnum = next((n for n, t in r.tracks.items()
+                     if t.type == TRACK_TYPE_VIDEO and t.codec_id == "V_VP8"),
+                    None)
+        if vnum is None or not vp8_available():
+            return
+        reg = StreamRegulator(clock_rate=1000)        # mkv timecodes in ms
+        for fr in r.frames():
+            if fr.track == vnum:
+                reg.push(fr.ts_ms, fr.data)
+        self._video_reg = reg
+        self._video_dec = Vp8Decoder()
+
     def _push(self, tick, ext_out):
         if self._spk_cb:
             self._spk_cb(np.asarray(ext_out["spk"])[0])
+        if self._video_reg is not None:
+            # release frames whose timestamp the stream clock has reached
+            for data in self._video_reg.pop_due(self.get_position_ms() / 1e3
+                                                if self.rate else tick * 0.01):
+                out = self._video_dec.decode(data)
+                if out is not None:
+                    self.video_frames_played += 1
+                    if self.on_video:
+                        self.on_video(out)
 
     def set_output(self, cb: Callable[[np.ndarray], None]):
         self._spk_cb = cb

@@ -73,3 +73,51 @@ def test_media_player_smff_audio(factory, tmp_path):
     out = np.concatenate(got)[:n]
     sim, _ = audio_diff(sig, out)
     assert sim > 0.99, sim
+
+
+def test_media_player_av_video_branch(factory, tmp_path):
+    """A/V playback: the player's video branch decodes the VP8 track and
+    delivers frames paced by container timestamps (msmediaplayer.c's
+    video chain; StreamRegulator pacing)."""
+    import numpy as np
+    import pytest
+    from mediastreamer2_tpu.ops.vp8 import vp8_available, Vp8Encoder
+    from mediastreamer2_tpu.io.mkv import (MkvWriter, MkvTrack,
+                                           TRACK_TYPE_AUDIO, TRACK_TYPE_VIDEO)
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    if not vp8_available():
+        pytest.skip("libvpx unavailable")
+    rate = 8000
+    n = rate                                # 1 s
+    sig = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+           ).astype(np.float32)
+    pcm = (sig * 32768).clip(-32768, 32767).astype("<i2")
+    path = str(tmp_path / "av.mkv")
+    w = MkvWriter(path, [
+        MkvTrack(1, TRACK_TYPE_AUDIO, "A_PCM/INT/LIT",
+                 sampling_rate=rate, channels=1),
+        MkvTrack(2, TRACK_TYPE_VIDEO, "V_VP8", width=64, height=48)])
+    enc = Vp8Encoder(64, 48, fps=10)
+    rng = np.random.default_rng(0)
+    y0 = (rng.random((48, 64)) * 255).astype(np.uint8)
+    u0 = v0 = np.full((24, 32), 128, np.uint8)
+    for k in range(0, n, 160):              # 20 ms audio frames
+        w.write_frame(1, k * 1000 // rate, pcm[k:k + 160].tobytes())
+    for fk in range(10):                    # 10 fps video
+        data, key = enc.encode_planes(np.roll(y0, fk * 4, axis=1), u0, v0,
+                                      force_keyframe=(fk == 0))
+        w.write_frame(2, fk * 100, data, keyframe=key)
+    w.close()
+
+    player = MediaPlayer(factory)
+    player.open(path)
+    frames = []
+    player.on_video = lambda yuv: frames.append(yuv[0].shape)
+    player.ticker.realtime = False
+    import jax.numpy as jnp
+    player.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+        "playing", jnp.ones((1,), bool)))
+    for _ in range(110):
+        player.ticker.do_tick()
+    assert player.video_frames_played >= 8, player.video_frames_played
+    assert frames[0] == (48, 64)
