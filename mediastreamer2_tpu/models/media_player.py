@@ -209,8 +209,26 @@ class MediaRecorder:
         self._pull_cb: Optional[Callable[[int], np.ndarray]] = None
         self.ticker.set_io(pull=self._pull)
 
+        # optional video track: app pushes packed-I420 blocks; encoded VP8
+        # at save time (msmediarecorder.c's A/V recording)
+        self._video_frames: list = []       # [(ts_ms, block)]
+        self._video_wh = None
+
     def set_input(self, cb: Callable[[int], np.ndarray]):
         self._pull_cb = cb
+
+    def enable_video(self, width: int, height: int):
+        from mediastreamer2_tpu.ops.vp8 import vp8_available
+        if not vp8_available():
+            raise RuntimeError("libvpx unavailable")
+        self._video_wh = (width, height)
+
+    def push_video_frame(self, block: np.ndarray):
+        """Append one packed-I420 float block [h*3/2, w] at the current
+        stream position."""
+        assert self._video_wh is not None, "enable_video first"
+        ts_ms = self.ticker.stats.ticks * 10
+        self._video_frames.append((ts_ms, np.asarray(block)))
 
     def _pull(self, tick):
         if self._pull_cb is None:
@@ -238,12 +256,32 @@ class MediaRecorder:
             from mediastreamer2_tpu.ops.host_codecs import OpusEncoder
             if self.rate not in (8000, 12000, 16000, 24000, 48000):
                 raise ValueError("opus mkv needs an opus-compatible rate")
+            from mediastreamer2_tpu.io.mkv import TRACK_TYPE_VIDEO
             enc = OpusEncoder(rate=self.rate)
-            w = MkvWriter(path, [MkvTrack(1, TRACK_TYPE_AUDIO, "A_OPUS",
-                                          sampling_rate=self.rate, channels=1)])
+            tracks = [MkvTrack(1, TRACK_TYPE_AUDIO, "A_OPUS",
+                               sampling_rate=self.rate, channels=1)]
+            if self._video_wh and self._video_frames:
+                vw, vh = self._video_wh
+                tracks.append(MkvTrack(2, TRACK_TYPE_VIDEO, "V_VP8",
+                                       width=vw, height=vh))
+            w = MkvWriter(path, tracks)
             F = self.rate // 100
             for i in range(len(audio) // F):
                 w.write_frame(1, i * 10, enc.encode(audio[i * F:(i + 1) * F]))
+            if self._video_wh and self._video_frames:
+                from mediastreamer2_tpu.ops.vp8 import Vp8Encoder
+                vw, vh = self._video_wh
+                venc = Vp8Encoder(vw, vh, fps=max(
+                    1, len(self._video_frames) * 1000
+                    // max(self._video_frames[-1][0] + 10, 10)))
+                for k, (ts_ms, block) in enumerate(self._video_frames):
+                    arr = (np.clip(block, 0, 1) * 255).astype(np.uint8)
+                    y = arr[:vh]
+                    uv = arr[vh:].reshape(vh // 2, 2, vw // 2)
+                    data, key = venc.encode_planes(y, uv[:, 0], uv[:, 1],
+                                                   force_keyframe=(k == 0))
+                    if data:
+                        w.write_frame(2, ts_ms, data, keyframe=key)
             w.close()
         else:
             write_wav(path, audio, self.rate)

@@ -121,3 +121,45 @@ def test_media_player_av_video_branch(factory, tmp_path):
         player.ticker.do_tick()
     assert player.video_frames_played >= 8, player.video_frames_played
     assert frames[0] == (48, 64)
+
+
+def test_media_recorder_av_roundtrip(factory, tmp_path):
+    """Record A/V (opus + VP8 mkv), reopen with MediaPlayer, get both the
+    audio and the paced video back (msmediarecorder.c A/V parity)."""
+    import numpy as np
+    import pytest
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    from mediastreamer2_tpu.models.media_player import (MediaRecorder,
+                                                        MediaPlayer)
+    if not vp8_available():
+        pytest.skip("libvpx unavailable")
+    rate = 16000
+    rec = MediaRecorder(factory, rate=rate)
+    rec.enable_video(64, 48)
+    S = rate // 100
+    sig = (0.3 * np.sin(2 * np.pi * 500 * np.arange(S * 100) / rate)
+           ).astype(np.float32)
+    rec.set_input(lambda t: sig[t * S:(t + 1) * S])
+    rec.ticker.warm_up()
+    rec.ticker.realtime = False
+    rng = np.random.default_rng(1)
+    block = rng.random((48 * 3 // 2, 64)).astype(np.float32)
+    for t in range(100):
+        rec.ticker.do_tick()
+        if t % 10 == 0:                      # 10 fps
+            rec.push_video_frame(np.roll(block, t, axis=1))
+    path = str(tmp_path / "rec_av.mkv")
+    rec.stop_and_save(path)
+
+    player = MediaPlayer(factory)
+    player.open(path)
+    vids = []
+    player.on_video = lambda yuv: vids.append(yuv[0].shape)
+    player.ticker.realtime = False
+    import jax.numpy as jnp
+    player.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+        "playing", jnp.ones((1,), bool)))
+    for _ in range(110):
+        player.ticker.do_tick()
+    assert player.video_frames_played >= 8
+    assert vids and vids[0] == (48, 64)
