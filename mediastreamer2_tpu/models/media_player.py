@@ -48,6 +48,7 @@ class MediaPlayer:
             self._open_mkv_video(path)
         elif path.lower().endswith(".smff"):
             sig, rate = _read_smff_audio(path)
+            self._open_smff_video(path)
         else:
             sig, rate = read_wav(path)
         self.rate = rate
@@ -85,6 +86,23 @@ class MediaPlayer:
         reg = StreamRegulator(clock_rate=1000)        # mkv timecodes in ms
         for fr in r.frames():
             if fr.track == vnum:
+                reg.push(fr.ts_ms, fr.data)
+        self._video_reg = reg
+        self._video_dec = Vp8Decoder()
+
+    def _open_smff_video(self, path: str):
+        """SMFF video track (vp8) -> same regulator-paced branch."""
+        from mediastreamer2_tpu.io.smff import SmffReader
+        from mediastreamer2_tpu.ops.vp8 import vp8_available, Vp8Decoder
+        from mediastreamer2_tpu.core.worker import StreamRegulator
+        r = SmffReader(path)
+        vidx = next((i for i, t in enumerate(r.tracks)
+                     if t.kind == 1 and t.codec == "vp8"), None)
+        if vidx is None or not vp8_available():
+            return
+        reg = StreamRegulator(clock_rate=1000)
+        for fr in r.frames():
+            if fr.track == vidx:
                 reg.push(fr.ts_ms, fr.data)
         self._video_reg = reg
         self._video_dec = Vp8Decoder()

@@ -50,3 +50,54 @@ def test_three_way_conference_mix_minus(factory):
         f"talker hears self: {talker_energy} vs {listener_energy}"
     # active talker detection on the server (reference -30 dB rule)
     assert talkers_live.get(conf) == [0]
+
+
+def test_conference_server_on_batch_edge(factory):
+    """Conference server shape on the native batched edge: decoded legs
+    feed the deployment-wide mix-minus and re-encode back out, all legs on
+    one real socket pair — the scaled production topology."""
+    import socket
+    import time as _time
+    import numpy as np
+    from mediastreamer2_tpu.native import rtp_edge_available, BatchRtpTx, \
+        BatchRtpRx
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    if not rtp_edge_available():
+        import pytest
+        pytest.skip("g++ build failed")
+    B, ticks = 4, 80
+    from mediastreamer2_tpu.core.block import tick_samples
+    from conftest import make_speechlike
+    S = tick_samples(8000)
+
+    srv_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv_sock.bind(("127.0.0.1", 0)); srv_sock.setblocking(False)
+    cli_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cli_sock.bind(("127.0.0.1", 0)); cli_sock.setblocking(False)
+
+    # clients: 4 legs sending speech, recording what comes back
+    sig = make_speechlike(S * ticks, 8000, seed=41)
+    clients = AudioStreamBatch(factory, B, mic_signal=sig,
+                               record_ticks=ticks + 40)
+    clients.enable_batch_edge(rx_sock=cli_sock, tx_sock=cli_sock,
+                              remote=srv_sock.getsockname(),
+                              ssrc_base=0x6000)
+    server = AudioStreamBatch(factory, B, conference=True)
+    server.enable_batch_edge(rx_sock=srv_sock, tx_sock=srv_sock,
+                             remote=cli_sock.getsockname(),
+                             ssrc_base=0x6000)
+    import jax.numpy as jnp
+    # all four legs in ONE conference (mix-minus needs >1 member)
+    server.ticker.params["conf"]["group_id"] = jnp.zeros((B,), jnp.int32)
+    clients.ticker.realtime = server.ticker.realtime = False
+    clients.ticker.warm_up(); server.ticker.warm_up()
+    for _ in range(ticks + 20):
+        clients.ticker.do_tick()
+        _time.sleep(0.0005)
+        server.ticker.do_tick()
+        _time.sleep(0.0005)
+    # every client hears the mix-minus (others' speech, not silence)
+    rec = clients.get_recording()
+    assert np.abs(rec).max() > 0.01
+    assert server._edge_rx.stats(0)["recv"] >= ticks // 2
+    srv_sock.close(); cli_sock.close()

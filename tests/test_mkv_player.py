@@ -163,3 +163,46 @@ def test_media_recorder_av_roundtrip(factory, tmp_path):
         player.ticker.do_tick()
     assert player.video_frames_played >= 8
     assert vids and vids[0] == (48, 64)
+
+
+def test_media_player_smff_av(factory, tmp_path):
+    """SMFF A/V playback (smff/player.cpp parity): pcm16 audio + vp8
+    video tracks both delivered."""
+    import numpy as np
+    import pytest
+    from mediastreamer2_tpu.ops.vp8 import vp8_available, Vp8Encoder
+    from mediastreamer2_tpu.io.smff import SmffWriter, SmffTrack
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    if not vp8_available():
+        pytest.skip("libvpx unavailable")
+    rate = 8000
+    n = rate
+    sig = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+           ).astype(np.float32)
+    pcm = (sig * 32768).clip(-32768, 32767).astype("<i2")
+    path = str(tmp_path / "clip_av.smff")
+    w = SmffWriter(path, [SmffTrack(kind=0, codec="pcm16", a=rate, b=1),
+                          SmffTrack(kind=1, codec="vp8", a=64, b=48)])
+    enc = Vp8Encoder(64, 48, fps=10)
+    rng = np.random.default_rng(2)
+    y0 = (rng.random((48, 64)) * 255).astype(np.uint8)
+    u0 = v0 = np.full((24, 32), 128, np.uint8)
+    for k in range(0, n, 80):
+        w.write_frame(0, k * 1000 // rate, pcm[k:k + 80].tobytes())
+    for fk in range(10):
+        data, key = enc.encode_planes(np.roll(y0, fk * 3, axis=1), u0, v0,
+                                      force_keyframe=(fk == 0))
+        w.write_frame(1, fk * 100, data, keyframe=key)
+    w.close()
+
+    player = MediaPlayer(factory)
+    player.open(path)
+    vids = []
+    player.on_video = lambda yuv: vids.append(1)
+    player.ticker.realtime = False
+    import jax.numpy as jnp
+    player.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+        "playing", jnp.ones((1,), bool)))
+    for _ in range(110):
+        player.ticker.do_tick()
+    assert player.video_frames_played >= 8
