@@ -171,12 +171,13 @@ def test_srtp_opus_call(factory):
     rx.set_transport(0, pair.endpoint(1))
     tx.enable_srtp(0, KEY, SALT, KEY, SALT)
     rx.enable_srtp(0, KEY, SALT, KEY, SALT)
+    tx.ticker.realtime = rx.ticker.realtime = False
     tx.ticker.warm_up()
     rx.ticker.warm_up()
-    rx.start(ticks + 40)
-    tx.run(ticks + 10)
-    tx.stop()
-    rx.stop()
+    # lock-step ticks: deterministic under any host load
+    for _ in range(ticks + 40):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
     rec = rx.get_recording()
     sim, _ = audio_diff(sig, rec[0])
     assert sim > 0.85, f"srtp+opus call sim {sim}"
