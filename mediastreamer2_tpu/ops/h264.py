@@ -134,16 +134,22 @@ def _rptr(addr: int, off: int) -> int:
 
 class H264Encoder:
     """libx264 via avcodec: YUV420 frames -> Annex-B access units
-    (zerolatency, repeating SPS/PPS on every IDR for mid-stream join)."""
+    (zerolatency, repeating SPS/PPS on every IDR for mid-stream join).
+
+    Also the base for the legacy ffmpeg codec family the reference builds
+    from videoenc.c/videodec.c (H.263/H.263+/MPEG4/MJPEG) — subclasses
+    pass a different codec name and skip the x264 options."""
+
+    CODEC_NAME = b"libx264"
 
     def __init__(self, width: int, height: int, bitrate_bps: int = 500_000,
                  fps: int = 25, gop: int = 100):
         off = _probe_ctx_offsets()
         if _av is None or off is None:
             raise RuntimeError("libavcodec/libx264 unavailable")
-        codec = _av.avcodec_find_encoder_by_name(b"libx264")
+        codec = _av.avcodec_find_encoder_by_name(self.CODEC_NAME)
         if not codec:
-            raise RuntimeError("libx264 encoder missing")
+            raise RuntimeError(f"{self.CODEC_NAME} encoder missing")
         self.w, self.h = width, height
         ctx = _av.avcodec_alloc_context3(ctypes.c_void_p(codec))
         _, off_w, off_h, off_g, off_pix = off
@@ -153,18 +159,27 @@ class H264Encoder:
         _w32(ctx, off_w, width)
         _w32(ctx, off_h, height)
         _w32(ctx, off_g, gop)
-        _w32(ctx, off_pix, AV_PIX_FMT_YUV420P)
-        _avu.av_opt_set(ctypes.c_void_p(ctx), b"preset", b"ultrafast",
-                        AV_OPT_SEARCH_CHILDREN)
-        _avu.av_opt_set(ctypes.c_void_p(ctx), b"tune", b"zerolatency",
-                        AV_OPT_SEARCH_CHILDREN)
-        # in-band parameter sets on every keyframe (RTP mid-stream join)
-        _avu.av_opt_set(ctypes.c_void_p(ctx), b"x264-params",
-                        b"repeat-headers=1:annexb=1",
-                        AV_OPT_SEARCH_CHILDREN)
+        if self.CODEC_NAME == b"mjpeg":
+            # MJPEG wants full-range YUVJ420P (or strict=unofficial)
+            _w32(ctx, off_pix, 12)          # AV_PIX_FMT_YUVJ420P
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"strict", b"-2", 0)
+        else:
+            _w32(ctx, off_pix, AV_PIX_FMT_YUV420P)
+        if self.CODEC_NAME == b"libx264":
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"preset", b"ultrafast",
+                            AV_OPT_SEARCH_CHILDREN)
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"tune", b"zerolatency",
+                            AV_OPT_SEARCH_CHILDREN)
+            # in-band parameter sets on every keyframe (mid-stream join)
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"x264-params",
+                            b"repeat-headers=1:annexb=1",
+                            AV_OPT_SEARCH_CHILDREN)
+        if self.CODEC_NAME == b"h263":
+            # H.263 baseline allows only specific sizes; callers use CIF/QCIF
+            pass
         if _av.avcodec_open2(ctypes.c_void_p(ctx), ctypes.c_void_p(codec),
                              None) != 0:
-            raise RuntimeError("avcodec_open2(libx264) failed")
+            raise RuntimeError(f"avcodec_open2({self.CODEC_NAME}) failed")
         self.ctx = ctx
         self.frame = _avu.av_frame_alloc()
         _w32(self.frame, _FR_WIDTH, width)
@@ -220,11 +235,13 @@ class H264Encoder:
 class H264Decoder:
     """avcodec h264: Annex-B access units -> I420 frames."""
 
+    CODEC_NAME = b"h264"
+
     def __init__(self):
         off = _probe_ctx_offsets()
         if _av is None or off is None:
             raise RuntimeError("libavcodec unavailable")
-        codec = _av.avcodec_find_decoder_by_name(b"h264")
+        codec = _av.avcodec_find_decoder_by_name(self.CODEC_NAME)
         ctx = _av.avcodec_alloc_context3(ctypes.c_void_p(codec))
         if _av.avcodec_open2(ctypes.c_void_p(ctx), ctypes.c_void_p(codec),
                              None) != 0:
@@ -295,3 +312,29 @@ def h264_available() -> bool:
     except Exception:
         _checked = False
     return _checked
+
+
+# --- legacy ffmpeg codec family (reference: videoenc.c:916-1032 /
+# videodec.c — H.263(+), MPEG4, MJPEG via libavcodec) ------------------------
+def make_legacy_codec(name: str):
+    """Returns (EncoderCls, DecoderCls) for 'h263' | 'h263p' | 'mpeg4' |
+    'mjpeg'. Availability follows the same probed-offset layer as H.264."""
+    ename = name.encode()
+
+    class _Enc(H264Encoder):
+        CODEC_NAME = ename
+
+    class _Dec(H264Decoder):
+        CODEC_NAME = ename if name != "h263p" else b"h263"
+
+    _Enc.__name__ = f"{name.upper()}Encoder"
+    _Dec.__name__ = f"{name.upper()}Decoder"
+    return _Enc, _Dec
+
+
+def legacy_codec_available(name: str) -> bool:
+    if _av is None or _probe_ctx_offsets() is None:
+        return False
+    return bool(_av.avcodec_find_encoder_by_name(name.encode())) and \
+        bool(_av.avcodec_find_decoder_by_name(
+            name.encode() if name != "h263p" else b"h263"))

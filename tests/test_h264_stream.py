@@ -134,3 +134,35 @@ def test_h264_real_capture_interop():
     # still produces the earlier frames
     frames2, _ = run("h264_missing_pps_in_second_i_frame.pcap")
     assert frames2 >= 1, frames2
+
+
+@pytest.mark.parametrize("name,size", [("h263", (176, 144)),
+                                       ("mpeg4", (128, 96)),
+                                       ("mjpeg", (128, 96))])
+def test_legacy_ffmpeg_codecs(name, size):
+    """The reference's legacy ffmpeg codec family (videoenc.c:916-1032):
+    encode->decode roundtrip per codec through the probed avcodec layer."""
+    from mediastreamer2_tpu.ops.h264 import (make_legacy_codec,
+                                             legacy_codec_available)
+    if not legacy_codec_available(name):
+        pytest.skip(f"{name} unavailable")
+    w, h = size
+    Enc, Dec = make_legacy_codec(name)
+    enc = Enc(w, h, bitrate_bps=800_000, fps=10, gop=5)
+    dec = Dec()
+    rng = np.random.default_rng(3)
+    base = (rng.random((h, w)) * 255).astype(np.uint8)
+    got = None
+    for k in range(6):
+        y = np.roll(base, k * 2, axis=1)
+        frame = y.tobytes() + bytes([128] * (w * h // 4)) * 2
+        for out in dec.decode(enc.encode(frame, keyframe=(k == 0))):
+            got = (k, out)
+    assert got is not None, f"{name}: nothing decoded"
+    k, out = got
+    assert len(out) == w * h * 3 // 2
+    y_ref = np.roll(base, k * 2, axis=1).astype(np.float32)
+    y_out = np.frombuffer(out[: w * h], np.uint8
+                          ).astype(np.float32).reshape(h, w)
+    psnr = 10 * np.log10(255 ** 2 / max(np.mean((y_ref - y_out) ** 2), 1e-9))
+    assert psnr > 22, f"{name} psnr {psnr:.1f}"
