@@ -65,6 +65,54 @@ def _opus_match(offered, local):
 register_offer_answer_provider("opus", _opus_match)
 
 
+def _h264_match(offered, local):
+    """H.264 fmtp negotiation: packetization-mode must be answerable
+    (we support 0 and 1), profile-level-id echoed when we can decode it
+    (constrained baseline / baseline / main) — the h26x offer-answer
+    provider's role."""
+    if offered.mime.lower() != "h264" or local.mime.lower() != "h264":
+        return None
+    fmtp = {}
+    for part in (offered.fmtp or "").split(";"):
+        if "=" in part:
+            k, v = part.strip().split("=", 1)
+            fmtp[k.lower()] = v
+    pmode = fmtp.get("packetization-mode", "0")
+    if pmode not in ("0", "1"):
+        return None                       # interleaved mode unsupported
+    answer = [f"packetization-mode={pmode}"]
+    plid = fmtp.get("profile-level-id", "")
+    if plid[:2].lower() in ("42", "4d", ""):   # baseline/CB/main profiles
+        if plid:
+            answer.append(f"profile-level-id={plid}")
+    else:
+        return None                       # high profiles: decline
+    return PayloadTypeDesc("H264", 90000, 1, offered.number,
+                           ";".join(answer))
+
+
+register_offer_answer_provider("h264", _h264_match)
+
+
+def _vp8_match(offered, local):
+    if offered.mime.lower() != "vp8" or local.mime.lower() != "vp8":
+        return None
+    # max-fr / max-fs constraints echo back capped to our capability
+    fmtp = {}
+    for part in (offered.fmtp or "").split(";"):
+        if "=" in part:
+            k, v = part.strip().split("=", 1)
+            fmtp[k.lower()] = v
+    answer = []
+    if "max-fr" in fmtp:
+        answer.append(f"max-fr={min(int(fmtp['max-fr']), 30)}")
+    return PayloadTypeDesc("VP8", 90000, 1, offered.number,
+                           ";".join(answer))
+
+
+register_offer_answer_provider("vp8", _vp8_match)
+
+
 def negotiate(offered: List[PayloadTypeDesc], local: List[PayloadTypeDesc]
               ) -> List[PayloadTypeDesc]:
     """Produce the answer payload list (first-match priority order)."""
@@ -87,9 +135,20 @@ def local_capabilities() -> List[PayloadTypeDesc]:
         PayloadTypeDesc("PCMA", 8000, 1, 8),
         PayloadTypeDesc("L16", 44100, 1, 11),
     ]
+    caps.append(PayloadTypeDesc("G722", 8000, 1, 9))   # RFC3551 clock quirk
+    for kbps, pt in ((32, 97), (16, 98), (24, 99), (40, 100)):
+        caps.append(PayloadTypeDesc(f"G726-{kbps}", 8000, 1, pt))
+    caps.append(PayloadTypeDesc("telephone-event", 8000, 1, 101, "0-15"))
     from mediastreamer2_tpu.ops import host_codecs as hc
     if hc.gsm_available():
         caps.append(PayloadTypeDesc("GSM", 8000, 1, 3))
     if hc.opus_available():
         caps.append(PayloadTypeDesc("opus", 48000, 2, 96, "useinbandfec=1"))
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    if vp8_available():
+        caps.append(PayloadTypeDesc("VP8", 90000, 1, 102))
+    from mediastreamer2_tpu.ops.h264 import h264_available
+    if h264_available():
+        caps.append(PayloadTypeDesc("H264", 90000, 1, 103,
+                                    "packetization-mode=1"))
     return caps

@@ -228,3 +228,33 @@ def test_text_red_recovers_single_loss():
         sink.on_packet(s, pt, payload)
     assert sink.received == "abcdef"      # RED recovered the lost primary
     assert sink.lost_events == 0
+
+
+def test_offer_answer_video_and_new_codecs():
+    """Offer/answer providers for H.264 (packetization-mode/profile
+    negotiation), VP8 (max-fr cap), and the new audio codecs appearing in
+    local capabilities (offeranswer.c provider-registry parity)."""
+    from mediastreamer2_tpu.models.offer_answer import (
+        PayloadTypeDesc, negotiate, local_capabilities)
+    caps = local_capabilities()
+    mimes = {c.mime.lower() for c in caps}
+    assert {"g722", "g726-32", "telephone-event"} <= mimes
+    offered = [
+        PayloadTypeDesc("H264", 90000, 1, 104,
+                        "packetization-mode=1;profile-level-id=42e01f"),
+        PayloadTypeDesc("VP8", 90000, 1, 105, "max-fr=60"),
+        PayloadTypeDesc("G722", 8000, 1, 9),
+    ]
+    ans = negotiate(offered, caps)
+    by_mime = {a.mime.lower(): a for a in ans}
+    if "h264" in mimes:
+        assert by_mime["h264"].fmtp == \
+            "packetization-mode=1;profile-level-id=42e01f"
+        assert by_mime["h264"].number == 104
+    if "vp8" in mimes:
+        assert by_mime["vp8"].fmtp == "max-fr=30"   # capped to our ability
+    assert by_mime["g722"].number == 9
+    # high-profile H.264 offer is declined
+    hi = [PayloadTypeDesc("H264", 90000, 1, 104,
+                          "packetization-mode=1;profile-level-id=640028")]
+    assert negotiate(hi, caps) == []
