@@ -206,3 +206,37 @@ def test_media_player_smff_av(factory, tmp_path):
     for _ in range(110):
         player.ticker.do_tick()
     assert player.video_frames_played >= 8
+
+
+def test_third_party_mkv_sintel_av(factory):
+    """Interop: the reference's sintel_trailer_opus_vp8.mkv (muxed by a
+    third-party tool) demuxes and plays — opus audio decodes, VP8 video
+    frames decode at full resolution (MkvReader + MediaPlayer against
+    real-world EBML, not our own writer's output)."""
+    import os
+    import numpy as np
+    import pytest
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    from mediastreamer2_tpu.ops import host_codecs as hc
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    path = "/root/reference/tester/sounds/sintel_trailer_opus_vp8.mkv"
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not mounted")
+    if not (vp8_available() and hc.opus_available()):
+        pytest.skip("codec libs missing")
+    player = MediaPlayer(factory)
+    player.open(path)
+    assert player.rate == 48000
+    got_audio = []
+    vids = []
+    player.set_output(lambda blk: got_audio.append(np.abs(blk).max()))
+    player.on_video = lambda yuv: vids.append(yuv[0].shape)
+    player.ticker.realtime = False
+    import jax.numpy as jnp
+    player.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+        "playing", jnp.ones((1,), bool)))
+    for _ in range(300):                    # 3 s of the trailer
+        player.ticker.do_tick()
+    assert max(got_audio) > 0.01            # real audio decoded
+    assert player.video_frames_played >= 20
+    assert vids[0] == (360, 848)            # full third-party resolution
