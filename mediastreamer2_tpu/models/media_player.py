@@ -72,23 +72,68 @@ class MediaPlayer:
 
     def _open_mkv_video(self, path: str):
         """Video branch (msmediaplayer.c's player->decoder->display chain):
-        VP8 track frames queue into a StreamRegulator and decode on
-        release, delivered via on_video((y, u, v))."""
+        VP8 or H.264 track frames queue into a StreamRegulator and decode
+        on release, delivered via on_video((y, u, v))."""
         from mediastreamer2_tpu.io.mkv import MkvReader, TRACK_TYPE_VIDEO
-        from mediastreamer2_tpu.ops.vp8 import vp8_available, Vp8Decoder
         from mediastreamer2_tpu.core.worker import StreamRegulator
         r = MkvReader(path)
-        vnum = next((n for n, t in r.tracks.items()
-                     if t.type == TRACK_TYPE_VIDEO and t.codec_id == "V_VP8"),
-                    None)
-        if vnum is None or not vp8_available():
+        track = next(((n, t) for n, t in r.tracks.items()
+                      if t.type == TRACK_TYPE_VIDEO
+                      and t.codec_id in ("V_VP8", "V_MPEG4/ISO/AVC")), None)
+        if track is None:
             return
+        vnum, t = track
+        if t.codec_id == "V_VP8":
+            from mediastreamer2_tpu.ops.vp8 import vp8_available, Vp8Decoder
+            if not vp8_available():
+                return
+            dec = Vp8Decoder()
+            convert = lambda data: data            # noqa: E731
+        else:
+            from mediastreamer2_tpu.ops.h264 import (h264_available,
+                                                     H264Decoder)
+            if not h264_available():
+                return
+            avcc = _parse_avcc(t.codec_private)
+            if avcc is None:
+                return
+            nal_len_size, param_sets = avcc
+            h264 = H264Decoder()
+            header = b"".join(b"\x00\x00\x00\x01" + n for n in param_sets)
+            first = [True]
+
+            class _H264AsYuv:
+                def decode(self, data):
+                    # MKV AVC frames are length-prefixed NALs -> Annex B
+                    out = bytearray()
+                    if first[0]:
+                        out += header
+                        first[0] = False
+                    off = 0
+                    while off + nal_len_size <= len(data):
+                        ln = int.from_bytes(data[off:off + nal_len_size],
+                                            "big")
+                        off += nal_len_size
+                        out += b"\x00\x00\x00\x01" + data[off:off + ln]
+                        off += ln
+                    frames = h264.decode(bytes(out))
+                    if not frames:
+                        return None
+                    # present as (y, u, v) planes like Vp8Decoder
+                    w, h = h264.width, h264.height
+                    buf = np.frombuffer(frames[-1], np.uint8)
+                    y = buf[: w * h].reshape(h, w)
+                    u = buf[w * h: w * h + w * h // 4].reshape(h // 2, w // 2)
+                    v = buf[w * h + w * h // 4:].reshape(h // 2, w // 2)
+                    return y, u, v
+            dec = _H264AsYuv()
+            convert = lambda data: data            # noqa: E731
         reg = StreamRegulator(clock_rate=1000)        # mkv timecodes in ms
         for fr in r.frames():
             if fr.track == vnum:
-                reg.push(fr.ts_ms, fr.data)
+                reg.push(fr.ts_ms, convert(fr.data))
         self._video_reg = reg
-        self._video_dec = Vp8Decoder()
+        self._video_dec = dec
 
     def _open_smff_video(self, path: str):
         """SMFF video track (vp8) -> same regulator-paced branch."""
@@ -154,6 +199,33 @@ class MediaPlayer:
         if self.ticker:
             self.ticker.stop()
         self.state = self.STATE_CLOSED
+
+
+def _parse_avcc(priv: bytes):
+    """AVCDecoderConfigurationRecord -> (nal_length_size, [sps..., pps...])
+    (the codec-private handling of the reference's mkv player,
+    mkv.cpp codec-private paths)."""
+    if len(priv) < 7 or priv[0] != 1:
+        return None
+    nal_len_size = (priv[4] & 0x03) + 1
+    sets = []
+    off = 5
+    n_sps = priv[off] & 0x1F
+    off += 1
+    for _ in range(n_sps):
+        ln = int.from_bytes(priv[off:off + 2], "big")
+        off += 2
+        sets.append(priv[off:off + ln])
+        off += ln
+    if off < len(priv):
+        n_pps = priv[off]
+        off += 1
+        for _ in range(n_pps):
+            ln = int.from_bytes(priv[off:off + 2], "big")
+            off += 2
+            sets.append(priv[off:off + ln])
+            off += ln
+    return nal_len_size, sets
 
 
 def _read_smff_audio(path: str):

@@ -49,3 +49,38 @@ def test_baudot_roundtrip_text(factory):
 def test_baudot_roundtrip_figures_shift(factory):
     framers = _run_roundtrip(factory, "SOS 911 OK", ticks=400)
     assert framers[0].text() == "SOS 911 OK"
+
+
+def test_decode_reference_recordings(factory):
+    """Wire interop: decode the reference's REAL Baudot TTY recordings
+    (tester/sounds/baudot_mono_*_us.wav — the baudot tester's fixtures),
+    not just our own generator's output."""
+    import os
+    import pytest
+    FIX = "/root/reference/tester/sounds"
+    if not os.path.isdir(FIX):
+        pytest.skip("reference fixtures not mounted")
+    from mediastreamer2_tpu.io.wav import read_wav
+    from mediastreamer2_tpu.core.block import tick_samples
+
+    def decode(fname):
+        sig, rate = read_wav(f"{FIX}/{fname}")
+        S = tick_samples(rate)
+        g = GraphBuilder(factory, batch=1)
+        src = g.add("ext_source", "in", fmt=Format(rate=rate))
+        det = g.add("baudot_det", "det")
+        g.chain(src, det)
+        g.link(det, 0, g.add("ext_sink", "out"), 0)
+        cg = g.build()
+        st, params = cg.init_state(), cg.init_params()
+        framer = BaudotFramer(rate=rate)
+        step = jax.jit(cg.step)
+        for t in range(len(sig) // S):
+            st, out, ev = step(st, params, {"in": sig[t * S:(t + 1) * S][None]})
+            framer.push_envelopes(np.asarray(ev["det.mark_env"])[0],
+                                  np.asarray(ev["det.space_env"])[0])
+        return framer.text()
+
+    assert decode("baudot_mono_alphabet_us.wav") == \
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    assert "0123456789" in decode("baudot_mono_digits_us.wav")

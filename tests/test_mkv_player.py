@@ -240,3 +240,30 @@ def test_third_party_mkv_sintel_av(factory):
     assert max(got_audio) > 0.01            # real audio decoded
     assert player.video_frames_played >= 20
     assert vids[0] == (360, 848)            # full third-party resolution
+
+
+def test_third_party_mkv_sintel_h264(factory):
+    """H.264-in-MKV interop: avcC codec-private parsed, length-prefixed
+    NALs converted to Annex B, frames decode at full resolution (the
+    reference mkv player's codec-private handling, mkv.cpp)."""
+    import os
+    import pytest
+    from mediastreamer2_tpu.ops.h264 import h264_available
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    path = "/root/reference/tester/sounds/sintel_trailer_opus_h264.mkv"
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not mounted")
+    if not h264_available():
+        pytest.skip("avcodec missing")
+    player = MediaPlayer(factory)
+    player.open(path)
+    vids = []
+    player.on_video = lambda yuv: vids.append(yuv[0].shape)
+    player.ticker.realtime = False
+    import jax.numpy as jnp
+    player.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+        "playing", jnp.ones((1,), bool)))
+    for _ in range(200):
+        player.ticker.do_tick()
+    assert player.video_frames_played >= 20
+    assert vids[0] == (360, 848)
