@@ -43,7 +43,7 @@ class MediaPlayer:
     def open(self, path: str):
         """Sniffs the container: .wav native, .mkv/.webm demuxed host-side
         (cf. msmediaplayer.c open/sniff wav/mkv)."""
-        if path.lower().endswith((".mkv", ".webm")):
+        if path.lower().endswith((".mkv", ".webm", ".mka")):
             sig, rate = _read_mkv_audio(path)
             self._open_mkv_video(path)
         elif path.lower().endswith(".smff"):
@@ -278,6 +278,28 @@ def _read_mkv_audio(path: str):
         data = b"".join(f.data for f in r.frames()
                         if f.track == track.number)
         sig = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif track.codec_id == "A_MS/ACM":
+        # WAVEFORMATEX in codec-private: format tag 7 = mu-law, 6 = a-law,
+        # 1 = pcm16 (the reference's mkv ACM handling)
+        import struct as _struct
+        tag = _struct.unpack_from("<H", track.codec_private, 0)[0] \
+            if len(track.codec_private) >= 2 else 1
+        data = b"".join(f.data for f in r.frames()
+                        if f.track == track.number)
+        if tag == 7:
+            import jax.numpy as jnp
+            from mediastreamer2_tpu.ops.g711 import ulaw_decode
+            codes = np.frombuffer(data, np.uint8).astype(np.int32)
+            sig = np.asarray(ulaw_decode(jnp.asarray(codes))
+                             ).astype(np.float32) / 32768.0
+        elif tag == 6:
+            import jax.numpy as jnp
+            from mediastreamer2_tpu.ops.g711 import alaw_decode
+            codes = np.frombuffer(data, np.uint8).astype(np.int32)
+            sig = np.asarray(alaw_decode(jnp.asarray(codes))
+                             ).astype(np.float32) / 32768.0
+        else:
+            sig = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
     else:
         raise ValueError(f"unsupported mkv audio codec {track.codec_id}")
     return sig, rate

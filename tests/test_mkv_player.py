@@ -267,3 +267,24 @@ def test_third_party_mkv_sintel_h264(factory):
         player.ticker.do_tick()
     assert player.video_frames_played >= 20
     assert vids[0] == (360, 848)
+
+
+def test_third_party_mka_audio(factory):
+    """hello_opus.mka (8 kHz opus) and hello_pcmu.mka (A_MS/ACM mu-law)
+    both open and decode real speech — the reference's own recorded
+    containers through our demuxer."""
+    import os
+    import numpy as np
+    import pytest
+    from mediastreamer2_tpu.ops import host_codecs as hc
+    from mediastreamer2_tpu.models.media_player import _read_mkv_audio
+    FIX = "/root/reference/tester/sounds"
+    if not os.path.isdir(FIX):
+        pytest.skip("reference fixtures not mounted")
+    sig, rate = _read_mkv_audio(f"{FIX}/hello_pcmu.mka")
+    assert rate == 8000 and len(sig) > 8000
+    assert 0.01 < np.abs(sig).max() <= 1.0
+    if hc.opus_available():
+        sig2, rate2 = _read_mkv_audio(f"{FIX}/hello_opus.mka")
+        assert rate2 == 8000 and len(sig2) > 4000
+        assert np.abs(sig2).max() > 0.01
