@@ -49,3 +49,42 @@ def test_play_alaw_record_similarity(factory):
     rec = recorder_get_audio(st["rec"], dur_ticks, S)
     sim, _ = audio_diff(sig, rec[0])
     assert sim > 0.98
+
+
+def test_reference_hello_through_every_device_codec(factory):
+    """basic_audio tester parity with REAL fixtures: hello8000/16000.wav
+    through each device codec's enc->dec chain, audio_diff vs the
+    original (the reference's golden-WAV comparisons)."""
+    import os
+    import pytest
+    import numpy as np
+    from mediastreamer2_tpu import GraphBuilder, Format, tick_samples
+    from mediastreamer2_tpu.core.ticker import Ticker
+    from mediastreamer2_tpu.io.wav import read_wav
+    from mediastreamer2_tpu.ops.fileio import recorder_get_audio
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    FIX = "/root/reference/tester/sounds"
+    if not os.path.isdir(FIX):
+        pytest.skip("reference fixtures not mounted")
+
+    cases = [("ulaw", "hello8000.wav", 0.95),
+             ("alaw", "hello8000.wav", 0.95),
+             ("dvi4", "hello8000.wav", 0.90),
+             ("g726_32", "hello8000.wav", 0.90),
+             ("g722", "hello16000.wav", 0.90),
+             ("l16", "hello8000.wav", 0.999)]
+    for codec, fname, thr in cases:
+        sig, rate = read_wav(f"{FIX}/{fname}")
+        S = tick_samples(rate)
+        ticks = min(len(sig) // S, 300)
+        sig = sig[: ticks * S]
+        g = GraphBuilder(factory, batch=1)
+        p = g.add("file_player", "play", fmt=Format(rate=rate), signal=sig)
+        g.chain(p, g.add(f"{codec}_enc"), g.add(f"{codec}_dec"),
+                g.add("file_recorder", "rec", max_ticks=ticks))
+        tk = Ticker(g.build(), realtime=False)
+        tk.warm_up()
+        tk.run(ticks)
+        out = recorder_get_audio(tk.state["rec"], ticks, S)[0]
+        sim, _ = audio_diff(sig, out)
+        assert sim > thr, f"{codec} on {fname}: sim {sim:.3f}"
