@@ -93,6 +93,7 @@ def _aec_init(ctx):
         "Dn": jnp.full((B,), 1e-6, jnp.float32),      # smoothed near energy
         "promote_cnt": jnp.zeros((B,), jnp.int32),
         "reseed_cnt": jnp.zeros((B,), jnp.int32),
+        "diverge_cnt": jnp.zeros((B,), jnp.int32),
         "leak": jnp.ones((B,), jnp.float32),
         "cpos": jnp.zeros((), jnp.int32),   # round-robin constraint cursor
     }
@@ -197,6 +198,23 @@ def _aec_process(state, ins, params, ctx):
     reseed = reseed_cnt >= HOLD_TICKS
     promote_cnt = jnp.where(promote, 0, promote_cnt)
     reseed_cnt = jnp.where(reseed, 0, reseed_cnt)
+    # catastrophic-divergence insurance: if even the better filter is
+    # sustainedly WORSE than doing nothing (error above raw mic energy),
+    # zero the shadow for a fresh start. Ordinary echo-path changes do NOT
+    # trip this (the shadow's error drops below the mic energy within
+    # ~100 ms and re-converges by plain NLMS — ~6 s on the real-speech
+    # delay-change scenario, tested); this guards sign flips / reference
+    # slips where adaptation would otherwise chase a stale solution
+    # leaky accumulator: speech pauses must not reset the evidence
+    # (energies go quiet between words), so decay instead of clearing
+    active = Dn > 1e-5
+    diverged = (jnp.minimum(Em, Es) > 1.05 * Dn) & active
+    diverge_cnt = jnp.where(
+        diverged, state["diverge_cnt"] + 1,
+        jnp.where(active, jnp.maximum(state["diverge_cnt"] - 1, 0),
+                  state["diverge_cnt"]))
+    hard_reset = diverge_cnt >= 2 * HOLD_TICKS
+    diverge_cnt = jnp.where(hard_reset, 0, diverge_cnt)
 
     # --- gradient + NLMS update + transfer copies ---------------------------
     if use_pallas:
@@ -222,8 +240,12 @@ def _aec_process(state, ins, params, ctx):
         Wm_i = jnp.where(p3, Ws_i.astype(STORE_DTYPE), state["Wm_i"])
         Ws_r = jnp.where(r3, Wm_r_f, Ws_r)
         Ws_i = jnp.where(r3, Wm_i_f, Ws_i)
+    h3 = hard_reset[:, None, None]
+    Ws_r = jnp.where(h3, 0.0, Ws_r)
+    Ws_i = jnp.where(h3, 0.0, Ws_i)
     Em = jnp.where(promote, Es, Em)
     Es = jnp.where(reseed, Em, Es)
+    Es = jnp.where(hard_reset, Dn, Es)
 
     e = jnp.where(promote[:, None], e_s, e_m)
     y = jnp.where(promote[:, None], y_s, y_m)
@@ -257,6 +279,7 @@ def _aec_process(state, ins, params, ctx):
                  "Xh_r": Xh_r, "Xh_i": Xh_i, "far_prev": far,
                  "Pxx": Pxx, "Em": Em, "Es": Es, "Dn": Dn, "leak": leak,
                  "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt,
+                 "diverge_cnt": diverge_cnt,
                  "cpos": (cpos + 1) % P}
     return new_state, (out,), {}
 

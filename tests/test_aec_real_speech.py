@@ -70,3 +70,35 @@ def test_double_talk_preserves_near_speech(factory):
     sim_far, _ = audio_diff(far[a:n], out[a:n])
     assert sim_near > 0.75, sim_near       # near speech survives
     assert sim_near > sim_far + 0.15       # and dominates residual echo
+
+
+def test_echo_path_change_reconverges(factory):
+    """The echo_delay_change scenario: the room impulse (delay+gain)
+    changes mid-call; the canceller must regain ERLE through shadow
+    re-adaptation (two-path transfer), without destroying the signal."""
+    from mediastreamer2_tpu.io.wav import read_wav
+    far, rate = read_wav(f"{FIX}/farend_double_talk.wav")
+
+    def ir(delay_ms, g0):
+        d = int(delay_ms * rate / 1000)
+        v = np.zeros(d + 200, np.float32)
+        v[d] = g0
+        v[d + 80] = g0 * 0.3
+        return v
+
+    n = len(far)
+    from mediastreamer2_tpu.core.block import tick_samples
+    S = tick_samples(rate)
+    half = (n // 2 // S) * S
+    echo = np.concatenate([
+        np.convolve(far[:half], ir(20, 0.7))[:half],
+        np.convolve(far[half:], ir(55, 0.6))[: n - half]]).astype(np.float32)
+    out, end = _run_ec(echo, far, rate, factory)
+
+    def erle(a, b):
+        return 10 * np.log10((echo[a:b] ** 2).mean()
+                             / max((out[a:b] ** 2).mean(), 1e-12))
+
+    assert erle(4 * rate, half) > 14.0          # converged on path A
+    assert erle(half, half + rate) < 6.0        # change really broke it
+    assert erle(end - 3 * rate, end) > 8.0      # re-converged on path B
