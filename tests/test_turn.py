@@ -79,3 +79,79 @@ def test_relay_candidate_for_ice():
     client.allocate(); pump()
     assert cands and cands[0].typ == "relay"
     assert cands[0].priority >> 24 == 0     # relay = lowest type preference
+
+
+def test_ice_through_turn_relay():
+    """Composition: a TURN relay candidate feeds the ICE check list and
+    connectivity checks run THROUGH the relay (send via Send indications,
+    receive via Data indications) until nomination — the reference's
+    ICE+TURN integration (ice.c relay candidate paths).
+
+    Topology: agent A is UDP-blocked except to its TURN server; agent B is
+    directly reachable. A gathers a relay candidate, B's checks arrive via
+    the relay, and the nominated pair uses the relayed address."""
+    from mediastreamer2_tpu.net.ice import IceSession, Candidate, IS_COMPLETED
+
+    srv = MiniTurnServer()
+    # wire: client <-> server in-process; the relay's peer side delivers
+    # to agent B's handler, and B sends back into the relay
+    a_sess = IceSession(controlling=True)
+    b_sess = IceSession(controlling=False)
+    a_sess.set_remote_credentials(b_sess.local_ufrag, b_sess.local_pwd)
+    b_sess.set_remote_credentials(a_sess.local_ufrag, a_sess.local_pwd)
+
+    b_addr = ("203.0.113.9", 7000)
+
+    # A's outbound path: everything goes through the TURN relay
+    def a_send(addr, data):
+        turn.send_to_peer(addr, data)
+        pump()
+
+    # B's outbound path: direct UDP to A would be blocked; B sends to the
+    # RELAY address, which the server forwards into A's TURN client
+    def b_send(addr, data):
+        srv.inject_from_peer(b_addr, data, reply=turn.handle)
+
+    a_cl = a_sess.add_check_list(a_send, ("10.0.0.1", 4444))
+    b_cl = b_sess.add_check_list(b_send, b_addr)
+
+    to_server = []
+    turn = TurnClient(send_fn=to_server.append, username="alice",
+                      password="pw", realm="ms2")
+
+    def pump():
+        while to_server:
+            srv.handle(to_server.pop(0), reply=turn.handle)
+
+    relayed = []
+    turn.on_allocated = lambda addr: relayed.append(addr)
+    turn.allocate(); pump()
+    assert relayed
+    relay_addr = relayed[0]
+    # inbound relayed data -> A's ICE stun handler
+    turn.on_data = lambda data, peer: a_cl.handle_stun(data, peer)
+    turn.create_permission(b_addr); pump()
+
+    # candidates: A offers its relay candidate; B offers its host candidate
+    a_cl.local_candidates = [Candidate.make(*relay_addr, "relay")]
+    a_cl.add_remote_candidate(Candidate.make(*b_addr))
+    b_cl.add_remote_candidate(Candidate.make(*relay_addr, "relay"))
+
+    now = [100.0]
+    for _ in range(200):
+        now[0] += 0.06
+        a_cl.process(now=now[0])
+        b_cl.process(now=now[0])
+        # the relay forwards A's Send indications out to peer B
+        while srv.peer_rx:
+            peer, data = srv.peer_rx.pop(0)
+            if peer == b_addr:
+                b_cl.handle_stun(data, relay_addr)
+        if a_cl.state == IS_COMPLETED and b_cl.state == IS_COMPLETED:
+            break
+    assert a_cl.state == IS_COMPLETED, (a_cl.state,
+                                        [p.state for p in a_cl.pairs])
+    assert b_cl.state == IS_COMPLETED
+    # the nominated path really is the relay
+    assert (a_cl.selected.local.host, a_cl.selected.local.port) == relay_addr
+    assert b_cl.selected.remote.typ in ("relay", "prflx")
