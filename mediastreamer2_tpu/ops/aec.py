@@ -219,9 +219,11 @@ def _aec_process(state, ins, params, ctx):
     # --- gradient + NLMS update + transfer copies ---------------------------
     if use_pallas:
         Ws_r, Ws_i, Wm_r, Wm_i = pk.mdf_update(
-            cpos, state["Ws_r"], state["Ws_i"], state["Wm_r"], state["Wm_i"],
+            cpos, state["Ws_r"], state["Ws_i"], Wm_r_f, Wm_i_f,
             Xh_r, Xh_i, Er, Ei, inv_norm, gc_r, gc_i, mu,
             promote.astype(jnp.float32), reseed.astype(jnp.float32))
+        Wm_r = Wm_r.astype(STORE_DTYPE)
+        Wm_i = Wm_i.astype(STORE_DTYPE)
     else:
         Gr, Gi = cmul_conj(Xh_r.astype(jnp.float32),
                            Xh_i.astype(jnp.float32),

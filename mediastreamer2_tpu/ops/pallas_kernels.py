@@ -202,8 +202,10 @@ def mdf_update(cpos, Ws_r, Ws_i, Wm_r, Wm_i, Xh_r, Xh_i, Er, Ei,
 
 
 def mdf_available(B: int) -> bool:
-    # Measured on v5e: XLA's own fusion of the MDF elementwise chain is ~6%
-    # faster than these kernels (F=481 lanes pad badly to 512). Kept opt-in
+    # Measured on v5e: XLA's own fusion of the MDF elementwise chain beats
+    # these kernels — ~6% at f32 storage, ~19% after the bf16 tap/history
+    # storage change (8.46 vs 7.10 ms/tick at 8192 legs; the kernels pay
+    # f32 VMEM tiles + 481->512 lane padding that XLA avoids). Kept opt-in
     # (PALLAS_MDF=1) + correctness-tested; revisit with lane-aligned layouts.
     if os.environ.get("PALLAS_MDF", "0") != "1":
         return False
