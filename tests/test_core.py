@@ -154,3 +154,21 @@ def test_ticker_pipelined_outputs_complete(factory):
     assert sorted(got) == list(range(ticks))
     flat = np.concatenate([got[t] for t in range(ticks)])
     np.testing.assert_allclose(flat, sig, atol=1e-6)
+
+
+def test_profile_nodes_reports_per_node_times(factory):
+    """profile_nodes: per-node ms attribution with forced readback (the
+    MSFilterStats box-plot role)."""
+    import numpy as np
+    from mediastreamer2_tpu import GraphBuilder, Format, tick_samples
+    S = tick_samples(8000)
+    g = GraphBuilder(factory, batch=4)
+    src = g.add("ext_source", "in", fmt=Format(rate=8000))
+    g.chain(src, g.add("ulaw_enc", "enc"), g.add("ulaw_dec", "dec"),
+            g.add("ext_sink", "out"))
+    cg = g.build()
+    times = cg.profile_nodes(cg.init_state(), cg.init_params(),
+                             ext_in={"in": np.zeros((4, S), np.float32)},
+                             iters=3)
+    assert set(times) == {"enc", "dec"}
+    assert all(v >= 0 for v in times.values())
