@@ -56,3 +56,61 @@ def test_no_jitter_clean_capture():
         assert r["late"] <= 2
         assert r["lost"] == 0
         assert r["played"] >= 2500
+
+
+def test_opus_poor_quality_capture_through_jitter_and_decoder():
+    """The adaptive tester's opus-poor-quality capture: RLS jitter buffer +
+    libopus decode with PLC on every miss -> gapless audio out
+    (ref asserts packet_recv == 4228 on this file)."""
+    import numpy as np
+    from mediastreamer2_tpu.ops import host_codecs as hc
+    if not hc.opus_available():
+        pytest.skip("libopus missing")
+    from mediastreamer2_tpu.io.pcap import read_capture
+    from mediastreamer2_tpu.net.rtp import RtpPacket
+
+    pkts = []
+    for cp in read_capture(os.path.join(SCEN, "opus-poor-quality.pcapng")):
+        try:
+            p = RtpPacket.unpack(cp.udp_payload)
+        except ValueError:
+            continue
+        pkts.append((cp.ts, p))
+    assert len(pkts) == 4228                 # parity: packet_recv
+
+    jb = JitterBuffer(JBParams(min_depth_ticks=2, nom_depth_ticks=4,
+                               max_depth_ticks=50, algorithm="rls",
+                               refresh_ticks=250))
+    dec = hc.OpusDecoder(rate=48000)
+    frame = 960                              # 20 ms nominal at 48 kHz
+    t = pkts[0][0]
+    end = pkts[-1][0] + 0.2
+    i = 0
+    samples = 0
+    peak = 0.0
+    concealed = 0
+    ticks = 0
+    while t < end:
+        while i < len(pkts) and pkts[i][0] <= t:
+            jb.put(pkts[i][1], now=pkts[i][0])
+            i += 1
+        payload = jb.get_tick()
+        if payload is None:
+            pcm = dec.decode(None, frame)       # PLC fill (20 ms)
+            concealed += 1
+        else:
+            # capture carries variable opus frame sizes: give decode room
+            pcm = dec.decode(payload, 5760)
+        samples += len(pcm)
+        if len(pcm):
+            peak = max(peak, float(np.abs(pcm).max()))
+        ticks += 1
+        t += 0.02
+    # playout produced ~realtime audio for the whole capture
+    assert samples >= ticks * frame * 0.9
+    assert peak > 0.05
+    # nearly every captured packet played (the rest of the ticks are the
+    # capture's DTX silence gaps, concealed by opus PLC)
+    played = ticks - concealed
+    assert played >= 4000, (played, ticks)
+    assert jb.lost + jb.late < 600              # envelope like the reference
