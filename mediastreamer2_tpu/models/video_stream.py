@@ -142,6 +142,48 @@ class H264Packetizer:
         return self.completed.pop(0) if self.completed else None
 
 
+class ReorderBuffer:
+    """Small seq-reorder stage ahead of the packetizers: on a gap, hold
+    subsequent packets up to `max_hold` pops awaiting the retransmission
+    (NACK fills the hole); deliver strictly in seq order.  The oRTP
+    reordering role that makes video NACK useful."""
+
+    def __init__(self, max_hold: int = 12):
+        self.max_hold = max_hold
+        self._next = None
+        self._held: Dict[int, object] = {}
+        self._hold_age = 0
+
+    def push(self, pkt) -> List[object]:
+        out = []
+        if self._next is None:
+            self._next = pkt.seq
+        delta = (pkt.seq - self._next) & 0xFFFF
+        if delta >= 0x8000:
+            return out                    # stale duplicate/too-late rtx
+        self._held[pkt.seq] = pkt
+        while self._next in self._held:
+            out.append(self._held.pop(self._next))
+            self._next = (self._next + 1) & 0xFFFF
+            self._hold_age = 0
+        if self._held:
+            self._hold_age += 1
+            if self._hold_age > self.max_hold:
+                # give up on the hole: release in order, skipping it
+                self._next = min(self._held,
+                                 key=lambda s: (s - self._next) & 0xFFFF)
+                while self._next in self._held:
+                    out.append(self._held.pop(self._next))
+                    self._next = (self._next + 1) & 0xFFFF
+                self._hold_age = 0
+        return out
+
+    @property
+    def missing_seq(self):
+        """First missing seq while packets are held (NACK target)."""
+        return self._next if self._held else None
+
+
 class FrameAssembler:
     """Reassemble fragments by timestamp; marker bit closes the frame
     (the generic half of vp8rtpfmt/h26x unpacker behavior)."""
@@ -245,8 +287,22 @@ class VideoStreamBatch:
         self._cam_last_tick = [0] * batch
         self._cam_dead = [False] * batch
         self._static_fallback = None
+        self._reorder: Dict[int, ReorderBuffer] = {}
+        self._nacked: Dict[int, set] = {}
 
     CAMERA_DEAD_TICKS = 100      # 1 s without frames => camera presumed dead
+
+    def enable_nack(self, leg: int, history: int = 256):
+        """cf. video_stream_enable_retransmission_on_nack
+        (videostream.c:725): the sender keeps a retransmission history;
+        the receiver reorders across gaps and NACKs the missing seq; an
+        arriving retransmission fills the hole before the AU closes."""
+        sess = self.sessions[leg]
+        if sess is None:
+            raise RuntimeError("set_transport first")
+        sess.enable_retransmission(history)
+        self._reorder[leg] = ReorderBuffer()
+        self._nacked[leg] = set()
 
     def request_keyframe(self, leg: int):
         """cf. MS_VIDEO_ENCODER_REQ_VFU / FIR handling."""
@@ -361,12 +417,14 @@ class VideoStreamBatch:
                     # without parameter sets after loss) — the reference's
                     # decoder-error -> PLI path
                     decode_failed = True
-            # inbound FIR/PLI -> force a keyframe on our encoder
+            # inbound FIR/PLI -> force a keyframe; NACK -> retransmit
             if sess.rtcp is not None and sess.rtcp.feedback_in:
                 fbs, sess.rtcp.feedback_in = sess.rtcp.feedback_in, []
                 for fb in fbs:
                     if fb.kind in ("fir", "pli"):
                         self._force_kf[i] = True
+                    elif fb.kind == "nack":
+                        sess.retransmit(fb.value)
             # freeze-on-error + FIR policy (cf. videostream decoder error cb
             # + msiframerequestslimiter rate limiting): request a keyframe
             # when nothing decodable arrived (starter) or an access unit
@@ -386,9 +444,24 @@ class VideoStreamBatch:
 
     def bind_assemblers(self):
         """Wire RTP on_packet to the frame assemblers (call after
-        set_transport for all legs)."""
+        set_transport for all legs); NACK-enabled legs go through the
+        reorder buffer and emit RTCP NACKs for holes."""
         for i, sess in enumerate(self.sessions):
-            if sess is not None:
+            if sess is None:
+                continue
+            if i in self._reorder:
+                def deliver(pkt, _i=i, _s=sess):
+                    for p in self._reorder[_i].push(pkt):
+                        self.packetizers[_i].push(p)
+                    miss = self._reorder[_i].missing_seq
+                    if miss is not None and miss not in self._nacked[_i]:
+                        self._nacked[_i].add(miss)
+                        from mediastreamer2_tpu.net.rtcp import Feedback
+                        fb = Feedback("nack", _s.ssrc, _s.recv_ssrc or 0,
+                                      value=miss)
+                        _s.transport.send(fb.pack())
+                sess.on_packet = deliver
+            else:
                 sess.on_packet = self.packetizers[i].push
 
     def start(self, n_ticks: int = 10 ** 9):

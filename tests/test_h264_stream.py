@@ -166,3 +166,42 @@ def test_legacy_ffmpeg_codecs(name, size):
                           ).astype(np.float32).reshape(h, w)
     psnr = 10 * np.log10(255 ** 2 / max(np.mean((y_ref - y_out) ** 2), 1e-9))
     assert psnr > 22, f"{name} psnr {psnr:.1f}"
+
+
+def test_h264_nack_retransmission_recovers_frames(factory):
+    """video_stream_enable_retransmission_on_nack parity: under loss, the
+    receiver NACKs the hole, the sender retransmits from history, the
+    reorder buffer fills the AU before it closes — frames survive loss
+    WITHOUT waiting for a keyframe."""
+    fmt = Format(kind="yuv420", width=128, height=96, fps=25.0)
+    tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h264")
+    rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h264")
+    ns = NetworkSimulator(NetSimParams(loss_rate=10.0, seed=5))
+    pair = LoopbackPair(netsim=ns)
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.enable_nack(0)
+    rx.enable_nack(0)
+    tx.bind_assemblers(); rx.bind_assemblers()
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(200):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    # with rtx recovery, most frames get through despite 10% loss
+    assert rx.stats[0].frames_received >= tx.stats[0].frames_sent * 0.6, (
+        rx.stats[0].frames_received, tx.stats[0].frames_sent)
+    # and fewer AUs dropped than a no-NACK run under the same loss
+    tx2 = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h264")
+    rx2 = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h264")
+    ns2 = NetworkSimulator(NetSimParams(loss_rate=10.0, seed=5))
+    pair2 = LoopbackPair(netsim=ns2)
+    tx2.set_transport(0, pair2.endpoint(0))
+    rx2.set_transport(0, pair2.endpoint(1))
+    tx2.bind_assemblers(); rx2.bind_assemblers()
+    tx2.ticker.realtime = rx2.ticker.realtime = False
+    tx2.ticker.warm_up(); rx2.ticker.warm_up()
+    for _ in range(200):
+        tx2.ticker.do_tick()
+        rx2.ticker.do_tick()
+    assert rx.stats[0].frames_received > rx2.stats[0].frames_received
