@@ -180,6 +180,8 @@ def e2e_legs() -> tuple:
               f"-> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
         if ok:
             best = (n, res)
+        elif best[0] == 0 and n <= candidates[1]:
+            continue          # transient early failure: try the next size
         else:
             lo_fail = n
             break
