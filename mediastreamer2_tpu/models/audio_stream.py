@@ -460,6 +460,19 @@ class AudioStreamBatch:
         if self.batch_edge:
             return self._push_batch_edge(tick, ext_out)
         tx = np.asarray(ext_out["rtp_tx"])
+        # RFC 6464: refresh the audio-level extension from the send-side
+        # volume meter for legs that negotiated it (msrtp.c level insert)
+        if "vol_send" in self.ticker.state:
+            energy = None
+            for i, sess in enumerate(self.sessions):
+                if sess is not None and getattr(sess, "_level_ext_id",
+                                                None) is not None:
+                    if energy is None:
+                        energy = np.asarray(
+                            self.ticker.state["vol_send"]["energy"])
+                    dbov = int(np.clip(
+                        -10.0 * np.log10(float(energy[i]) + 1e-12), 0, 127))
+                    sess.set_audio_level(dbov, voice=energy[i] > 1e-4)
         if self.features.vad_dtx:
             voice = np.asarray(self.ticker.state["vad"]["voice"])
         else:

@@ -165,3 +165,30 @@ def test_ptime_packing(factory):
     assert sim > 0.9, sim
     # ~1/4 the packets of a 10 ms-ptime stream
     assert tx.sessions[0].stats.sent_packets <= ticks // 4 + 4
+
+
+def test_audio_level_extension_from_volume_meter(factory):
+    """Legs with the RFC 6464 extension negotiated carry per-tick levels
+    measured by the send-side volume filter (msrtp.c audio-level insert
+    fed from MSVolume, as the reference wires it)."""
+    from mediastreamer2_tpu.net.rtp import RtpPacket
+    sig = make_speechlike(S * 50, RATE, seed=6)
+    tx = AudioStreamBatch(factory, 1, mic_signal=sig)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    tx.sessions[0].enable_audio_level_ext(ext_id=1)
+    sink = pair.endpoint(1)
+    tx.ticker.realtime = False
+    tx.ticker.warm_up()
+    levels = []
+    for _ in range(50):
+        tx.ticker.do_tick()
+        for data in sink.recv_all():
+            pkt = RtpPacket.unpack(data)
+            if pkt.extensions and 1 in pkt.extensions:
+                levels.append(pkt.extensions[1][0])
+    assert len(levels) >= 40
+    dbovs = [lv & 0x7F for lv in levels]
+    # speech has finite level (not the 127 silence floor) and varies
+    assert min(dbovs) < 60 and len(set(dbovs)) > 3
+    assert any(lv & 0x80 for lv in levels)      # voice flag set
