@@ -62,7 +62,20 @@ class AudioPacketRouter:
             if m.idx < len(energies):
                 m.volume = float(energies[m.idx])
 
+    def note_level_extension(self, from_idx: int, pkt: RtpPacket,
+                             ext_id: int = 1):
+        """RFC 6464 client-to-mixer level straight off the packet — lets
+        a pure packet router rank speakers with no device round-trip
+        (packet-router.h volume-ranked selection using the level ext).
+        Lower dBov = louder; map to a positive volume key."""
+        if pkt.extensions and ext_id in pkt.extensions:
+            dbov = pkt.extensions[ext_id][0] & 0x7F
+            m = self.members.get(from_idx)
+            if m is not None:
+                m.volume = 127.0 - dbov
+
     def route(self, from_idx: int, pkt: RtpPacket):
+        self.note_level_extension(from_idx, pkt)
         ranked = sorted((m for m in self.members.values()
                          if m.active and m.idx != from_idx),
                         key=lambda m: -m.volume)

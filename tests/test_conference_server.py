@@ -101,3 +101,27 @@ def test_conference_server_on_batch_edge(factory):
     assert np.abs(rec).max() > 0.01
     assert server._edge_rx.stats(0)["recv"] >= ticks // 2
     srv_sock.close(); cli_sock.close()
+
+
+def test_audio_router_ranks_by_level_extension(factory):
+    """The audio SFU ranks speakers from the RFC 6464 header extension
+    carried in the packets themselves — no device volume round-trip
+    (packet-router volume-ranked selection)."""
+    from mediastreamer2_tpu.net.router import AudioPacketRouter
+    from mediastreamer2_tpu.net.rtp import RtpPacket
+    r = AudioPacketRouter(top_n=1)
+    sent = {i: [] for i in range(3)}
+    for i in range(3):
+        r.add_member(i, send=sent[i].append)
+
+    def pkt(level_dbov):
+        return RtpPacket(0, 1, 0, 0x10, b"x" * 20,
+                         extensions={1: bytes([level_dbov])})
+
+    # member 0 loud (10 dBov), member 1 quiet (90 dBov)
+    r.route(0, pkt(10))
+    r.route(1, pkt(90))
+    # member 0 is the top speaker: its packets forward, member 1's don't
+    n0 = r.route(0, pkt(10))
+    n1 = r.route(1, pkt(90))
+    assert n0 == 2 and n1 == 0
