@@ -109,3 +109,19 @@ def test_video_bundle_aggregator_multi_ssrc(factory):
     for ssrc, frame in got.items():
         np.testing.assert_array_equal(frame, frames[ssrc])
     assert all(b["frames_received"] >= 2 for b in rxr.branches.values())
+
+
+def test_preview_only_graph(factory):
+    """Preview-only parity (videostream.c:2452-2496): a VideoStreamBatch
+    with no transports is camera->display — frames reach the analyse
+    display with zero network activity."""
+    fmt = Format(kind="yuv420", width=64, height=48, fps=25.0)
+    vs = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0)
+    vs.ticker.realtime = False
+    vs.ticker.warm_up()
+    for _ in range(30):
+        vs.ticker.do_tick()
+    # mire produced moving frames through the pixel path (tx side state
+    # advanced); no sessions => nothing sent anywhere
+    assert vs.sessions == [None]
+    assert int(np.asarray(vs.ticker.state["cam"]["frame_idx"])[0]) == 30
