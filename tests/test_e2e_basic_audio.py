@@ -88,3 +88,42 @@ def test_reference_hello_through_every_device_codec(factory):
         out = recorder_get_audio(tk.state["rec"], ticks, S)[0]
         sim, _ = audio_diff(sig, out)
         assert sim > thr, f"{codec} on {fname}: sim {sim:.3f}"
+
+
+def test_stereo_fixture_and_channel_adapter(factory):
+    """Stereo handling: read_wav downmixes correctly (no double-speed
+    interleave bug); a channels=2 graph carries interleaved stereo blocks
+    and the chan_adapter downmixes on-device (chanadapt.c parity) —
+    validated with the reference's real stereo piano recording."""
+    import os
+    import pytest
+    import numpy as np
+    from mediastreamer2_tpu.io.wav import read_wav, read_wav_multi
+    from mediastreamer2_tpu import GraphBuilder, Format, tick_samples
+    from mediastreamer2_tpu.core.ticker import Ticker
+    from mediastreamer2_tpu.ops.fileio import recorder_get_audio
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    FIX = "/root/reference/tester/sounds"
+    if not os.path.isdir(FIX):
+        pytest.skip("reference fixtures not mounted")
+    multi, rate, ch = read_wav_multi(f"{FIX}/piano_8000_stereo.wav")
+    assert ch == 2 and multi.ndim == 2
+    mono, rate2 = read_wav(f"{FIX}/piano_8000_stereo.wav")
+    assert rate2 == rate and len(mono) == multi.shape[0]
+    np.testing.assert_allclose(mono, multi.mean(axis=1), atol=1e-6)
+
+    # stereo through a device graph: interleaved [n*2] -> chan_adapter -> mono
+    S = tick_samples(rate)
+    ticks = min(multi.shape[0] // S, 200)
+    inter = multi[: ticks * S].reshape(-1)          # interleaved stream
+    g = GraphBuilder(factory, batch=1)
+    p = g.add("file_player", "play",
+              fmt=Format(rate=rate, channels=2), signal=inter)
+    ca = g.add("channel_adapter", "ca", out_channels=1)
+    g.chain(p, ca, g.add("file_recorder", "rec", max_ticks=ticks))
+    tk = Ticker(g.build(), realtime=False)
+    tk.warm_up()
+    tk.run(ticks)
+    out = recorder_get_audio(tk.state["rec"], ticks, S)[0]
+    sim, _ = audio_diff(mono[: ticks * S], out)
+    assert sim > 0.99, sim
