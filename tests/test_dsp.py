@@ -299,3 +299,38 @@ def test_equalizer_band_cut(factory):
     e300 = spec[np.argmin(np.abs(freqs - 300))]
     e2000 = spec[np.argmin(np.abs(freqs - 2000))]
     assert e2000 < e300 * 0.1, f"2 kHz not attenuated: {e2000} vs {e300}"
+
+
+def test_stereo_resample_preserves_channel_identity(factory):
+    """msresample parity: rate conversion of interleaved stereo keeps the
+    channels independent — feed the reference's real 48 kHz stereo
+    recording in the LEFT channel only; the resampled RIGHT channel must
+    stay silent and the left must carry the audio."""
+    import os
+    import pytest
+    from mediastreamer2_tpu.io.wav import read_wav_multi
+    from mediastreamer2_tpu.core.ticker import Ticker
+    FIX = "/root/reference/tester/sounds"
+    if not os.path.isdir(FIX):
+        pytest.skip("reference fixtures not mounted")
+    multi, rate, ch = read_wav_multi(f"{FIX}/chimes_48000_stereo.wav")
+    assert ch == 2 and rate == 48000
+    S = tick_samples(rate)
+    ticks = min(multi.shape[0] // S, 100)
+    left_only = multi[: ticks * S].copy()
+    left_only[:, 1] = 0.0
+    inter = left_only.reshape(-1)
+    g = GraphBuilder(factory, batch=1)
+    p = g.add("file_player", "play",
+              fmt=Format(rate=rate, channels=2), signal=inter)
+    rs = g.add("resample", "rs", out_rate=16000)
+    g.chain(p, rs, g.add("file_recorder", "rec", max_ticks=ticks))
+    tk = Ticker(g.build(), realtime=False)
+    tk.warm_up()
+    tk.run(ticks)
+    S16 = tick_samples(16000) * 2                 # stereo out block
+    out = recorder_get_audio(tk.state["rec"], ticks, S16)[0].reshape(-1, 2)
+    e_left = float((out[:, 0] ** 2).mean())
+    e_right = float((out[:, 1] ** 2).mean())
+    assert e_left > 1e-4                          # audio came through
+    assert e_right < e_left * 1e-4                # no channel bleed
