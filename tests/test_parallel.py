@@ -60,3 +60,34 @@ def test_graft_entry_contract():
     new_state, ext_out = jax.jit(fn)(*args)
     assert "out" in ext_out
     mod.dryrun_multichip(8)
+
+
+def test_sharded_e2e_graph_with_codec_boundary(factory):
+    """The production e2e step — mu-law decode -> resample -> AEC -> AGC ->
+    cross-shard mix-minus -> downsample -> mu-law encode — compiles and
+    matches unsharded on the 8-device mesh, u8 payloads at the boundary
+    (conference groups span shards: ICI collectives on the hot path)."""
+    from mediastreamer2_tpu.models.e2e_bench import build_e2e_graph
+    from mediastreamer2_tpu.ops.g711 import (ulaw_decode, ulaw_encode,
+                                             float_to_pcm16, pcm16_to_float)
+    B = 16
+    cg, params = build_e2e_graph(factory, B, conf_size=4)
+    state = cg.init_state()
+    rng = np.random.default_rng(3)
+    rx_u8 = rng.integers(0, 255, (B, 80)).astype(np.uint8)
+    mic = (0.1 * rng.standard_normal((B, 480))).astype(np.float32)
+
+    def step(st, pr, rx, mic):
+        dec = pcm16_to_float(ulaw_decode(rx.astype(jnp.int32)))
+        st, out, _ = cg.step(st, pr, {"rx": dec, "mic": mic})
+        return st, ulaw_encode(float_to_pcm16(out["out"])).astype(jnp.uint8)
+
+    _, ref = jax.jit(step)(state, params, rx_u8, mic)
+
+    mesh = make_mesh(8)
+    st_s = shard_tree(state, mesh, B)
+    pr_s = shard_tree(params, mesh, B)
+    rx_s = shard_tree({"x": rx_u8}, mesh, B)["x"]
+    mic_s = shard_tree({"x": mic}, mesh, B)["x"]
+    _, sh = jax.jit(step)(st_s, pr_s, rx_s, mic_s)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(sh))
