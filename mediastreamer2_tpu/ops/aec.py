@@ -58,10 +58,11 @@ def _partitions(ctx):
 
 def _padded_bins(S: int) -> int:
     """Frequency-axis storage size. Measured on v5e: lane-padding the rfft
-    bins (481->512 @48k) made the MDF chain ~9% SLOWER — the extra HBM
-    traffic outweighs alignment gains (the chain is bandwidth-bound and XLA
-    tiles 481 fine). Natural size it is; the padding plumbing in
-    _aec_process stays (F_pad=0) for future layout experiments."""
+    bins (481->512 @48k) made the MDF chain ~9% SLOWER at f32 and ~8%
+    slower again after the bf16 storage change (9.39 vs 8.66 ms/tick at
+    10240 legs) — the extra HBM traffic outweighs alignment gains (the
+    chain is bandwidth-bound and XLA tiles 481 fine). Natural size it is;
+    the padding plumbing in _aec_process stays (F_pad=0)."""
     return S + 1
 
 
