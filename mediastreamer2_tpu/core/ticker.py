@@ -28,6 +28,7 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mediastreamer2_tpu.core.block import TICK_MS
@@ -180,6 +181,47 @@ class Ticker:
 
     def get_average_load(self) -> float:
         return self.stats.avg_load
+
+    # -- checkpoint / resume (cf. media_stream_reclaim_sessions +
+    # speexec.c state blobs: survive a stream re-creation warm) ----------
+    def save_state(self) -> bytes:
+        """Serialize the full graph state tree (every filter's carried
+        state: codec predictors, EC taps, ring positions, ...)."""
+        import io
+        import numpy as np
+        buf = io.BytesIO()
+        flat = {}
+        for node, st in self.state.items():
+            for k, v in (st or {}).items():
+                arr = jnp.asarray(v)
+                key = f"{node}::{k}"
+                if arr.dtype == jnp.bfloat16:
+                    flat[key + "::bf16"] = np.asarray(
+                        arr.astype(jnp.float32))
+                else:
+                    flat[key] = np.asarray(arr)
+        np.savez(buf, **flat)
+        return buf.getvalue()
+
+    def load_state(self, blob: bytes):
+        """Restore a save_state() snapshot into a compatible graph
+        (applied at the next tick boundary)."""
+        import io
+        import numpy as np
+        data = np.load(io.BytesIO(blob))
+        tree: Dict[str, dict] = {}
+        for key in data.files:
+            parts = key.split("::")
+            node, k = parts[0], parts[1]
+            v = jnp.asarray(data[key])
+            if len(parts) == 3 and parts[2] == "bf16":
+                v = v.astype(jnp.bfloat16)
+            tree.setdefault(node, {})[k] = v
+
+        def apply(tk):
+            tk.state = {node: (tree.get(node, st) if st is not None else st)
+                        for node, st in tk.state.items()}
+        self.mutate(apply)
 
 
 class TickerSynchronizer:

@@ -172,3 +172,45 @@ def test_profile_nodes_reports_per_node_times(factory):
                              iters=3)
     assert set(times) == {"enc", "dec"}
     assert all(v >= 0 for v in times.values())
+
+
+def test_ticker_save_load_state_resumes_streams(factory):
+    """Whole-graph checkpoint/resume (media_stream_reclaim_sessions +
+    EC-blob parity): a NEW ticker restored from a snapshot continues
+    exactly where the old one stopped — codec predictor state included."""
+    import numpy as np
+    from mediastreamer2_tpu import GraphBuilder, Format, tick_samples
+    from mediastreamer2_tpu.core.ticker import Ticker
+    S = tick_samples(8000)
+    ticks = 40
+    sig = np.sin(np.arange(S * ticks) / 3.0).astype(np.float32) * 0.5
+
+    def build():
+        g = GraphBuilder(factory, batch=1)
+        p = g.add("file_player", "play", fmt=Format(rate=8000), signal=sig)
+        # dvi4 is stateful per sample: any resume glitch corrupts audio
+        g.chain(p, g.add("dvi4_enc"), g.add("dvi4_dec"),
+                g.add("ext_sink", "out"))
+        return g.build()
+
+    ref = Ticker(build(), realtime=False)
+    outs_ref = []
+    ref.set_io(push=lambda t, o: outs_ref.append(np.asarray(o["out"])[0]))
+    ref.warm_up()
+    ref.run(ticks)
+
+    a = Ticker(build(), realtime=False)
+    outs = []
+    a.set_io(push=lambda t, o: outs.append(np.asarray(o["out"])[0]))
+    a.warm_up()
+    a.run(ticks // 2)
+    blob = a.save_state()
+
+    b = Ticker(build(), realtime=False)       # fresh graph, warm resume
+    b.set_io(push=lambda t, o: outs.append(np.asarray(o["out"])[0]))
+    b.load_state(blob)
+    b.warm_up()
+    b.stats.ticks = ticks // 2                # continue the tick count
+    b.run(ticks // 2)
+    np.testing.assert_allclose(np.concatenate(outs),
+                               np.concatenate(outs_ref), atol=1e-6)
