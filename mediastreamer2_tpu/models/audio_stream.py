@@ -70,7 +70,7 @@ class AudioStreamBatch:
     """N duplex audio legs, one device program."""
 
     def __init__(self, factory, batch: int, codec: str = "ulaw",
-                 rate: int = 8000,
+                 rate: int = 8000, channels: int = 1,
                  features: Optional[AudioStreamFeatures] = None,
                  mic_signal: Optional[np.ndarray] = None,
                  record_ticks: int = 0,
@@ -91,14 +91,17 @@ class AudioStreamBatch:
         self.batch = batch
         self.codec = codec
         self.rate = rate
-        self.S = tick_samples(rate)
+        self.channels = channels
+        if channels != 1 and codec != "opus":
+            raise ValueError("multichannel audio requires the opus codec")
+        self.S = tick_samples(rate) * channels
         self.rtp_clock = RTP_CLOCK.get(codec, rate)
         # samples-worth of RTP clock per tick = timestamp increment and,
         # for byte codecs, payload unit count
         self.S_rtp = tick_samples(self.rtp_clock)
         self.features = features or AudioStreamFeatures()
         self.record_ticks = record_ticks
-        fmt = Format(kind="pcm", rate=rate)
+        fmt = Format(kind="pcm", rate=rate, channels=channels)
         ft = self.features
 
         self.host_codec = codec in HOST_CODECS
@@ -250,8 +253,10 @@ class AudioStreamBatch:
             from mediastreamer2_tpu.ops import host_codecs as hc
             for i in range(batch):
                 if codec == "opus":
-                    self._host_enc[i] = hc.OpusEncoder(rate=rate)
-                    self._host_dec[i] = hc.OpusDecoder(rate=rate)
+                    self._host_enc[i] = hc.OpusEncoder(rate=rate,
+                                                       channels=self.channels)
+                    self._host_dec[i] = hc.OpusDecoder(rate=rate,
+                                                       channels=self.channels)
                 elif codec == "gsm":
                     if rate != 8000:
                         raise ValueError("gsm requires 8 kHz")
@@ -427,7 +432,8 @@ class AudioStreamBatch:
         B, S = self.batch, self.S
         rx = np.zeros((B, S), np.float32)
         lost = np.zeros(B, bool)
-        frame_samples = S * self.frame_ticks
+        # opus frame length argument counts per-channel samples
+        frame_samples = tick_samples(self.rate) * self.frame_ticks
         for i, sess in enumerate(self.sessions):
             fifo = self._rx_fifo[i]
             if sess is not None and not fifo:
@@ -435,8 +441,9 @@ class AudioStreamBatch:
                 payload = sess.jitter_buffer.get_tick()
                 if self.codec == "opus":
                     pcm = self._host_dec[i].decode(payload, frame_samples)
-                    if len(pcm) < frame_samples:
-                        pcm = np.pad(pcm, (0, frame_samples - len(pcm)))
+                    want = frame_samples * self.channels
+                    if len(pcm) < want:
+                        pcm = np.pad(pcm, (0, want - len(pcm)))
                 elif payload is not None and len(payload) > 0:
                     pcm = self._host_dec[i].decode(payload)
                 else:

@@ -183,3 +183,42 @@ def test_srtp_opus_call(factory):
     assert sim > 0.85, f"srtp+opus call sim {sim}"
     # wire was actually encrypted: raw RTP unparseable as our payload type?
     assert tx.sessions[0].stats.sent_packets > 80
+
+
+def test_stereo_opus_call(factory):
+    """Stereo opus session (channels=2): interleaved stereo blocks through
+    the whole stack; left/right stay separate (the reference negotiates
+    opus stereo via fmtp)."""
+    if not hc.opus_available():
+        pytest.skip("libopus missing")
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.core.block import tick_samples
+    rate, ch = 48000, 2
+    Sf = tick_samples(rate)
+    ticks = 80
+    t = np.arange(Sf * ticks) / rate
+    left = 0.4 * np.sin(2 * np.pi * 440 * t)
+    right = 0.4 * np.sin(2 * np.pi * 1320 * t)
+    inter = np.stack([left, right], axis=1).reshape(-1).astype(np.float32)
+    tx = AudioStreamBatch(factory, 1, codec="opus", rate=rate, channels=ch,
+                          mic_signal=inter)
+    rx = AudioStreamBatch(factory, 1, codec="opus", rate=rate, channels=ch,
+                          record_ticks=ticks + 40)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(ticks + 30):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    rec = rx.get_recording()[0].reshape(-1, 2)
+
+    def tone_energy(x, f):
+        spec = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), 1 / rate)
+        return spec[(freqs > f - 30) & (freqs < f + 30)].max()
+
+    L, R = rec[:, 0], rec[:, 1]
+    assert tone_energy(L, 440) > 10 * tone_energy(L, 1320)
+    assert tone_energy(R, 1320) > 10 * tone_energy(R, 440)
