@@ -250,6 +250,11 @@ class AudioStreamBatch:
             self.frame_ticks = HOST_CODECS[codec] // 10
             self._tx_accum: List[list] = [[] for _ in range(batch)]
             self._rx_fifo: List[list] = [[] for _ in range(batch)]
+            # opus FEC lookahead: hold one packet so a loss can be
+            # recovered from the NEXT packet's in-band FEC (the reference's
+            # payload-picker behavior; adds one frame of latency)
+            self._opus_pending: List = [None] * batch
+            self._opus_primed = [False] * batch
             from mediastreamer2_tpu.ops import host_codecs as hc
             for i in range(batch):
                 if codec == "opus":
@@ -440,7 +445,20 @@ class AudioStreamBatch:
                 sess.poll()
                 payload = sess.jitter_buffer.get_tick()
                 if self.codec == "opus":
-                    pcm = self._host_dec[i].decode(payload, frame_samples)
+                    # one-packet lookahead: play P_{t-1}; if it was lost,
+                    # recover it from P_t's in-band FEC, else native PLC
+                    prev = self._opus_pending[i]
+                    self._opus_pending[i] = payload
+                    if not self._opus_primed[i]:
+                        self._opus_primed[i] = True
+                        pcm = np.zeros(0, np.float32)
+                    elif prev is not None:
+                        pcm = self._host_dec[i].decode(prev, frame_samples)
+                    elif payload is not None:
+                        pcm = self._host_dec[i].decode(payload, frame_samples,
+                                                       fec=True)
+                    else:
+                        pcm = self._host_dec[i].decode(None, frame_samples)
                     want = frame_samples * self.channels
                     if len(pcm) < want:
                         pcm = np.pad(pcm, (0, want - len(pcm)))

@@ -66,6 +66,9 @@ class OpusEncoder:
         self.rate, self.channels = rate, channels
         self.set_bitrate(bitrate)
         self._ctl(OPUS_SET_INBAND_FEC_REQUEST, 1 if fec else 0)
+        # NOTE: libopus embeds FEC bits only when expected loss > 0; that
+        # trades primary quality, so the loss expectation is driven by the
+        # QoS loop (set_packet_loss from observed loss), not defaulted on
         self._ctl(OPUS_SET_DTX_REQUEST, 1 if dtx else 0)
 
     def _ctl(self, req: int, val: int):
