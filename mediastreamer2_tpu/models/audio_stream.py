@@ -659,6 +659,12 @@ class AudioStreamBatch:
                 qi = self._qi.get(leg)
                 if qi is not None:
                     qi.update(stats)
+                # opus: feed observed loss back into the encoder's FEC
+                # strength (MSOpusEnc adjusts expected loss from RTCP)
+                enc = self._host_enc[leg] if leg < len(self._host_enc) else None
+                if enc is not None and hasattr(enc, "set_packet_loss"):
+                    enc.set_packet_loss(
+                        min(30, int(stats.loss_rate * 100)))
                 sess.rtcp.remote_reports.clear()
         return n
 

@@ -265,3 +265,24 @@ def test_opus_inband_fec_beats_plc_under_loss(factory):
     sim_plc = run(False)
     assert sim_fec > 0.7, sim_fec
     assert sim_fec > sim_plc + 0.01, (sim_fec, sim_plc)
+
+
+def test_qos_loop_feeds_opus_loss_expectation(factory):
+    """media_stream_iterate parity: RTCP receiver reports drive the opus
+    encoder's expected-loss (FEC strength) knob."""
+    if not hc.opus_available():
+        pytest.skip("libopus missing")
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.net.rtcp import ReportBlock
+    tx = AudioStreamBatch(factory, 1, codec="opus", rate=48000)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    tx.enable_rtcp(interval_s=100.0)
+    calls = []
+    tx._host_enc[0].set_packet_loss = lambda p: calls.append(p)
+    # fake a remote report with 12.5% loss
+    tx.sessions[0].rtcp.remote_reports.append(
+        ReportBlock(ssrc=1, fraction_lost=32, cumulative_lost=10,
+                    highest_seq=0, jitter=0, lsr=0, dlsr=0))
+    tx.iterate()
+    assert calls == [12]
