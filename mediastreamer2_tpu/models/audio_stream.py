@@ -562,6 +562,13 @@ class AudioStreamBatch:
         self.ticker.run(n_ticks)
 
     def stop(self):
+        # RTCP BYE per leg on teardown (rtp_session uninit behavior)
+        for sess in self.sessions:
+            if sess is not None and sess.rtcp is not None:
+                try:
+                    sess.rtcp.send_bye(sess.transport)
+                except Exception:
+                    pass
         self.ticker.stop()
 
     # -- RFC 4733 DTMF over RTP (parity: msrtp.h:46-113) -----------------

@@ -333,7 +333,26 @@ class RtcpSession:
         transport.send(pkt)
         return pkt
 
+    def send_bye(self, transport, reason: str = ""):
+        """RTCP BYE on teardown (RFC 3550 §6.6; the reference emits BYE
+        from rtp_session uninit)."""
+        r = reason.encode()[:255]
+        body = struct.pack("!I", self.rtp.ssrc)
+        if r:
+            body += bytes([len(r)]) + r
+            body += b"\x00" * ((-len(r) - 1) % 4)
+        hdr = struct.pack("!BBH", 0x80 | 1, RTCP_BYE, len(body) // 4)
+        transport.send(hdr + body)
+
     def process(self, data: bytes):
+        self.bye_received = getattr(self, "bye_received", False)
+        # BYE appears in compound packets; scan raw headers for PT 203
+        off = 0
+        while off + 4 <= len(data):
+            b0, pt, length = struct.unpack_from("!BBH", data, off)
+            if pt == RTCP_BYE:
+                self.bye_received = True
+            off += 4 * (length + 1)
         for msg in parse_compound(data):
             if isinstance(msg, SenderReport):
                 self._last_sr_lsr = ((msg.ntp_sec & 0xFFFF) << 16) | \

@@ -40,3 +40,24 @@ def test_rtcp_rtt_measurement():
     a.poll()
     assert ra.last_rtt_ms is not None
     assert 0.0 <= ra.last_rtt_ms < 200.0
+
+
+def test_rtcp_bye_on_teardown(factory):
+    """RFC 3550 BYE: stopping a stream emits BYE; the peer's RTCP session
+    flags it (rtp_session uninit parity)."""
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    a = AudioStreamBatch(factory, 1)
+    b = AudioStreamBatch(factory, 1)
+    pair = LoopbackPair()
+    a.set_transport(0, pair.endpoint(0))
+    b.set_transport(0, pair.endpoint(1))
+    a.enable_rtcp(interval_s=100.0)
+    b.enable_rtcp(interval_s=100.0)
+    a.ticker.realtime = b.ticker.realtime = False
+    a.ticker.warm_up(); b.ticker.warm_up()
+    for _ in range(5):
+        a.ticker.do_tick(); b.ticker.do_tick()
+    a.stop()
+    b.ticker.do_tick()                      # drains the BYE
+    assert getattr(b.sessions[0].rtcp, "bye_received", False)
