@@ -207,3 +207,40 @@ def test_audio_stream_batch_edge(factory):
     st = rx._edge_rx.stats(0)
     assert st["recv"] >= ticks
     a_sock.close(); b_sock.close()
+
+
+def test_batch_edge_dtx_mask(factory):
+    """VAD/DTX gates the batched sender: silent legs skip packets (the
+    send mask) while the RTP clock keeps running underneath."""
+    from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
+                                                        AudioStreamFeatures)
+    from mediastreamer2_tpu.core.block import tick_samples
+    from conftest import make_speechlike
+    B, ticks = 2, 120
+    S = tick_samples(8000)
+    # leg signal: speech then silence (file_player shares the signal;
+    # both legs go quiet together)
+    sig = make_speechlike(S * ticks, 8000, seed=71)
+    sig[50 * S:] = 0.0
+    a_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    a_sock.bind(("127.0.0.1", 0)); a_sock.setblocking(False)
+    b_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    b_sock.bind(("127.0.0.1", 0)); b_sock.setblocking(False)
+    tx = AudioStreamBatch(factory, B, mic_signal=sig,
+                          features=AudioStreamFeatures(vad_dtx=True))
+    rx = AudioStreamBatch(factory, B)
+    tx.enable_batch_edge(rx_sock=a_sock, tx_sock=a_sock,
+                         remote=b_sock.getsockname())
+    rx.enable_batch_edge(rx_sock=b_sock, tx_sock=b_sock,
+                         remote=a_sock.getsockname())
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    import time as _time
+    for _ in range(ticks):
+        tx.ticker.do_tick()
+        _time.sleep(0.0003)
+        rx.ticker.do_tick()
+    st = rx._edge_rx.stats(0)
+    # packets flowed during speech, stopped during silence
+    assert 40 <= st["recv"] <= 90, st
+    a_sock.close(); b_sock.close()
