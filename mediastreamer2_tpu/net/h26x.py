@@ -307,3 +307,51 @@ class H265ParameterSetStore:
                 and self.ready:
             return [self.vps, self.sps, self.pps] + nals
         return nals
+
+
+# ---------------------------------------------------------------------------
+# H.263 payloads (RFC 4629) — transport for the legacy codec family
+# (reference: videoenc.c's RFC2190/4629 packing glue).
+# ---------------------------------------------------------------------------
+def h263_packetize(frame: bytes, mtu: int = 1400) -> List[bytes]:
+    """One encoded H.263 frame -> RTP payloads.
+
+    First payload starts at the picture start code with P=1 (the two zero
+    bytes of the PSC are elided per RFC 4629 §5.1); continuations carry
+    P=0 with the full bytes."""
+    payloads: List[bytes] = []
+    first = frame.startswith(b"\x00\x00")
+    off = 2 if first else 0
+    chunk = mtu - 2
+    pos = off
+    while pos < len(frame) or not payloads:
+        part = frame[pos:pos + chunk]
+        pos += len(part)
+        p_bit = 0x04 if first and len(payloads) == 0 else 0x00
+        payloads.append(bytes([p_bit, 0x00]) + part)
+    return payloads
+
+
+class H263Depacketizer:
+    """RTP payloads -> frames (marker bit closes the picture)."""
+
+    def __init__(self):
+        self._acc = bytearray()
+        self.completed: List[bytes] = []
+        self.errors = 0
+
+    def push(self, payload: bytes, marker: bool):
+        if len(payload) < 2:
+            self.errors += 1
+            return
+        p_bit = payload[0] & 0x04
+        body = payload[2:]
+        if p_bit:
+            self._acc += b"\x00\x00"     # restore the elided PSC zeros
+        self._acc += body
+        if marker:
+            self.completed.append(bytes(self._acc))
+            self._acc = bytearray()
+
+    def pop(self):
+        return self.completed.pop(0) if self.completed else None

@@ -64,3 +64,34 @@ def test_prepend_for_irap():
     assert [h265_nal_type(n) for n in out[:3]] == [32, 33, 34]
     # annexb round trip preserved
     assert split_annexb(to_annexb(out)) == out
+
+
+def test_h263_rfc4629_roundtrip_with_real_codec():
+    """RFC 4629: a real avcodec H.263 frame packs (PSC zeros elided, P=1),
+    fragments, reassembles, and decodes."""
+    import numpy as np
+    from mediastreamer2_tpu.ops.h264 import (make_legacy_codec,
+                                             legacy_codec_available)
+    from mediastreamer2_tpu.net.h26x import h263_packetize, H263Depacketizer
+    if not legacy_codec_available("h263"):
+        pytest.skip("h263 unavailable")
+    w, h = 176, 144
+    Enc, Dec = make_legacy_codec("h263")
+    enc = Enc(w, h, bitrate_bps=400_000, fps=10, gop=5)
+    dec = Dec()
+    rng = np.random.default_rng(8)
+    y = (rng.random((h, w)) * 255).astype(np.uint8)
+    frame = enc.encode(y.tobytes() + bytes([128] * (w * h // 4)) * 2,
+                       keyframe=True)
+    assert frame.startswith(b"\x00\x00")     # PSC present
+    payloads = h263_packetize(frame, mtu=500)
+    assert len(payloads) > 1                 # fragmented
+    assert payloads[0][0] & 0x04             # P=1 on the PSC payload
+    assert not payloads[1][0] & 0x04
+    d = H263Depacketizer()
+    for k, p in enumerate(payloads):
+        d.push(p, marker=(k == len(payloads) - 1))
+    out = d.pop()
+    assert out == frame                      # bit-exact reassembly
+    frames = dec.decode(out)
+    assert frames and len(frames[0]) == w * h * 3 // 2
