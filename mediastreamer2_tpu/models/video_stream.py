@@ -71,6 +71,73 @@ class H264FrameCodec(FrameCodec):
         return frames[-1] if frames else None
 
 
+class Av1FrameCodec(FrameCodec):
+    """AV1 via libaom/dav1d (ops/av1.py); frames cross as temporal units.
+    Parity: src/videofilters/av1/encoder+decoder filters."""
+
+    name = "av1"
+
+    def __init__(self, width: int, height: int, bitrate_bps: int = 500_000,
+                 fps: int = 25):
+        from mediastreamer2_tpu.ops.av1 import Av1Encoder, Av1Decoder
+        self.w, self.h = width, height
+        self.enc = Av1Encoder(width, height, bitrate_bps, int(fps))
+        self.dec = Av1Decoder()
+        self.last_was_key = False
+
+    def encode(self, frame: bytes, keyframe: bool) -> bytes:
+        a = np.frombuffer(frame, np.uint8).reshape(self.h * 3 // 2, self.w)
+        y = a[: self.h]
+        uv = a[self.h:].reshape(self.h // 2, 2, self.w // 2)
+        data, is_key = self.enc.encode_planes(y, uv[:, 0], uv[:, 1],
+                                              force_keyframe=keyframe)
+        self.last_was_key = is_key
+        return data
+
+    def decode(self, data: bytes) -> Optional[bytes]:
+        out = self.dec.decode(data)
+        if out is None:
+            return None
+        y, u, v = out
+        uv = np.stack([u, v], axis=1).reshape(self.h // 2, self.w)
+        return np.concatenate([y, uv], axis=0).tobytes()
+
+
+class Av1Packetizer:
+    """AV1 RTP payloads (net/av1_rtp.py): OBU elements with Z/Y
+    fragmentation; a temporal unit closes on the marker bit."""
+
+    def __init__(self, mtu: int):
+        from mediastreamer2_tpu.net.av1_rtp import Depacketizer
+        self.mtu = mtu
+        self._dep = Depacketizer()
+        self.completed: List[bytes] = []
+        self._last_seq = None
+        self._gap = False
+        self.dropped_incomplete = 0
+
+    def pack(self, tu: bytes) -> List[bytes]:
+        from mediastreamer2_tpu.net import av1_rtp
+        return av1_rtp.packetize(tu, self.mtu) if tu else []
+
+    def push(self, pkt):
+        if self._last_seq is not None and \
+                ((pkt.seq - self._last_seq) & 0xFFFF) != 1:
+            self._gap = True
+        self._last_seq = pkt.seq
+        self._dep.push(pkt.payload)
+        if pkt.marker:
+            tu = self._dep.pop_tu()
+            if self._gap or tu is None:
+                self.dropped_incomplete += 1
+            else:
+                self.completed.append(tu)
+            self._gap = False
+
+    def pop(self) -> Optional[bytes]:
+        return self.completed.pop(0) if self.completed else None
+
+
 class GenericPacketizer:
     """Timestamp fragmentation + marker reassembly (MSDummyEnc-style
     payloads; the generic half of vp8rtpfmt/h26x packers)."""
@@ -236,6 +303,10 @@ class VideoStreamBatch:
             w, h = self.out_fmt.width, self.out_fmt.height
             codec_factory = lambda: H264FrameCodec(w, h, fps=fps)  # noqa: E731
             packetizer_factory = lambda: H264Packetizer(mtu)       # noqa: E731
+        elif codec == "av1":              # convenience: full AV1 legs
+            w, h = self.out_fmt.width, self.out_fmt.height
+            codec_factory = lambda: Av1FrameCodec(w, h, fps=fps)   # noqa: E731
+            packetizer_factory = lambda: Av1Packetizer(mtu)        # noqa: E731
         else:
             packetizer_factory = None
         if codec_factory is not None:

@@ -77,3 +77,27 @@ def test_av1_codec_over_rtp_packetization():
     assert out_tu is not None
     frame = dec.decode(out_tu)
     assert frame is not None and frame[0].shape == (48, 64)
+
+
+@pytest.mark.skipif(not av1_available(), reason="libaom/dav1d unavailable")
+def test_av1_call_mire_to_display(factory):
+    """Full AV1 legs: mire -> aom encode -> OBU RTP -> depacketize ->
+    dav1d decode -> display (the av1 encoder/decoder filter chain)."""
+    from mediastreamer2_tpu.core.block import Format
+    from mediastreamer2_tpu.models.video_stream import VideoStreamBatch
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    fmt = Format(kind="yuv420", width=64, height=48, fps=25.0)
+    tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="av1")
+    rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="av1")
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.bind_assemblers(); rx.bind_assemblers()
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(80):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    assert tx.stats[0].frames_sent >= 15
+    assert rx.stats[0].frames_received >= 8
+    assert np.abs(rx._last_rx[0]).mean() > 0.05
