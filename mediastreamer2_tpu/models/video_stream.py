@@ -71,6 +71,26 @@ class H264FrameCodec(FrameCodec):
         return frames[-1] if frames else None
 
 
+class H265FrameCodec(FrameCodec):
+    """HEVC via libx265/avcodec — the reference's h26x framework covers
+    both H.264 and H.265 with the same filter templates; so does this."""
+
+    name = "h265"
+
+    def __init__(self, width: int, height: int, bitrate_bps: int = 500_000,
+                 fps: int = 25):
+        from mediastreamer2_tpu.ops.h264 import H265Encoder, H265Decoder
+        self.enc = H265Encoder(width, height, bitrate_bps, int(fps))
+        self.dec = H265Decoder()
+
+    def encode(self, frame: bytes, keyframe: bool) -> bytes:
+        return self.enc.encode(frame, keyframe=keyframe)
+
+    def decode(self, data: bytes) -> Optional[bytes]:
+        frames = self.dec.decode(data)
+        return frames[-1] if frames else None
+
+
 class Av1FrameCodec(FrameCodec):
     """AV1 via libaom/dav1d (ops/av1.py); frames cross as temporal units.
     Parity: src/videofilters/av1/encoder+decoder filters."""
@@ -209,6 +229,52 @@ class H264Packetizer:
         return self.completed.pop(0) if self.completed else None
 
 
+class H265Packetizer:
+    """RFC 7798 payloads (single NAL / AP / FU) with the VPS/SPS/PPS
+    store; same AU-close / gap-drop semantics as the H.264 packetizer."""
+
+    def __init__(self, mtu: int):
+        from mediastreamer2_tpu.net.h26x import (H265Unpacker,
+                                                 H265ParameterSetStore)
+        self.mtu = mtu
+        self.unpacker = H265Unpacker()
+        self.ps = H265ParameterSetStore()
+        self._nals: List[bytes] = []
+        self.completed: List[bytes] = []
+        self._last_seq = None
+        self._gap = False
+        self.dropped_incomplete = 0
+
+    def pack(self, annexb: bytes) -> List[bytes]:
+        from mediastreamer2_tpu.net.h26x import h265_packetize, split_annexb
+        nals = split_annexb(annexb)
+        return h265_packetize(nals, self.mtu) if nals else []
+
+    def push(self, pkt):
+        if self._last_seq is not None and \
+                ((pkt.seq - self._last_seq) & 0xFFFF) != 1:
+            self._gap = True
+        self._last_seq = pkt.seq
+        for nal in self.unpacker.push(pkt.payload):
+            self.ps.process(nal)
+            self._nals.append(nal)
+        if pkt.marker:
+            self._close_au()
+
+    def _close_au(self):
+        if self._gap or not self._nals:
+            self.dropped_incomplete += 1
+        else:
+            from mediastreamer2_tpu.net.h26x import to_annexb
+            self.completed.append(to_annexb(
+                self.ps.prepend_for_irap(self._nals)))
+        self._nals = []
+        self._gap = False
+
+    def pop(self) -> Optional[bytes]:
+        return self.completed.pop(0) if self.completed else None
+
+
 class ReorderBuffer:
     """Small seq-reorder stage ahead of the packetizers: on a gap, hold
     subsequent packets up to `max_hold` pops awaiting the retransmission
@@ -303,6 +369,10 @@ class VideoStreamBatch:
             w, h = self.out_fmt.width, self.out_fmt.height
             codec_factory = lambda: H264FrameCodec(w, h, fps=fps)  # noqa: E731
             packetizer_factory = lambda: H264Packetizer(mtu)       # noqa: E731
+        elif codec == "h265":             # convenience: full HEVC legs
+            w, h = self.out_fmt.width, self.out_fmt.height
+            codec_factory = lambda: H265FrameCodec(w, h, fps=fps)  # noqa: E731
+            packetizer_factory = lambda: H265Packetizer(mtu)       # noqa: E731
         elif codec == "av1":              # convenience: full AV1 legs
             w, h = self.out_fmt.width, self.out_fmt.height
             codec_factory = lambda: Av1FrameCodec(w, h, fps=fps)   # noqa: E731

@@ -174,6 +174,15 @@ class H264Encoder:
             _avu.av_opt_set(ctypes.c_void_p(ctx), b"x264-params",
                             b"repeat-headers=1:annexb=1",
                             AV_OPT_SEARCH_CHILDREN)
+        if self.CODEC_NAME == b"libx265":
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"preset", b"ultrafast",
+                            AV_OPT_SEARCH_CHILDREN)
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"tune", b"zerolatency",
+                            AV_OPT_SEARCH_CHILDREN)
+            # in-band VPS/SPS/PPS on every IRAP + quiet the x265 banner
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"x265-params",
+                            b"repeat-headers=1:annexb=1:log-level=none",
+                            AV_OPT_SEARCH_CHILDREN)
         if self.CODEC_NAME == b"h263":
             # H.263 baseline allows only specific sizes; callers use CIF/QCIF
             pass
@@ -316,6 +325,52 @@ def h264_available() -> bool:
 
 # --- legacy ffmpeg codec family (reference: videoenc.c:916-1032 /
 # videodec.c — H.263(+), MPEG4, MJPEG via libavcodec) ------------------------
+class H265Encoder(H264Encoder):
+    """libx265 Annex-B (the HEVC half of the reference's h26x encoder
+    framework, h26x-encoder-filter.cpp + videotoolbox/mediacodec h265)."""
+    CODEC_NAME = b"libx265"
+
+
+class H265Decoder(H264Decoder):
+    CODEC_NAME = b"hevc"
+
+
+_h265_ok = None
+
+
+def h265_available() -> bool:
+    """libx265+hevc present AND a tiny encode/decode roundtrip works
+    (same self-check discipline as h264_available)."""
+    global _h265_ok
+    if _h265_ok is not None:
+        return _h265_ok
+    _h265_ok = False
+    if _av is None or _probe_ctx_offsets() is None:
+        return False
+    if not (_av.avcodec_find_encoder_by_name(b"libx265") and
+            _av.avcodec_find_decoder_by_name(b"hevc")):
+        return False
+    try:
+        w, h = 64, 64
+        enc = H265Encoder(w, h, 200_000, 25, gop=10)
+        dec = H265Decoder()
+        frame = np.full(w * h * 3 // 2, 128, np.uint8)
+        frame[: w * h] = (np.arange(w * h) % 255).astype(np.uint8)
+        got = []
+        for i in range(6):
+            au = enc.encode(frame.tobytes(), keyframe=(i == 0))
+            if au:
+                got += dec.decode(au)
+        if got and len(got[-1]) == w * h * 3 // 2:
+            ref = frame[: w * h].astype(np.float32)
+            out = np.frombuffer(got[-1], np.uint8)[: w * h].astype(np.float32)
+            mse = float(((ref - out) ** 2).mean())
+            _h265_ok = mse < 200.0
+    except Exception:
+        _h265_ok = False
+    return _h265_ok
+
+
 def make_legacy_codec(name: str):
     """Returns (EncoderCls, DecoderCls) for 'h263' | 'h263p' | 'mpeg4' |
     'mjpeg'. Availability follows the same probed-offset layer as H.264."""

@@ -3,6 +3,7 @@
 h26x framework (h26x tools tester parity)."""
 import os
 
+import numpy as np
 import pytest
 
 from mediastreamer2_tpu.net.h26x import (split_annexb, to_annexb,
@@ -95,3 +96,29 @@ def test_h263_rfc4629_roundtrip_with_real_codec():
     assert out == frame                      # bit-exact reassembly
     frames = dec.decode(out)
     assert frames and len(frames[0]) == w * h * 3 // 2
+
+
+def test_h265_call_mire_to_display(factory):
+    """Full HEVC legs: mire -> x265 encode -> RFC 7798 RTP -> depacketize
+    -> avcodec decode -> display (the h26x framework's H.265 path)."""
+    from mediastreamer2_tpu.ops.h264 import h265_available
+    if not h265_available():
+        pytest.skip("libx265/hevc unavailable")
+    from mediastreamer2_tpu.core.block import Format
+    from mediastreamer2_tpu.models.video_stream import VideoStreamBatch
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    fmt = Format(kind="yuv420", width=64, height=64, fps=25.0)
+    tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h265")
+    rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="h265")
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.bind_assemblers(); rx.bind_assemblers()
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(100):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    assert tx.stats[0].frames_sent >= 15
+    assert rx.stats[0].frames_received >= 8
+    assert np.abs(rx._last_rx[0]).mean() > 0.05
