@@ -274,6 +274,43 @@ class _BundleSendProxy(Transport):
         return []                 # recv is demuxed by the bundle
 
 
+class AudioStreamVolumes:
+    """ssrc -> audio level map fed from the RFC 6464/6465 header
+    extensions on received packets (parity: src/voip/
+    audiostreamvolumes.cpp — the map linphone uses to show per-participant
+    volume bars from a mixed conference leg).
+
+    Levels are stored as dBov in [-127, 0]; unknown ssrc returns
+    AUDIOSTREAMVOLUMES_NOT_FOUND (-130, below any real level)."""
+
+    NOT_FOUND = -130
+
+    def __init__(self, level_ext_id: int = 1, csrc_level_ext_id: int = 3):
+        self.level_ext_id = level_ext_id
+        self.csrc_level_ext_id = csrc_level_ext_id
+        self._vol: Dict[int, int] = {}
+
+    def update_from_packet(self, pkt: "RtpPacket"):
+        if not pkt.extensions:
+            return
+        one = pkt.extensions.get(self.level_ext_id)
+        if one:
+            self._vol[pkt.ssrc] = -(one[0] & 0x7F)
+        many = pkt.extensions.get(self.csrc_level_ext_id)
+        if many:
+            for csrc, db in zip(pkt.csrcs, many):
+                self._vol[csrc] = -(db & 0x7F)
+
+    def get(self, ssrc: int) -> int:
+        return self._vol.get(ssrc, self.NOT_FOUND)
+
+    def items(self):
+        return self._vol.items()
+
+    def clear(self):
+        self._vol.clear()
+
+
 class RtpSession:
     """Per-leg RTP send/recv state (the host half of MSRtpSend/MSRtpRecv,
     reference src/otherfilters/msrtp.c:705-714 send, :1050-1091 recv)."""
@@ -328,12 +365,34 @@ class RtpSession:
     def set_audio_level(self, dbov: int, voice: bool = False):
         self._level_dbov = (0x80 if voice else 0) | (min(127, max(0, dbov)))
 
+    def enable_csrc_audio_level_ext(self, ext_id: int = 3):
+        """RFC 6465 mixer-to-client audio levels: one level octet per
+        contributing source, parallel to the packet's CSRC list (the
+        reference carries these via AudioStreamVolumes, src/voip/
+        audiostreamvolumes.cpp, inserted by the mixer/router leg).
+        Call set_csrc_audio_levels per tick on mixed output legs."""
+        self._csrc_level_ext_id = ext_id
+        self._csrc_levels: List[Tuple[int, int]] = []
+
+    def set_csrc_audio_levels(self, levels):
+        """levels: iterable of (csrc_ssrc, dBov 0..127) — RFC 6465 caps
+        the list at 15 CSRCs (the RTP header's CC field width)."""
+        self._csrc_levels = [(ssrc, min(127, max(0, int(db))))
+                             for ssrc, db in list(levels)[:15]]
+
     def send_payload(self, payload: bytes, ts_increment: int, marker: bool = False):
         ext = None
+        csrcs = ()
         if getattr(self, "_level_ext_id", None) is not None:
             ext = {self._level_ext_id: bytes([self._level_dbov])}
+        if getattr(self, "_csrc_level_ext_id", None) is not None \
+                and self._csrc_levels:
+            ext = dict(ext or {})
+            ext[self._csrc_level_ext_id] = bytes(
+                db for _, db in self._csrc_levels)
+            csrcs = tuple(ssrc for ssrc, _ in self._csrc_levels)
         pkt = RtpPacket(self.payload_type, self.seq, self.ts, self.ssrc,
-                        payload, marker, extensions=ext)
+                        payload, marker, extensions=ext, csrcs=csrcs)
         wire = pkt.pack()
         self.transport.send(wire)
         if self._rtx_history is not None:
