@@ -101,3 +101,28 @@ class AudioConferenceControl:
             if conf is not None and db[leg] > threshold_db:
                 out.setdefault(conf, []).append(leg)
         return out
+
+    def csrc_levels_for(self, leg: int, ssrc_map: Optional[Dict[int, int]]
+                        = None, top_n: int = 15) -> List:
+        """RFC 6465 feed for a mixed output leg: the other members of
+        `leg`'s conference ranked loudest-first as (ssrc, dBov) pairs,
+        ready for RtpSession.set_csrc_audio_levels (the reference's
+        mixer-to-client path: AudioStreamVolumes filled by the mixer leg).
+        ssrc_map maps leg index -> RTP ssrc (defaults to the leg index)."""
+        conf = self.membership[leg]
+        if conf is None:
+            return []
+        if self.levels_node and self.levels_node in self.ticker.state:
+            e = np.asarray(self.ticker.state[self.levels_node]["energy"])
+        elif "vol_send" in self.ticker.state:
+            e = np.asarray(self.ticker.state["vol_send"]["energy"])
+        else:
+            return []
+        members = [(m, float(e[m])) for m, c in enumerate(self.membership)
+                   if c == conf and m != leg]
+        members.sort(key=lambda t: -t[1])
+        out = []
+        for m, energy in members[:top_n]:
+            dbov = int(min(127, max(0, -10 * np.log10(energy + 1e-13))))
+            out.append(((ssrc_map or {}).get(m, m), dbov))
+        return out

@@ -125,3 +125,33 @@ def test_audio_router_ranks_by_level_extension(factory):
     n0 = r.route(0, pkt(10))
     n1 = r.route(1, pkt(90))
     assert n0 == 2 and n1 == 0
+
+
+def test_csrc_levels_for_mixed_leg(factory):
+    """RFC 6465 feed: the server ranks a listener's fellow members
+    loudest-first as (ssrc, dBov) pairs for the mixed output leg
+    (parity: audiostreamvolumes.cpp fill from the mixer side)."""
+    ticks = 60
+    sig = make_speechlike(S * (ticks + 40), 8000, seed=5)
+    mic = np.zeros((3, S * (ticks + 40)), np.float32)
+    mic[0] = sig                      # loud talker
+    mic[1] = 0.01 * sig               # quiet talker
+    clients = AudioStreamBatch(factory, 3, mic_signal=mic)
+    server = AudioStreamBatch(factory, 3, conference=True)
+    ctl = AudioConferenceControl(server.ticker, "conf", "levels")
+    conf = ctl.new_conference()
+    for leg in range(3):
+        clients.set_transport(leg, (pair := LoopbackPair()).endpoint(0))
+        server.set_transport(leg, pair.endpoint(1))
+        ctl.add_member(leg, conf)
+    clients.ticker.warm_up(); server.ticker.warm_up()
+    clients.ticker.realtime = server.ticker.realtime = False
+    for _ in range(ticks):
+        clients.ticker.do_tick()
+        server.ticker.do_tick()
+    ssrc_map = {0: 0xA0, 1: 0xA1, 2: 0xA2}
+    lv = ctl.csrc_levels_for(2, ssrc_map)
+    assert [s for s, _ in lv] == [0xA0, 0xA1]      # loudest first, no self
+    assert lv[0][1] < lv[1][1]                      # louder => lower dBov
+    assert all(0 <= db <= 127 for _, db in lv)
+    assert ctl.csrc_levels_for(2) == [(0, lv[0][1]), (1, lv[1][1])]
