@@ -1,0 +1,102 @@
+"""TPU-vs-CPU numerical correctness of the flagship pipeline.
+
+Runs the identical flagship graph (48 kHz AEC + AGC + resample + conference
+mix-minus, models/flagship.py) for K ticks with the SAME host-generated
+inputs on the CPU backend and on the real TPU, then compares the mixed
+output streams with the audio_diff oracle plus max-abs error.
+
+This is the reference's "tester WAV baseline" discipline (BASELINE.md bar:
+outputs matching the tester oracles) applied where it counts — on the
+actual accelerator.  bf16 AEC tap storage (ops/aec.py STORE_DTYPE) means
+outputs are close but not bit-identical; the bar is audio_diff >= 0.99 and
+max-abs <= 3e-2 on a [-1, 1] scale.
+
+Usage (TPU is pinned via JAX_PLATFORMS=axon in this env):
+    nohup python -u tools/tpu_correctness.py > /tmp/tpu_corr.log 2>&1 &
+Prints one JSON line.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+BATCH = 256
+TICKS = 100
+RATE = 48000
+
+
+def run_backend(platform: str) -> np.ndarray:
+    """K ticks of the flagship graph on one backend; returns [B, T] mix."""
+    import jax
+    jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    from mediastreamer2_tpu.core.block import tick_samples
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.models.flagship import build_flagship
+
+    S = tick_samples(RATE)
+    rng = np.random.default_rng(7)
+    # speech-ish far end + echo-coupled mic (so the AEC actually adapts)
+    far = (0.2 * rng.standard_normal((BATCH, TICKS * S))).astype(np.float32)
+    near = (0.05 * rng.standard_normal((BATCH, TICKS * S))).astype(np.float32)
+    echo = 0.5 * np.roll(far, 400, axis=1)
+    mic = (near + echo).astype(np.float32)
+
+    cg, params = build_flagship(Factory(), batch=BATCH)
+    state = cg.init_state()
+    mic_d = jnp.asarray(mic.reshape(BATCH, TICKS, S).transpose(1, 0, 2))
+    far_d = jnp.asarray(far.reshape(BATCH, TICKS, S).transpose(1, 0, 2))
+
+    def body(st, t):
+        st, out, _ = cg.step(st, params, {"mic": mic_d[t], "spk_ref": far_d[t]})
+        return st, out["out"]
+
+    @jax.jit
+    def run(st):
+        return jax.lax.scan(body, st, jnp.arange(TICKS))
+
+    t0 = time.perf_counter()
+    _, outs = run(state)
+    outs = np.asarray(outs)          # forces readback (tunnel-safe)
+    dt = time.perf_counter() - t0
+    print(f"# {platform}: {dt:.1f}s for {TICKS} ticks x {BATCH} legs",
+          file=sys.stderr)
+    return outs.transpose(1, 0, 2).reshape(BATCH, -1)
+
+
+def main():
+    # CPU run in a subprocess would be cleaner, but jax allows backend
+    # selection before first use only — run CPU first, then switch is not
+    # possible in-process.  So: spawn ourselves for the CPU half.
+    import subprocess
+    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-half":
+        out = run_backend("cpu")
+        np.save("/tmp/tpu_corr_cpu.npy", out)
+        return
+    r = subprocess.run([sys.executable, "-u", __file__, "--cpu-half"],
+                       capture_output=True, text=True)
+    print(r.stderr, file=sys.stderr, end="")
+    if r.returncode != 0:
+        print(json.dumps({"error": "cpu half failed"}))
+        sys.exit(1)
+    cpu = np.load("/tmp/tpu_corr_cpu.npy")
+    tpu = run_backend("axon")
+
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    sims = [audio_diff(cpu[i], tpu[i])[0] for i in range(0, BATCH, 37)]
+    max_abs = float(np.max(np.abs(cpu - tpu)))
+    rms = float(np.sqrt(np.mean((cpu - tpu) ** 2)))
+    res = {"metric": "tpu_vs_cpu_flagship",
+           "batch": BATCH, "ticks": TICKS,
+           "audio_diff_min": round(min(sims), 6),
+           "max_abs_err": round(max_abs, 6),
+           "rms_err": round(rms, 8),
+           "pass": bool(min(sims) >= 0.99 and max_abs <= 3e-2)}
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
