@@ -57,6 +57,7 @@ class CallSetup:
         self.dtls: Optional[DtlsSrtpSession] = None
         self.zrtp: Optional[ZrtpSession] = None
         self.srtp_keys = None          # (tx_key, tx_salt, rx_key, rx_salt)
+        self.srtp_suite = "AES_CM_128_HMAC_SHA1_80"   # ZRTP/SDES default
         self.sas: Optional[str] = None
         self._expected_fingerprint: Optional[str] = None
         self.security_failed = False   # set on fingerprint mismatch
@@ -137,6 +138,7 @@ class CallSetup:
                         self.security_failed = True
                         return
                 ck, cs, sk, ss = self.dtls.export_srtp_keys()
+                self.srtp_suite = self.dtls.srtp_suite()
                 # client (connect side) sends with client key
                 if self.ice.controlling:
                     self.srtp_keys = (ck, cs, sk, ss)
@@ -179,10 +181,12 @@ class CallSetup:
         assert not self.security_failed, "peer fingerprint mismatch"
         assert self.srtp_keys is not None, "iterate() until ready first"
         tk, ts, rk, rs = self.srtp_keys
+        suite = self.srtp_suite
         return SrtpTransport(view,
-                             tx=SrtpContext(tk, ts), rx=SrtpContext(rk, rs),
-                             tx_rtcp=SrtcpContext(tk, ts),
-                             rx_rtcp=SrtcpContext(rk, rs))
+                             tx=SrtpContext(tk, ts, suite),
+                             rx=SrtpContext(rk, rs, suite),
+                             tx_rtcp=SrtcpContext(tk, ts, suite),
+                             rx_rtcp=SrtcpContext(rk, rs, suite))
 
     def close(self):
         self.sock.close()

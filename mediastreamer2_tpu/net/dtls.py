@@ -57,10 +57,24 @@ def dtls_available() -> bool:
 
 
 SSL_ERROR_WANT_READ = 2
-SRTP_PROFILE = b"SRTP_AES128_CM_SHA1_80"
+#: default offer: AEAD-GCM preferred, classic CM as fallback
+#: (mirrors ms_srtp.cpp supporting both suite families)
+SRTP_PROFILE = b"SRTP_AEAD_AES_128_GCM:SRTP_AES128_CM_SHA1_80"
 EXTRACTOR = b"EXTRACTOR-dtls_srtp"
 SSL_VERIFY_PEER = 1
 SSL_VERIFY_FAIL_IF_NO_PEER_CERT = 2
+
+#: RFC 5764/7714 use_srtp profile name -> SDES suite name + key/salt bytes
+PROFILE_SUITES = {
+    "SRTP_AES128_CM_SHA1_80": ("AES_CM_128_HMAC_SHA1_80", 16, 14),
+    "SRTP_AES128_CM_SHA1_32": ("AES_CM_128_HMAC_SHA1_32", 16, 14),
+    "SRTP_AEAD_AES_128_GCM": ("AEAD_AES_128_GCM", 16, 12),
+    "SRTP_AEAD_AES_256_GCM": ("AEAD_AES_256_GCM", 32, 12),
+}
+
+
+class _SRTP_PROTECTION_PROFILE(ctypes.Structure):
+    _fields_ = [("name", ctypes.c_char_p), ("id", ctypes.c_ulong)]
 
 
 def _make_self_signed():
@@ -152,9 +166,24 @@ class DtlsSrtpSession:
         return self.established
 
     # -- SRTP key export (RFC 5764 §4.2) -------------------------------------
+    def selected_srtp_profile(self) -> str:
+        """Name of the negotiated use_srtp protection profile."""
+        fn = _ssl.SSL_get_selected_srtp_profile
+        fn.restype = ctypes.POINTER(_SRTP_PROTECTION_PROFILE)
+        p = fn(ctypes.c_void_p(self.ssl))
+        if not p:
+            raise RuntimeError("no srtp profile negotiated")
+        return p.contents.name.decode()
+
+    def srtp_suite(self) -> str:
+        """SDES-style suite name for SrtpContext/SrtcpContext."""
+        return PROFILE_SUITES[self.selected_srtp_profile()][0]
+
     def export_srtp_keys(self) -> Tuple[bytes, bytes, bytes, bytes]:
-        """Returns (client_key, client_salt, server_key, server_salt)."""
-        total = 2 * (16 + 14)
+        """Returns (client_key, client_salt, server_key, server_salt),
+        sized for the negotiated profile (RFC 5764 §4.2 layout)."""
+        _suite, klen, slen = PROFILE_SUITES[self.selected_srtp_profile()]
+        total = 2 * (klen + slen)
         buf = ctypes.create_string_buffer(total)
         r = _ssl.SSL_export_keying_material(
             ctypes.c_void_p(self.ssl), buf, total,
@@ -162,8 +191,9 @@ class DtlsSrtpSession:
         if r != 1:
             raise RuntimeError("export_keying_material failed")
         km = buf.raw
-        ck, sk = km[0:16], km[16:32]
-        cs, ss = km[32:46], km[46:60]
+        ck, sk = km[0:klen], km[klen:2 * klen]
+        cs = km[2 * klen:2 * klen + slen]
+        ss = km[2 * klen + slen:2 * klen + 2 * slen]
         return ck, cs, sk, ss
 
     def local_fingerprint(self) -> str:

@@ -1,17 +1,20 @@
-"""SRTP (RFC 3711) — AES_CM_128_HMAC_SHA1_80/32 protect/unprotect.
+"""SRTP (RFC 3711/6188/7714) — CM+HMAC and AEAD-GCM protect/unprotect.
 
 Reference: src/crypto/ms_srtp.cpp (1,768 LoC) wraps libsrtp2 and installs
 itself as an RtpTransportModifier pair on the session (:1004-1019), with
-inner/outer double-encryption support.  Here SRTP is implemented directly
-(AES-CTR + HMAC-SHA1 via the `cryptography` package) as a Transport
-wrapper — same layering idea (protect on send, unprotect on recv), with
-the same key-source surface (SDES inline keys; ZRTP/DTLS export later).
+inner/outer double-encryption support and both CM (HMAC-SHA1) and GCM
+suites.  Here SRTP is implemented directly (AES-CTR + HMAC-SHA1, and
+AES-GCM, via the `cryptography` package) as a Transport wrapper — same
+layering idea (protect on send, unprotect on recv), with the same
+key-source surface (SDES inline keys; ZRTP/DTLS export).
 
-Implements: session key derivation (RFC 3711 §4.3), AES-CM keystream
-encryption (§4.1.1), HMAC-SHA1 authentication over packet||ROC (§4.2),
-ROC/seq tracking with the §3.3.1 index estimation, replay-window check.
-Double encryption (inner+outer) mirrors ms_srtp.cpp's EKT-like scheme:
-wrap the transport twice.
+Implements: session key derivation (RFC 3711 §4.3; 96-bit GCM master
+salts right-padded per RFC 7714 §11), AES-CM keystream encryption
+(§4.1.1) with HMAC-SHA1 authentication over packet||ROC (§4.2),
+AEAD_AES_128/256_GCM per RFC 7714 (§8 RTP IV/AAD, §9 RTCP),
+AES_256_CM per RFC 6188, ROC/seq tracking with the §3.3.1 index
+estimation, replay-window check.  Double encryption (inner+outer)
+mirrors ms_srtp.cpp's EKT-like scheme: wrap the transport twice.
 """
 from __future__ import annotations
 
@@ -21,12 +24,28 @@ import struct
 from typing import Dict, Optional, Tuple
 
 from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+from cryptography.exceptions import InvalidTag
 
 from mediastreamer2_tpu.net.rtp import Transport
 
 AES_CM_128_HMAC_SHA1_80 = "AES_CM_128_HMAC_SHA1_80"
 AES_CM_128_HMAC_SHA1_32 = "AES_CM_128_HMAC_SHA1_32"
-TAG_LEN = {AES_CM_128_HMAC_SHA1_80: 10, AES_CM_128_HMAC_SHA1_32: 4}
+AES_256_CM_HMAC_SHA1_80 = "AES_256_CM_HMAC_SHA1_80"
+AES_256_CM_HMAC_SHA1_32 = "AES_256_CM_HMAC_SHA1_32"
+AEAD_AES_128_GCM = "AEAD_AES_128_GCM"
+AEAD_AES_256_GCM = "AEAD_AES_256_GCM"
+
+#: suite -> (cipher kind, key bytes, master-salt bytes, auth-tag bytes)
+SUITES = {
+    AES_CM_128_HMAC_SHA1_80: ("ctr", 16, 14, 10),
+    AES_CM_128_HMAC_SHA1_32: ("ctr", 16, 14, 4),
+    AES_256_CM_HMAC_SHA1_80: ("ctr", 32, 14, 10),   # RFC 6188
+    AES_256_CM_HMAC_SHA1_32: ("ctr", 32, 14, 4),
+    AEAD_AES_128_GCM: ("gcm", 16, 12, 16),          # RFC 7714
+    AEAD_AES_256_GCM: ("gcm", 32, 12, 16),
+}
+TAG_LEN = {s: p[3] for s, p in SUITES.items()}
 
 LABEL_RTP_ENCRYPTION = 0x00
 LABEL_RTP_AUTH = 0x01
@@ -56,8 +75,12 @@ def _aes_cm_keystream(key: bytes, iv16: bytes, n: int) -> bytes:
 
 def derive_key(master_key: bytes, master_salt: bytes, label: int,
                length: int) -> bytes:
-    """RFC 3711 §4.3.1 key derivation (KDR=0)."""
-    x = int.from_bytes(master_salt, "big") ^ (label << 48)
+    """RFC 3711 §4.3.1 key derivation (KDR=0).
+
+    96-bit (GCM) master salts are right-padded to 112 bits before the
+    XOR, per RFC 7714 §11."""
+    salt = master_salt.ljust(14, b"\x00")
+    x = int.from_bytes(salt, "big") ^ (label << 48)
     iv = (x << 16).to_bytes(16, "big")
     return _aes_cm_keystream(master_key, iv, length)
 
@@ -67,11 +90,15 @@ class SrtpContext:
 
     def __init__(self, master_key: bytes, master_salt: bytes,
                  suite: str = AES_CM_128_HMAC_SHA1_80):
-        assert len(master_key) == 16 and len(master_salt) == 14
+        kind, klen, slen, _tag = SUITES[suite]
+        assert len(master_key) == klen and len(master_salt) == slen, \
+            f"{suite}: need {klen}B key + {slen}B salt"
         self.suite = suite
-        self.k_e = derive_key(master_key, master_salt, LABEL_RTP_ENCRYPTION, 16)
+        self.kind = kind
+        self.k_e = derive_key(master_key, master_salt, LABEL_RTP_ENCRYPTION, klen)
         self.k_a = derive_key(master_key, master_salt, LABEL_RTP_AUTH, 20)
-        self.k_s = derive_key(master_key, master_salt, LABEL_RTP_SALT, 14)
+        self.k_s = derive_key(master_key, master_salt, LABEL_RTP_SALT, slen)
+        self._gcm = AESGCM(self.k_e) if kind == "gcm" else None
         self.roc: Dict[int, int] = {}            # ssrc -> rollover counter
         self.last_seq: Dict[int, int] = {}
         self.replay: Dict[int, set] = {}
@@ -103,6 +130,11 @@ class SrtpContext:
                        hashlib.sha1).digest()
         return mac[: TAG_LEN[self.suite]]
 
+    def _gcm_iv(self, ssrc: int, roc: int, seq: int) -> bytes:
+        """RFC 7714 §8.1: 12-byte IV = (00 00||SSRC||ROC||SEQ) XOR salt."""
+        x = (ssrc << 48) | (roc << 16) | seq
+        return (x ^ int.from_bytes(self.k_s, "big")).to_bytes(12, "big")
+
     # -- protect / unprotect ------------------------------------------------
     def protect(self, packet: bytes) -> bytes:
         hdr_len = _rtp_header_len(packet)
@@ -115,24 +147,52 @@ class SrtpContext:
             self.roc[ssrc] = roc
         self.last_seq[ssrc] = seq
         index = (roc << 16) | seq
+        if self._gcm is not None:
+            # RFC 7714 §8: AAD = unencrypted portion; ct||tag replaces payload
+            ct = self._gcm.encrypt(self._gcm_iv(ssrc, roc, seq),
+                                   packet[hdr_len:], packet[:hdr_len])
+            return packet[:hdr_len] + ct
         iv = self._keystream_iv(ssrc, index)
         ks = _aes_cm_keystream(self.k_e, iv, len(packet) - hdr_len)
         payload = bytes(a ^ b for a, b in zip(packet[hdr_len:], ks))
         out = packet[:hdr_len] + payload
         return out + self._auth(out, roc)
 
+    def _gcm_open(self, data: bytes, hdr_len: int, ssrc: int, roc: int,
+                  seq: int) -> Optional[bytes]:
+        try:
+            pt = self._gcm.decrypt(self._gcm_iv(ssrc, roc, seq),
+                                   data[hdr_len:], data[:hdr_len])
+            return data[:hdr_len] + pt
+        except InvalidTag:
+            return None
+
     def unprotect(self, packet: bytes) -> Optional[bytes]:
         tag_len = TAG_LEN[self.suite]
         if len(packet) < 12 + tag_len:
             return None
-        data, tag = packet[:-tag_len], packet[-tag_len:]
+        if self._gcm is not None:
+            data = packet                       # tag lives inside the AEAD ct
+        else:
+            data, tag = packet[:-tag_len], packet[-tag_len:]
         hdr_len = _rtp_header_len(data)
-        if len(data) < hdr_len:
+        if len(data) < hdr_len + (tag_len if self._gcm is not None else 0):
             return None
         ssrc = struct.unpack("!I", data[8:12])[0]
         seq = struct.unpack("!H", data[2:4])[0]
         roc, _ = self._estimate_index(ssrc, seq)
-        if not hmac.compare_digest(self._auth(data, roc), tag):
+        plain: Optional[bytes] = None
+        if self._gcm is not None:
+            plain = self._gcm_open(data, hdr_len, ssrc, roc, seq)
+            if plain is None:
+                for r in (roc + 1, max(roc - 1, 0)):
+                    plain = self._gcm_open(data, hdr_len, ssrc, r, seq)
+                    if plain is not None:
+                        roc = r
+                        break
+                else:
+                    return None                 # auth failure
+        elif not hmac.compare_digest(self._auth(data, roc), tag):
             # try adjacent ROCs (resync after long loss)
             for r in (roc + 1, max(roc - 1, 0)):
                 if hmac.compare_digest(self._auth(data, r), tag):
@@ -152,6 +212,8 @@ class SrtpContext:
         if s_l is None or seq > s_l or s_l - seq > 32768:
             self.last_seq[ssrc] = seq
             self.roc[ssrc] = roc
+        if plain is not None:
+            return plain
         iv = self._keystream_iv(ssrc, index)
         ks = _aes_cm_keystream(self.k_e, iv, len(data) - hdr_len)
         payload = bytes(a ^ b for a, b in zip(data[hdr_len:], ks))
@@ -164,26 +226,28 @@ def sdes_generate(suite: str = AES_CM_128_HMAC_SHA1_80) -> Tuple[str, bytes, byt
     Returns (crypto_line_suffix, master_key, master_salt)."""
     import base64
     import os as _os
-    key = _os.urandom(16)
-    salt = _os.urandom(14)
+    _kind, klen, slen, _tag = SUITES[suite]
+    key = _os.urandom(klen)
+    salt = _os.urandom(slen)
     inline = base64.b64encode(key + salt).decode()
     return f"{suite} inline:{inline}", key, salt
 
 
 def sdes_parse(crypto_attr: str) -> Tuple[str, bytes, bytes]:
-    """Parse 'AES_CM_128_HMAC_SHA1_80 inline:<b64>' (tag stripped)."""
+    """Parse '<suite> inline:<b64>' (leading RFC 4568 tag stripped)."""
     import base64
     parts = crypto_attr.strip().split()
     if parts and parts[0].isdigit():
         parts = parts[1:]                 # leading tag
     suite = parts[0]
-    if suite not in TAG_LEN:
+    if suite not in SUITES:
         raise ValueError(f"unsupported crypto suite {suite}")
+    _kind, klen, slen, _tag = SUITES[suite]
     inline = next(p for p in parts[1:] if p.startswith("inline:"))
     km = base64.b64decode(inline[len("inline:"):].split("|")[0])
-    if len(km) != 30:
+    if len(km) != klen + slen:
         raise ValueError("bad SDES key length")
-    return suite, km[:16], km[16:30]
+    return suite, km[:klen], km[klen:klen + slen]
 
 
 class SrtcpContext:
@@ -191,10 +255,13 @@ class SrtcpContext:
 
     def __init__(self, master_key: bytes, master_salt: bytes,
                  suite: str = AES_CM_128_HMAC_SHA1_80):
+        kind, klen, slen, _tag = SUITES[suite]
         self.suite = suite
-        self.k_e = derive_key(master_key, master_salt, LABEL_RTCP_ENCRYPTION, 16)
+        self.kind = kind
+        self.k_e = derive_key(master_key, master_salt, LABEL_RTCP_ENCRYPTION, klen)
         self.k_a = derive_key(master_key, master_salt, LABEL_RTCP_AUTH, 20)
-        self.k_s = derive_key(master_key, master_salt, LABEL_RTCP_SALT, 14)
+        self.k_s = derive_key(master_key, master_salt, LABEL_RTCP_SALT, slen)
+        self._gcm = AESGCM(self.k_e) if kind == "gcm" else None
         self.tx_index = 0
         self.replay: set = set()
         self._replay_max = -1            # highest index seen (window anchor)
@@ -204,22 +271,67 @@ class SrtcpContext:
         x = (int.from_bytes(self.k_s, "big") << 16) ^ (ssrc << 64) ^ (index << 16)
         return (x & ((1 << 128) - 1)).to_bytes(16, "big")
 
+    def _replay_ok(self, index: int) -> bool:
+        # bounded sliding window (like the RTP side): anything older than the
+        # window is rejected outright, so pruning never re-admits a replay,
+        # and a long-lived call holds at most REPLAY_WINDOW entries.
+        if index <= self._replay_max - self.REPLAY_WINDOW:
+            return False
+        if index in self.replay:
+            return False
+        self.replay.add(index)
+        if index > self._replay_max:
+            self._replay_max = index
+            floor = self._replay_max - self.REPLAY_WINDOW
+            if len(self.replay) > self.REPLAY_WINDOW:
+                self.replay = {i for i in self.replay if i > floor}
+        return True
+
+    def _gcm_iv(self, ssrc: int, index: int) -> bytes:
+        """RFC 7714 §9.1: 12-byte IV = (00 00||SSRC||00 00||index) XOR salt."""
+        x = (ssrc << 48) | index
+        return (x ^ int.from_bytes(self.k_s, "big")).to_bytes(12, "big")
+
     def protect(self, packet: bytes) -> bytes:
         if len(packet) < 8:
             return packet
         ssrc = struct.unpack("!I", packet[4:8])[0]
         index = self.tx_index
         self.tx_index = (self.tx_index + 1) & 0x7FFFFFFF
+        trailer = struct.pack("!I", 0x80000000 | index)     # E-bit set
+        if self._gcm is not None:
+            # RFC 7714 §9.2: AAD = RTCP header(8) || E+index word
+            ct = self._gcm.encrypt(self._gcm_iv(ssrc, index),
+                                   packet[8:], packet[:8] + trailer)
+            return packet[:8] + ct + trailer
         ks = _aes_cm_keystream(self.k_e, self._iv(ssrc, index),
                                len(packet) - 8)
         body = packet[:8] + bytes(a ^ b for a, b in zip(packet[8:], ks))
-        trailer = struct.pack("!I", 0x80000000 | index)     # E-bit set
         tag = hmac.new(self.k_a, body + trailer,
                        hashlib.sha1).digest()[: TAG_LEN[self.suite]]
         return body + trailer + tag
 
     def unprotect(self, packet: bytes) -> Optional[bytes]:
         tag_len = TAG_LEN[self.suite]
+        if self._gcm is not None:
+            # layout: header(8) || ct+tag || E+index(4)
+            if len(packet) < 8 + tag_len + 4:
+                return None
+            trailer = packet[-4:]
+            body = packet[:-4]
+            word = struct.unpack("!I", trailer)[0]
+            index = word & 0x7FFFFFFF
+            if not (word & 0x80000000):          # we always encrypt on tx
+                return None
+            ssrc = struct.unpack("!I", body[4:8])[0]
+            try:
+                pt = self._gcm.decrypt(self._gcm_iv(ssrc, index),
+                                       body[8:], body[:8] + trailer)
+            except InvalidTag:
+                return None
+            if not self._replay_ok(index):
+                return None
+            return body[:8] + pt
         if len(packet) < 8 + 4 + tag_len:
             return None
         tag = packet[-tag_len:]
@@ -231,19 +343,8 @@ class SrtcpContext:
             return None
         word = struct.unpack("!I", trailer)[0]
         index = word & 0x7FFFFFFF
-        # bounded sliding window (like the RTP side): anything older than the
-        # window is rejected outright, so pruning never re-admits a replay,
-        # and a long-lived call holds at most REPLAY_WINDOW entries.
-        if index <= self._replay_max - self.REPLAY_WINDOW:
+        if not self._replay_ok(index):
             return None
-        if index in self.replay:
-            return None
-        self.replay.add(index)
-        if index > self._replay_max:
-            self._replay_max = index
-            floor = self._replay_max - self.REPLAY_WINDOW
-            if len(self.replay) > self.REPLAY_WINDOW:
-                self.replay = {i for i in self.replay if i > floor}
         if not (word & 0x80000000):          # E-bit clear: unencrypted
             return body
         ssrc = struct.unpack("!I", body[4:8])[0]

@@ -66,6 +66,69 @@ def test_srtp_32_suite():
     assert rx.unprotect(prot) == pkt
 
 
+def test_srtp_gcm_suites():
+    """AEAD_AES_128/256_GCM (RFC 7714): roundtrip, tag size, tamper reject."""
+    from mediastreamer2_tpu.net.srtp import (AEAD_AES_128_GCM,
+                                             AEAD_AES_256_GCM, SrtcpContext)
+    for suite, klen in ((AEAD_AES_128_GCM, 16), (AEAD_AES_256_GCM, 32)):
+        key, salt = bytes(range(klen)), bytes(range(12))
+        tx, rx = SrtpContext(key, salt, suite), SrtpContext(key, salt, suite)
+        for seq in (1, 2, 65535, 0):       # include a seq wrap
+            pkt = RtpPacket(0, seq, seq * 160, 0x42, b"gcm-payload").pack()
+            prot = tx.protect(pkt)
+            assert len(prot) == len(pkt) + 16      # GCM tag
+            assert rx.unprotect(prot) == pkt
+        bad = prot[:-1] + bytes([prot[-1] ^ 1])
+        assert rx.unprotect(bad) is None
+        # SRTCP side (RFC 7714 §9 layout: hdr || ct+tag || E+index)
+        ctx_tx = SrtcpContext(key, salt, suite)
+        ctx_rx = SrtcpContext(key, salt, suite)
+        rtcp = bytes([0x80, 200, 0, 1]) + (0x42).to_bytes(4, "big") + b"sr" * 10
+        wire = ctx_tx.protect(rtcp)
+        assert wire != rtcp and len(wire) == len(rtcp) + 16 + 4
+        assert ctx_rx.unprotect(wire) == rtcp
+        assert ctx_rx.unprotect(wire) is None      # replay
+
+
+def test_srtp_aes256_cm_suite():
+    """AES_256_CM_HMAC_SHA1_80 (RFC 6188) roundtrip + wrong-key reject."""
+    from mediastreamer2_tpu.net.srtp import AES_256_CM_HMAC_SHA1_80
+    key = bytes(range(32))
+    tx = SrtpContext(key, SALT, AES_256_CM_HMAC_SHA1_80)
+    rx = SrtpContext(key, SALT, AES_256_CM_HMAC_SHA1_80)
+    pkt = RtpPacket(0, 7, 1120, 0x99, b"aes256").pack()
+    prot = tx.protect(pkt)
+    assert len(prot) == len(pkt) + 10
+    assert rx.unprotect(prot) == pkt
+    rx2 = SrtpContext(bytes(32), SALT, AES_256_CM_HMAC_SHA1_80)
+    assert rx2.unprotect(tx.protect(pkt)) is None
+
+
+def test_sdes_new_suites_roundtrip():
+    from mediastreamer2_tpu.net.srtp import (sdes_generate, sdes_parse,
+                                             AEAD_AES_128_GCM,
+                                             AES_256_CM_HMAC_SHA1_80)
+    for suite in (AEAD_AES_128_GCM, AES_256_CM_HMAC_SHA1_80):
+        line, key, salt = sdes_generate(suite)
+        s2, k2, sl2 = sdes_parse("1 " + line)
+        assert (s2, k2, sl2) == (suite, key, salt)
+
+
+def test_srtp_gcm_header_extension_aad():
+    """The X-bit extension stays clear (AAD), payload is AEAD-protected."""
+    from mediastreamer2_tpu.net.srtp import AEAD_AES_128_GCM
+    key, salt = bytes(range(16)), bytes(range(12))
+    tx, rx = SrtpContext(key, salt, AEAD_AES_128_GCM), \
+        SrtpContext(key, salt, AEAD_AES_128_GCM)
+    import struct as _s
+    hdr = bytes([0x90, 0, 0, 1]) + _s.pack("!II", 160, 0x77)
+    ext = _s.pack("!HH", 0xBEDE, 1) + b"\x10\x20\x30\x40"
+    pkt = hdr + ext + b"payload-bytes"
+    prot = tx.protect(pkt)
+    assert prot[:len(hdr) + len(ext)] == hdr + ext   # extension in clear
+    assert rx.unprotect(prot) == pkt
+
+
 def test_double_encryption():
     """inner+outer SRTP (cf. reference double_encryption tester)."""
     k2, s2 = bytes(range(16, 32)), bytes(range(16, 30))

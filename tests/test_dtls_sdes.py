@@ -49,12 +49,17 @@ def test_dtls_derived_srtp_media_flow():
     """Full chain: DTLS handshake -> exported keys -> SRTP transport."""
     client, server = _handshake()
     ck, cs, sk, ss = client.export_srtp_keys()
+    # the default offer prefers AEAD GCM; both sides agree on the profile
+    suite = client.srtp_suite()
+    assert suite == server.srtp_suite() == "AEAD_AES_128_GCM"
     # RFC 5764: client writes with client key, server with server key
     pair = LoopbackPair()
     t_client = SrtpTransport(pair.endpoint(0),
-                             tx=SrtpContext(ck, cs), rx=SrtpContext(sk, ss))
+                             tx=SrtpContext(ck, cs, suite),
+                             rx=SrtpContext(sk, ss, suite))
     t_server = SrtpTransport(pair.endpoint(1),
-                             tx=SrtpContext(sk, ss), rx=SrtpContext(ck, cs))
+                             tx=SrtpContext(sk, ss, suite),
+                             rx=SrtpContext(ck, cs, suite))
     a = RtpSession(t_client, payload_type=0)
     b = RtpSession(t_server, payload_type=0)
     got = []
