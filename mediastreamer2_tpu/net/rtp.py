@@ -141,8 +141,10 @@ class UdpTransport(Transport):
     socket layer plays under the reference's ticker."""
 
     def __init__(self, local_port: int = 0, remote: Optional[Tuple[str, int]] = None,
-                 bind_host: str = "127.0.0.1"):
+                 bind_host: str = "127.0.0.1", reuse_addr: bool = False):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        if reuse_addr:       # multicast receivers share the group port
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind((bind_host, local_port))
         self.sock.setblocking(False)
         self.local_port = self.sock.getsockname()[1]
@@ -156,6 +158,28 @@ class UdpTransport(Transport):
 
     def set_remote(self, host: str, port: int):
         self.remote = (host, port)
+
+    def set_dscp(self, dscp: int):
+        """QoS marking (media_stream_set_dscp, mediastream.c): DSCP is the
+        upper 6 bits of the IP TOS byte."""
+        self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_TOS,
+                             (dscp & 0x3F) << 2)
+
+    def join_multicast_group(self, group: str, ttl: int = 1,
+                             loopback: bool = True, iface: str = "0.0.0.0"):
+        """Receive (and address sends) on an IPv4 multicast group — the
+        rtp_session_set_multicast_* / media_stream_join_multicast_group
+        surface (mediastream.h; used by the reference's multicast audio
+        stream tests).  `iface` pins both membership and egress to one
+        interface address (e.g. "127.0.0.1" for host-local fan-out)."""
+        mreq = socket.inet_aton(group) + socket.inet_aton(iface)
+        self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+        self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_IF,
+                             socket.inet_aton(iface))
+        self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, ttl)
+        self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP,
+                             1 if loopback else 0)
+        self.multicast_group = group
 
     def send(self, data: bytes):
         if self.remote:

@@ -29,3 +29,46 @@ def test_rfc6465_csrc_audio_levels():
     tx.send_payload(b"\xff" * 80, 80)
     pkt2 = RtpPacket.unpack(pair.endpoint(1).recv_all()[0])
     assert len(pkt2.csrcs) == 15
+
+
+def test_dscp_marking():
+    """media_stream_set_dscp parity: DSCP lands in the IP TOS byte."""
+    import socket
+    from mediastreamer2_tpu.net.rtp import UdpTransport
+    t = UdpTransport()
+    t.set_dscp(46)                               # EF (expedited forwarding)
+    tos = t.sock.getsockopt(socket.IPPROTO_IP, socket.IP_TOS)
+    t.close()
+    assert tos == 46 << 2
+
+
+def test_multicast_rtp_fanout():
+    """One sender, two receivers on a multicast group — the reference's
+    multicast audio stream test shape (audio_stream_tester multicast case,
+    rtp_session_set_multicast_* / media_stream_join_multicast_group)."""
+    import pytest
+    from mediastreamer2_tpu.net.rtp import RtpSession, RtpPacket, UdpTransport
+    group = "224.111.22.33"
+    rx1 = UdpTransport(local_port=0, bind_host="0.0.0.0", reuse_addr=True)
+    port = rx1.local_port
+    rx2 = UdpTransport(local_port=port, bind_host="0.0.0.0", reuse_addr=True)
+    tx = UdpTransport(remote=(group, port))
+    try:
+        rx1.join_multicast_group(group, iface="127.0.0.1")
+        rx2.join_multicast_group(group, iface="127.0.0.1")
+        tx.join_multicast_group(group, ttl=0, loopback=True,
+                                iface="127.0.0.1")   # host-local
+    except OSError as e:                          # pragma: no cover
+        pytest.skip(f"multicast unavailable in this environment: {e}")
+    sess = RtpSession(tx, payload_type=0, clock_rate=8000)
+    for i in range(5):
+        sess.send_payload(bytes([i]) * 40, 40)
+    import time
+    time.sleep(0.1)
+    for rx in (rx1, rx2):
+        pkts = rx.recv_all()
+        if not pkts:                              # pragma: no cover
+            pytest.skip("multicast loopback not delivered (env routing)")
+        payloads = [RtpPacket.unpack(d).payload for d in pkts]
+        assert payloads == [bytes([i]) * 40 for i in range(5)]
+    tx.close(); rx1.close(); rx2.close()
