@@ -47,15 +47,49 @@ def test_smff_roundtrip(tmp_path):
     path = str(tmp_path / "t.smff")
     w = SmffWriter(path, [SmffTrack(KIND_AUDIO, "opus", 48000, 1),
                           SmffTrack(KIND_VIDEO, "vp8", 320, 240)])
-    frames = [(0, 0, b"a0", True), (1, 0, b"v0-key", True),
-              (0, 10, b"a1", True), (1, 40, b"v1", False),
-              (0, 1500, b"a-late", True)]
-    for t, ts, d, k in frames:
-        w.write_frame(t, ts, d, k)
+    frames = [(0, 0, b"a0"), (1, 0, b"v0-key"),
+              (0, 10, b"a1"), (1, 40, b"v1"),
+              (0, 1500, b"a-late")]
+    for t, ts, d in frames:
+        w.write_frame(t, ts, d)
     w.close()
     r = SmffReader(path)
     assert r.tracks[0].codec == "opus" and r.tracks[0].a == 48000
-    assert r.tracks[1].kind == KIND_VIDEO and r.tracks[1].b == 240
-    got = [(f.track, f.ts_ms, f.data, f.keyframe) for f in r.frames()]
+    assert r.tracks[0].b == 1
+    assert r.tracks[1].kind == KIND_VIDEO and r.tracks[1].codec == "vp8"
+    got = [(f.track, f.ts_ms, f.data) for f in r.frames()]
     assert got == frames
     assert [f.ts_ms for f in r.frames(from_ms=100)] == [1500]
+    assert r.duration_ms(0) == 1500
+
+
+def test_smff_wire_format(tmp_path):
+    """Byte-level check against the reference's structs (smff.cpp:33-52):
+    root layout, zlib-compressed track section, descriptor/record packing,
+    timestamps in track clock units, positions relative to the data part."""
+    import struct
+    import zlib
+    path = str(tmp_path / "wire.smff")
+    w = SmffWriter(path, [SmffTrack(KIND_AUDIO, "opus", 48000, 2)])
+    w.write_frame(0, 20, b"frame-one")           # 20 ms @48k -> ts 960
+    w.write_frame(0, 40, b"frame-twoo")          # 40 ms -> ts 1920
+    w.close()
+    raw = open(path, "rb").read()
+    magic, version, track_pos, data_pos = struct.unpack("!4sIII", raw[:16])
+    assert magic == b"SMFF" and version == 0
+    assert data_pos == 16                        # sizeof(SMFFRoot)
+    # data part: raw payloads back to back
+    assert raw[16:16 + 9] == b"frame-one"
+    assert raw[25:25 + 10] == b"frame-twoo"
+    assert track_pos == 16 + 9 + 10
+    # track section: ONE zlib stream of descriptor + records
+    section = zlib.decompress(raw[track_pos:])
+    codec, kind, ch, tid, pad, rate, nrec = struct.unpack_from(
+        "!16sBBBBII", section, 0)
+    assert codec.rstrip(b"\x00") == b"opus"
+    assert (kind, ch, tid, rate, nrec) == (0, 2, 0, 48000, 2)
+    ts0, pos0, sz0 = struct.unpack_from("!III", section, 28)
+    ts1, pos1, sz1 = struct.unpack_from("!III", section, 40)
+    assert (ts0, pos0, sz0) == (960, 0, 9)       # clock units, rel. position
+    assert (ts1, pos1, sz1) == (1920, 9, 10)
+    assert len(section) == 28 + 2 * 12
