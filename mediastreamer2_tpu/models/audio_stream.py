@@ -37,7 +37,7 @@ from mediastreamer2_tpu.net.rtp import RtpSession, Transport
 
 # payload-type profile (RFC 3551 static types + our dynamic ones)
 PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11, "gsm": 3, "opus": 96,
-                 "g722": 9, "g726_32": 97}
+                 "g722": 9, "g726_32": 97, "g729": 18}
 CN_PT = 13   # RFC 3389 comfort noise
 CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2, "g722": 1}
 # RFC 3551 quirk: G.722 runs 16 kHz audio on an 8 kHz RTP clock (4.5.2);
@@ -45,7 +45,7 @@ CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2, "g722": 1}
 RTP_CLOCK = {"g722": 8000}
 # host codecs run at the RTP boundary (cf. SURVEY.md §7: library codecs are
 # host filters, like the reference's hw codec backends); value = frame ms
-HOST_CODECS = {"opus": 10, "gsm": 20}
+HOST_CODECS = {"opus": 10, "gsm": 20, "g729": 20}
 
 
 @dataclasses.dataclass
@@ -266,6 +266,14 @@ class AudioStreamBatch:
                     if rate != 8000:
                         raise ValueError("gsm requires 8 kHz")
                     c = hc.GsmCodec()
+                    self._host_enc[i] = c
+                    self._host_dec[i] = c
+                elif codec == "g729":
+                    if rate != 8000:
+                        raise ValueError("g729 requires 8 kHz")
+                    # like a reference build without ENABLE_G729 the codec
+                    # is absent when libbcg729 is not on the system
+                    c = hc.G729Codec(enable_vad=self.features.vad_dtx)
                     self._host_enc[i] = c
                     self._host_dec[i] = c
 

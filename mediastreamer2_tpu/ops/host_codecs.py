@@ -241,3 +241,84 @@ class GsmCodec:
         if r != 0:
             raise RuntimeError("gsm_decode failed")
         return buf.astype(np.float32) / 32768.0
+
+
+# ---------------------------------------------------------------- g729
+# bcg729 (Belledonne's own G.729 Annex A/B implementation) — the exact
+# library the reference wraps in src/audiofilters/g729.c:112-293.  Like a
+# reference build without ENABLE_G729, the codec is simply unavailable
+# when the shared library is absent from the system.
+_bcg729 = None
+try:
+    _p = ctypes.util.find_library("bcg729")
+    if _p:
+        _bcg729 = ctypes.CDLL(_p)
+        _bcg729.initBcg729EncoderChannel.restype = ctypes.c_void_p
+        _bcg729.initBcg729DecoderChannel.restype = ctypes.c_void_p
+except OSError:                                    # pragma: no cover
+    _bcg729 = None
+
+G729_FRAME_SAMPLES = 80      # 10 ms @ 8k (SIGNAL_FRAME_SIZE/2, g729.c)
+G729_FRAME_BYTES = 10        # BITSTREAM_FRAME_SIZE
+G729_SID_BYTES = 2           # NOISE_BITSTREAM_FRAME_SIZE
+
+
+def g729_available() -> bool:
+    return _bcg729 is not None
+
+
+class G729Codec:
+    """G.729A/B via bcg729, 20 ms packets of two 10 ms frames
+    (cf. MSBCG729Enc/Dec, g729.c:186-195: frames appended until ptime;
+    a 2-byte frame is an annex-B SID and always ends the payload,
+    RFC 3551 §4.5.6)."""
+
+    def __init__(self, enable_vad: bool = False):
+        if _bcg729 is None:
+            raise RuntimeError("libbcg729 not available")
+        self.enc_st = _bcg729.initBcg729EncoderChannel(
+            ctypes.c_uint8(1 if enable_vad else 0))
+        self.dec_st = _bcg729.initBcg729DecoderChannel()
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        s16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        assert len(s16) % G729_FRAME_SAMPLES == 0
+        out = b""
+        for i in range(0, len(s16), G729_FRAME_SAMPLES):
+            frame = np.ascontiguousarray(s16[i:i + G729_FRAME_SAMPLES])
+            buf = ctypes.create_string_buffer(G729_FRAME_BYTES)
+            blen = ctypes.c_uint8(0)
+            _bcg729.bcg729Encoder(ctypes.c_void_p(self.enc_st),
+                                  frame.ctypes.data_as(ctypes.c_void_p),
+                                  buf, ctypes.byref(blen))
+            out += buf.raw[:blen.value]
+            if blen.value == G729_SID_BYTES:   # SID ends the payload
+                break
+        return out
+
+    def decode(self, payload, frame_samples: int = 160) -> np.ndarray:
+        """Decode one RTP payload (or None -> PLC) to `frame_samples` PCM."""
+        chunks = []
+        if payload:
+            pos = 0
+            while pos < len(payload):
+                rest = len(payload) - pos
+                sid = 1 if rest == G729_SID_BYTES else 0
+                n = G729_SID_BYTES if sid else min(G729_FRAME_BYTES, rest)
+                buf = np.zeros(G729_FRAME_SAMPLES, np.int16)
+                _bcg729.bcg729Decoder(
+                    ctypes.c_void_p(self.dec_st), payload[pos:pos + n],
+                    ctypes.c_uint8(n), ctypes.c_uint8(0),
+                    ctypes.c_uint8(sid), ctypes.c_uint8(0),
+                    buf.ctypes.data_as(ctypes.c_void_p))
+                chunks.append(buf.astype(np.float32) / 32768.0)
+                pos += n
+        # concealment / CN fill up to the requested duration (g729.c:74)
+        while sum(len(c) for c in chunks) < frame_samples:
+            buf = np.zeros(G729_FRAME_SAMPLES, np.int16)
+            _bcg729.bcg729Decoder(ctypes.c_void_p(self.dec_st), None,
+                                  ctypes.c_uint8(0), ctypes.c_uint8(1),
+                                  ctypes.c_uint8(0), ctypes.c_uint8(0),
+                                  buf.ctypes.data_as(ctypes.c_void_p))
+            chunks.append(buf.astype(np.float32) / 32768.0)
+        return np.concatenate(chunks)[:frame_samples]

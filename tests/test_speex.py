@@ -36,3 +36,25 @@ def test_speex_plc():
         c.decode(c.encode(make_speechlike(160, 8000, seed=i)))
     out = c.decode(None)
     assert out.shape == (160,)
+
+
+# ------------------------------------------------------------------ g729
+def test_g729_gated_like_reference():
+    """G.729 wraps libbcg729 exactly like the reference (g729.c); when the
+    library is absent the codec is unavailable, matching a reference build
+    without ENABLE_G729."""
+    from mediastreamer2_tpu.ops import host_codecs as hc
+    if not hc.g729_available():
+        import pytest
+        with pytest.raises(RuntimeError):
+            hc.G729Codec()
+        pytest.skip("libbcg729 not in image (codec gated, like the "
+                    "reference without ENABLE_G729)")
+    import numpy as np
+    from conftest import make_speechlike
+    from mediastreamer2_tpu.utils.audiodiff import snr_db
+    c = hc.G729Codec()
+    sig = make_speechlike(160 * 50, 8000, seed=3)
+    out = np.concatenate([c.decode(c.encode(sig[i * 160:(i + 1) * 160]))
+                          for i in range(50)])
+    assert snr_db(sig[160:], out[160:]) > 6     # ACELP: waveform-ish
