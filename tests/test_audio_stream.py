@@ -192,3 +192,48 @@ def test_audio_level_extension_from_volume_meter(factory):
     # speech has finite level (not the 127 silence floor) and varies
     assert min(dbovs) < 60 and len(set(dbovs)) > 3
     assert any(lv & 0x80 for lv in levels)      # voice flag set
+
+
+def test_multicast_audio_stream(factory):
+    """Multicast session shape (audio_stream_tester multicast case): one
+    sender addresses the group; two receiving streams joined on the group
+    port both record the same audio."""
+    import socket as _socket
+    from mediastreamer2_tpu.net.rtp import UdpTransport
+    ticks = 80
+    sig = make_speechlike(S * ticks, RATE, seed=23)
+    group = "224.111.44.55"
+    try:
+        rx1_t = UdpTransport(local_port=0, bind_host="0.0.0.0",
+                             reuse_addr=True)
+        port = rx1_t.local_port
+        rx2_t = UdpTransport(local_port=port, bind_host="0.0.0.0",
+                             reuse_addr=True)
+        tx_t = UdpTransport(remote=(group, port))
+        for t in (rx1_t, rx2_t):
+            t.join_multicast_group(group, iface="127.0.0.1")
+        tx_t.join_multicast_group(group, ttl=0, loopback=True,
+                                  iface="127.0.0.1")
+        probe = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        probe.close()
+    except OSError as e:                           # pragma: no cover
+        pytest.skip(f"multicast unavailable: {e}")
+
+    tx = AudioStreamBatch(factory, 1, mic_signal=sig)
+    rx1 = AudioStreamBatch(factory, 1, record_ticks=ticks + 40)
+    rx2 = AudioStreamBatch(factory, 1, record_ticks=ticks + 40)
+    for st in (tx, rx1, rx2):
+        st.ticker.warm_up()
+    tx.set_transport(0, tx_t)
+    rx1.set_transport(0, rx1_t)
+    rx2.set_transport(0, rx2_t)
+    rx1.start(ticks + 40)
+    rx2.start(ticks + 40)
+    tx.run(ticks + 10)
+    for st in (tx, rx1, rx2):
+        st.stop()
+    if rx1.sessions[0].stats.recv_packets == 0:    # pragma: no cover
+        pytest.skip("multicast loopback not delivered (env routing)")
+    for rx in (rx1, rx2):
+        sim, _ = audio_diff(sig, rx.get_recording()[0])
+        assert sim > 0.9, f"multicast leg sim {sim}"
