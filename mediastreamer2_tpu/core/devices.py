@@ -100,7 +100,9 @@ class SndCardManager:
         # platform backends register like the reference's MSSndCardDesc
         # detect functions (alsa.c): present only when the lib loads
         from mediastreamer2_tpu.core.alsa import detect_alsa_cards
+        from mediastreamer2_tpu.core.pulse import detect_pulse_cards
         self.register_detector(detect_alsa_cards)
+        self.register_detector(detect_pulse_cards)
         self.reload()
 
     def register_detector(self, fn):

@@ -138,3 +138,31 @@ def test_delay_line_and_ec_delay_wiring(factory):
     assert "ec_delay" in st.ticker.state
     st.ticker.params["ec_delay"]["delay_ticks"] = \
         np.full((1,), ft.ec_delay_ms // 10)
+
+
+def test_pulse_card_gated():
+    """PulseAudio card mirrors the ALSA gating: detector registers nothing
+    without libpulse-simple (like a reference build without
+    ENABLE_PULSEAUDIO), and never raises."""
+    from mediastreamer2_tpu.core.pulse import (pulse_available,
+                                               detect_pulse_cards,
+                                               PulseSndCard)
+    from mediastreamer2_tpu.core.devices import SndCardManager
+    mgr = SndCardManager()
+    if not pulse_available():
+        import pytest
+        with pytest.raises(RuntimeError):
+            PulseSndCard()
+        detect_pulse_cards(mgr)            # must not raise
+        assert all(c.driver != "pulse" for c in mgr.cards)
+        pytest.skip("libpulse-simple not in image (card gated)")
+    # with a live daemon the duplex card must pull/push a tick block
+    card = next((c for c in mgr.cards if c.driver == "pulse"), None)
+    if card is None:
+        import pytest
+        pytest.skip("libpulse present but no PulseAudio daemon")
+    import numpy as np
+    blk = card.pull(0, 2)
+    assert blk.shape == (2, card.samples_per_tick)
+    card.push(0, np.zeros((2, card.samples_per_tick), np.float32))
+    card.close()
