@@ -287,6 +287,23 @@ class AudioStreamBatch:
         self.sessions[leg].accepted_payload_types = {
             PAYLOAD_TYPES[self.codec], CN_PT}
 
+    def reclaim_sessions(self) -> List[Optional[RtpSession]]:
+        """Detach the legs' RtpSessions for reuse by a replacement stream
+        (media_stream_reclaim_sessions, mediastream.h:384): SSRC, sequence
+        numbering and transport survive the stream teardown."""
+        out = list(self.sessions)
+        self.sessions = [None] * self.batch
+        return out
+
+    def adopt_session(self, leg: int, session: RtpSession):
+        """Attach a reclaimed session, re-pointed at this stream's codec —
+        the receive half of the reference's codec-change-over-reclaimed-
+        sessions flow (codec_change_for_audio_stream tester case)."""
+        session.reconfigure(PAYLOAD_TYPES[self.codec], self.rtp_clock,
+                            JitterBuffer(self.jb_params))
+        session.accepted_payload_types = {PAYLOAD_TYPES[self.codec], CN_PT}
+        self.sessions[leg] = session
+
     def enable_srtp(self, leg: int, tx_key: bytes, tx_salt: bytes,
                     rx_key: bytes, rx_salt: bytes, suite: str = None):
         """cf. media_stream_enable_srtp — wraps the leg's transport.
@@ -302,6 +319,16 @@ class AudioStreamBatch:
         if sess is None:
             raise RuntimeError("set_transport first")
         suite = suite or AES_CM_128_HMAC_SHA1_80
+        if isinstance(sess.transport, SrtpTransport):
+            # key change on a running stream (tester case 'Encrypted audio
+            # stream with key change'): swap contexts, don't stack another
+            # encryption layer
+            t = sess.transport
+            t.tx = SrtpContext(tx_key, tx_salt, suite)
+            t.rx = SrtpContext(rx_key, rx_salt, suite)
+            t.tx_rtcp = SrtcpContext(tx_key, tx_salt, suite)
+            t.rx_rtcp = SrtcpContext(rx_key, rx_salt, suite)
+            return
         sess.transport = SrtpTransport(
             sess.transport,
             tx=SrtpContext(tx_key, tx_salt, suite),

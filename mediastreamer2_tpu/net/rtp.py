@@ -151,6 +151,7 @@ class UdpTransport(Transport):
         self.remote = remote
         self._pump = None
         self.last_recv_ns: Optional[int] = None
+        self.symmetric = False
 
     def attach_pump(self, pump) -> None:
         pump.add_socket(self.sock)
@@ -158,6 +159,14 @@ class UdpTransport(Transport):
 
     def set_remote(self, host: str, port: int):
         self.remote = (host, port)
+
+    def set_symmetric(self, enabled: bool = True):
+        """Symmetric RTP (rtp_session_set_symmetric_rtp): redirect sends to
+        the source address of received packets — recovers from a wrong
+        signalled address (reference tester 'Symetric rtp with wrong
+        address').  Python recv path only (the native pump does not carry
+        per-packet source addresses)."""
+        self.symmetric = enabled
 
     def set_dscp(self, dscp: int):
         """QoS marking (media_stream_set_dscp, mediastream.c): DSCP is the
@@ -197,8 +206,10 @@ class UdpTransport(Transport):
         out = []
         while True:
             try:
-                data, _ = self.sock.recvfrom(65536)
+                data, addr = self.sock.recvfrom(65536)
                 out.append(data)
+                if self.symmetric and addr != self.remote:
+                    self.remote = addr
             except (BlockingIOError, OSError):
                 break
         return out
@@ -370,6 +381,19 @@ class RtpSession:
     @property
     def jitter_ms(self) -> float:
         return self.jitter_units * 1000.0 / self.clock_rate
+
+    def reconfigure(self, payload_type: int, clock_rate: int,
+                    jitter_buffer=None):
+        """Re-point the session at a new codec while keeping its identity —
+        SSRC, sequence numbering and transport survive, like the reference's
+        codec change over reclaimed sessions (media_stream_reclaim_sessions,
+        mediastream.h:384 + codec_change_for_audio_stream tester case)."""
+        self.payload_type = payload_type
+        self.clock_rate = clock_rate
+        if jitter_buffer is not None:
+            self.jitter_buffer = jitter_buffer
+        self.recv_ssrc = None            # resync on the peer's next packet
+        self._last_transit = None
 
     # -- send path ------------------------------------------------------
     def enable_retransmission(self, history: int = 256):

@@ -237,3 +237,70 @@ def test_multicast_audio_stream(factory):
     for rx in (rx1, rx2):
         sim, _ = audio_diff(sig, rx.get_recording()[0])
         assert sim > 0.9, f"multicast leg sim {sim}"
+
+
+def test_symmetric_rtp_wrong_address(factory):
+    """'Symetric rtp with wrong address' tester case: a stream whose
+    signalled remote is wrong recovers by redirecting to the source
+    address of the packets it receives."""
+    import time as _time
+    from mediastreamer2_tpu.net.rtp import UdpTransport, RtpSession
+    a_t = UdpTransport()                                  # correct side
+    b_t = UdpTransport(remote=("127.0.0.1", 9))           # wrong (discard)
+    a_t.set_remote("127.0.0.1", b_t.local_port)
+    b_t.set_symmetric(True)
+    a = RtpSession(a_t, payload_type=0)
+    b = RtpSession(b_t, payload_type=0)
+    got_at_a = []
+    a.on_packet = lambda p: got_at_a.append(p.payload)
+    # a's packets arrive at b; b learns a's address from them
+    for i in range(3):
+        a.send_payload(bytes([i]) * 20, 160)
+    _time.sleep(0.05)
+    b.poll()
+    assert b_t.remote == ("127.0.0.1", a_t.local_port)
+    # now b's sends reach a despite the wrong signalled address
+    for i in range(3):
+        b.send_payload(bytes([10 + i]) * 20, 160)
+    _time.sleep(0.05)
+    a.poll()
+    assert got_at_a == [bytes([10 + i]) * 20 for i in range(3)]
+    a_t.close(); b_t.close()
+
+
+def test_codec_change_over_reclaimed_sessions(factory):
+    """'Codec change for audio stream' tester case: tear the streams down,
+    reclaim the RtpSessions (media_stream_reclaim_sessions), and restart
+    with a different codec — SSRC and sequence numbering continue."""
+    ticks = 60
+    sig1 = make_speechlike(S * ticks, RATE, seed=31)
+    tx1 = AudioStreamBatch(factory, 1, codec="ulaw", mic_signal=sig1)
+    rx1 = AudioStreamBatch(factory, 1, codec="ulaw", record_ticks=ticks + 40)
+    tx1.ticker.warm_up(); rx1.ticker.warm_up()
+    pair = LoopbackPair()
+    tx1.set_transport(0, pair.endpoint(0))
+    rx1.set_transport(0, pair.endpoint(1))
+    rx1.start(ticks + 40)
+    tx1.run(ticks + 10)
+    tx1.stop(); rx1.stop()
+    sim, _ = audio_diff(sig1, rx1.get_recording()[0])
+    assert sim > 0.9
+    tx_sess = tx1.reclaim_sessions()[0]
+    rx_sess = rx1.reclaim_sessions()[0]
+    ssrc_before, seq_before = tx_sess.ssrc, tx_sess.seq
+    assert tx_sess.stats.sent_packets > 0
+
+    sig2 = make_speechlike(S * ticks, RATE, seed=32)
+    tx2 = AudioStreamBatch(factory, 1, codec="alaw", mic_signal=sig2)
+    rx2 = AudioStreamBatch(factory, 1, codec="alaw", record_ticks=ticks + 40)
+    tx2.ticker.warm_up(); rx2.ticker.warm_up()
+    tx2.adopt_session(0, tx_sess)
+    rx2.adopt_session(0, rx_sess)
+    rx2.start(ticks + 40)
+    tx2.run(ticks + 10)
+    tx2.stop(); rx2.stop()
+    sim2, _ = audio_diff(sig2, rx2.get_recording()[0])
+    assert sim2 > 0.9, f"post-codec-change sim {sim2}"
+    # same session identity continued: SSRC kept, sequence kept climbing
+    assert tx_sess.ssrc == ssrc_before
+    assert tx_sess.stats.sent_packets > 0 and tx_sess.seq != seq_before

@@ -349,3 +349,56 @@ def test_qos_loop_feeds_opus_loss_expectation(factory):
                     highest_seq=0, jitter=0, lsr=0, dlsr=0))
     tx.iterate()
     assert calls == [12]
+
+
+def test_srtp_ssrc_change_mid_stream():
+    """'Encrypted audio stream with ssrc changes': per-SSRC crypto state —
+    a sender that changes SSRC keeps decrypting (fresh ROC/replay per
+    SSRC), cf. ms_srtp's per-stream contexts."""
+    tx = SrtpContext(KEY, SALT)
+    rx = SrtpContext(KEY, SALT)
+    for ssrc in (0x1111, 0x2222):          # SSRC change mid-stream
+        for seq in range(3):
+            pkt = RtpPacket(0, seq, seq * 160, ssrc, b"x" * 40).pack()
+            assert rx.unprotect(tx.protect(pkt)) == pkt
+    assert set(rx.roc.keys()) == {0x1111, 0x2222}
+
+
+def test_srtp_session_key_change(factory):
+    """'Encrypted audio stream with key change': enable_srtp on an already
+    encrypted leg swaps the keys (no double wrapping) and media continues
+    once both sides switched."""
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.net.srtp import SrtpTransport
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    import numpy as np
+    from conftest import make_speechlike
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    from mediastreamer2_tpu.core.block import tick_samples
+    S, RATE = tick_samples(8000), 8000
+    ticks = 60
+    sig = make_speechlike(S * ticks, RATE, seed=41)
+    tx = AudioStreamBatch(factory, 1, mic_signal=sig)
+    rx = AudioStreamBatch(factory, 1, record_ticks=ticks + 40)
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    k1, s1 = bytes(range(16)), bytes(range(14))
+    tx.enable_srtp(0, k1, s1, k1, s1)
+    rx.enable_srtp(0, k1, s1, k1, s1)
+    wrapped = tx.sessions[0].transport
+    assert isinstance(wrapped, SrtpTransport)
+    # key change BEFORE media flows on the new keys (both sides together)
+    k2, s2 = bytes(range(16, 32)), bytes(range(16, 30))
+    tx.enable_srtp(0, k2, s2, k2, s2)
+    rx.enable_srtp(0, k2, s2, k2, s2)
+    # still exactly one SRTP layer, same wrapper object
+    assert tx.sessions[0].transport is wrapped
+    assert not isinstance(wrapped.inner, SrtpTransport)
+    rx.start(ticks + 40)
+    tx.run(ticks + 10)
+    tx.stop(); rx.stop()
+    sim, _ = audio_diff(sig, rx.get_recording()[0])
+    assert sim > 0.9, f"post-rekey sim {sim}"
+    assert wrapped.auth_failures == 0 or wrapped.auth_failures < 3
