@@ -530,6 +530,7 @@ class VideoStreamBatch:
             for i, sess in enumerate(self.sessions):
                 if sess is None:
                     continue
+                was_kf = self._force_kf[i] or self.stats[i].frames_sent == 0
                 data = self.codecs[i].encode(self._frame_to_bytes(frames[i]),
                                              keyframe=self._force_kf[i])
                 self._force_kf[i] = False
@@ -537,6 +538,13 @@ class VideoStreamBatch:
                 for k, c in enumerate(chunks):
                     sess.ts = self._ts
                     pkt_marker = (k == len(chunks) - 1)
+                    if getattr(sess, "_fm_ext_id", None) is not None:
+                        # RFC 7941: S on the first fragment, E on the last,
+                        # I on keyframes (SFU keyframe indication without
+                        # payload access)
+                        sess.set_frame_marking(start=(k == 0),
+                                               end=pkt_marker,
+                                               independent=was_kf)
                     sess.send_payload(c, ts_increment=0, marker=pkt_marker)
                 if chunks:
                     self.stats[i].frames_sent += 1

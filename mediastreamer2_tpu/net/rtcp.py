@@ -33,6 +33,8 @@ SDES_TOOL = 6
 FMT_NACK = 1
 FMT_TMMBR = 3
 FMT_PLI = 1
+FMT_SLI = 2
+FMT_RPSI = 3
 FMT_FIR = 4
 FMT_REMB = 15
 
@@ -98,17 +100,36 @@ class ReceiverReport:
         return hdr + body
 
 
+def sli_value(first: int, number: int, picture_id: int) -> int:
+    """Pack an SLI FCI word (RFC 4585 §6.3.2: First|Number|PictureID)."""
+    return ((first & 0x1FFF) << 19) | ((number & 0x1FFF) << 6) \
+        | (picture_id & 0x3F)
+
+
 @dataclasses.dataclass
 class Feedback:
-    """RTPFB/PSFB message (TMMBR / REMB / PLI / FIR / NACK)."""
-    kind: str                # 'tmmbr' | 'remb' | 'pli' | 'fir' | 'nack'
+    """RTPFB/PSFB message (TMMBR / REMB / PLI / SLI / RPSI / FIR / NACK) —
+    the AVPF set the reference's video streams emit
+    (videostream.c:2076-2100)."""
+    kind: str        # 'tmmbr' | 'remb' | 'pli' | 'sli' | 'rpsi' | 'fir' | 'nack'
     sender_ssrc: int
     media_ssrc: int
-    value: int = 0           # bitrate bps (tmmbr/remb), seq (nack), fir seq
+    value: int = 0           # bps (tmmbr/remb), seq (nack/fir), sli word,
+    #                          rpsi payload type
+    data: bytes = b""        # rpsi: native bitstring (e.g. VP8 picture id)
 
     def pack(self) -> bytes:
         if self.kind == "pli":
             pt, fmt, fci = RTCP_PSFB, FMT_PLI, b""
+        elif self.kind == "sli":
+            pt, fmt = RTCP_PSFB, FMT_SLI
+            fci = struct.pack("!I", self.value)
+        elif self.kind == "rpsi":
+            # RFC 4585 §6.3.3: PB padding bits | 0+PT | bitstring, 32-b align
+            pt, fmt = RTCP_PSFB, FMT_RPSI
+            bits = self.data
+            pad = (4 - (2 + len(bits)) % 4) % 4
+            fci = bytes([pad * 8, self.value & 0x7F]) + bits + b"\x00" * pad
         elif self.kind == "fir":
             pt, fmt = RTCP_PSFB, FMT_FIR
             fci = struct.pack("!IBxxx", self.media_ssrc, self.value & 0xFF)
@@ -257,6 +278,13 @@ def parse_compound(data: bytes):
                 out.append(Feedback("pli", snd, med))
             elif pt == RTCP_PSFB and fmt == FMT_FIR:
                 out.append(Feedback("fir", snd, med, fci[4] if len(fci) > 4 else 0))
+            elif pt == RTCP_PSFB and fmt == FMT_SLI and len(fci) >= 4:
+                out.append(Feedback("sli", snd, med,
+                                    struct.unpack_from("!I", fci)[0]))
+            elif pt == RTCP_PSFB and fmt == FMT_RPSI and len(fci) >= 2:
+                pb, ptype = fci[0], fci[1] & 0x7F
+                bits = fci[2:len(fci) - pb // 8] if pb else fci[2:]
+                out.append(Feedback("rpsi", snd, med, ptype, bytes(bits)))
             elif pt == RTCP_RTPFB and fmt == FMT_TMMBR and len(fci) >= 8:
                 _, packed = struct.unpack_from("!II", fci)
                 exp = packed >> 26

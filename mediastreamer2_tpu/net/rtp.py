@@ -403,6 +403,26 @@ class RtpSession:
         self._rtx_history = {}
         self._rtx_depth = history
 
+    def enable_frame_marking_ext(self, ext_id: int = 5):
+        """RFC 7941 frame-marking header extension (msrtp.c frame-marking
+        insert): S/E/I/D bits let SFUs spot frame boundaries and keyframes
+        without parsing — or decrypting — the payload."""
+        self._fm_ext_id = ext_id
+        self._fm_byte = None
+
+    def set_frame_marking(self, start: bool, end: bool, independent: bool,
+                          discardable: bool = False):
+        """Marking for the NEXT sent packet (cleared after each send)."""
+        self._fm_byte = ((0x80 if start else 0) | (0x40 if end else 0)
+                         | (0x20 if independent else 0)
+                         | (0x10 if discardable else 0))
+
+    @staticmethod
+    def parse_frame_marking(data: bytes):
+        """-> (start, end, independent, discardable) from an ext value."""
+        b = data[0] if data else 0
+        return bool(b & 0x80), bool(b & 0x40), bool(b & 0x20), bool(b & 0x10)
+
     def enable_audio_level_ext(self, ext_id: int = 1):
         """RFC 6464 client-to-mixer audio level header extension
         (reference: msrtp.c audio-level extension insertion; negotiated id
@@ -439,6 +459,11 @@ class RtpSession:
             ext[self._csrc_level_ext_id] = bytes(
                 db for _, db in self._csrc_levels)
             csrcs = tuple(ssrc for ssrc, _ in self._csrc_levels)
+        if getattr(self, "_fm_ext_id", None) is not None \
+                and self._fm_byte is not None:
+            ext = dict(ext or {})
+            ext[self._fm_ext_id] = bytes([self._fm_byte])
+            self._fm_byte = None
         pkt = RtpPacket(self.payload_type, self.seq, self.ts, self.ssrc,
                         payload, marker, extensions=ext, csrcs=csrcs)
         wire = pkt.pack()
