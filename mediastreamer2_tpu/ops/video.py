@@ -47,6 +47,43 @@ def join_yuv420(y, u, v):
     return jnp.concatenate([y, uv], axis=1)
 
 
+def nv12_to_i420(y, uv, nv21: bool = False):
+    """Semi-planar (biplanar) -> planar chroma (the framework tester's
+    'copy ycbcrbiplanar to true yuv', msvideo.c ms_yuv_buf copy helpers).
+
+    y [B,h,w]; uv [B,h/2,w] with interleaved CbCr (CrCb when nv21)."""
+    B, hh, w = uv.shape
+    pairs = uv.reshape(B, hh, w // 2, 2)
+    u = pairs[..., 1] if nv21 else pairs[..., 0]
+    v = pairs[..., 0] if nv21 else pairs[..., 1]
+    return y, u, v
+
+
+def i420_to_nv12(y, u, v, nv21: bool = False):
+    """Planar -> semi-planar interleaved chroma."""
+    a, b = (v, u) if nv21 else (u, v)
+    B, hh, hw = u.shape
+    uv = jnp.stack([a, b], axis=-1).reshape(B, hh, hw * 2)
+    return y, uv
+
+
+def nv12_to_yuv420_frame(y, uv, degrees: int = 0, out_w: int = 0,
+                         out_h: int = 0, nv21: bool = False):
+    """Biplanar input -> packed I420 frame with optional rotation and
+    rescale — the tester's rotation/downscale combo matrix in one op
+    (rotation before scaling, like ms_yuv_buf_copy_with_rotation)."""
+    yy, u, v = nv12_to_i420(y, uv, nv21=nv21)
+    frame = join_yuv420(yy, u, v)
+    B, h, w = yy.shape
+    if degrees:
+        frame = rotate_yuv420(frame, w, h, degrees)
+        if degrees in (90, 270):
+            w, h = h, w
+    if out_w and out_h and (out_w, out_h) != (w, h):
+        frame = scale_yuv420(frame, w, h, out_w, out_h)
+    return frame
+
+
 def yuv420_to_rgb(frame, w: int, h: int):
     y, u, v = split_yuv420(frame, w, h)
     up = lambda p: jax.image.resize(p, (p.shape[0], h, w), "linear")

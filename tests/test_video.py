@@ -120,3 +120,55 @@ def test_rtp_audio_level_extension_roundtrip():
     pkt = RtpPacket.unpack(data)
     assert pkt.extensions == {1: bytes([0x80 | 23])}
     assert pkt.payload == b"\xff" * 80
+
+
+def test_biplanar_conversions():
+    """Framework-tester parity: ycbcrbiplanar (NV12/NV21) <-> planar, with
+    the rotation/downscale combos of the reference's copy matrix."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mediastreamer2_tpu.ops.video import (nv12_to_i420, i420_to_nv12,
+                                              nv12_to_yuv420_frame,
+                                              split_yuv420)
+    rng = np.random.default_rng(7)
+    B, w, h = 2, 32, 24
+    y = jnp.asarray(rng.random((B, h, w)), jnp.float32)
+    u = jnp.asarray(rng.random((B, h // 2, w // 2)), jnp.float32)
+    v = jnp.asarray(rng.random((B, h // 2, w // 2)), jnp.float32)
+    for nv21 in (False, True):
+        yy, uv = i420_to_nv12(y, u, v, nv21=nv21)
+        y2, u2, v2 = nv12_to_i420(yy, uv, nv21=nv21)
+        assert np.allclose(u2, u) and np.allclose(v2, v)
+        assert np.allclose(y2, y)
+    # rotation 90: dimensions swap, content rotates
+    _, uv = i420_to_nv12(y, u, v)
+    f90 = nv12_to_yuv420_frame(y, uv, degrees=90)
+    y90, u90, _ = split_yuv420(f90, h, w)       # rotated: w x h
+    assert y90.shape == (B, w, h)
+    # rotation 180 + downscale by 2 (the tester's combined case)
+    f = nv12_to_yuv420_frame(y, uv, degrees=180, out_w=w // 2, out_h=h // 2)
+    yd, ud, vd = split_yuv420(f, w // 2, h // 2)
+    assert yd.shape == (B, h // 2, w // 2)
+    # 180 rotation = flip both axes; compare downsampled means coarsely
+    ref = np.asarray(y)[:, ::-1, ::-1]
+    got = np.asarray(yd)
+    assert abs(ref.mean() - got.mean()) < 0.05
+
+
+def test_jitter_packet_duplication():
+    """'Packet duplication' tester case: duplicated packets neither corrupt
+    playout order nor inflate loss/late stats (dict-by-seq dedupe)."""
+    from mediastreamer2_tpu.net.jitter import JitterBuffer, JBParams
+    from mediastreamer2_tpu.net.rtp import RtpPacket
+    jb = JitterBuffer(JBParams(min_depth_ticks=1, adaptive=False))
+    for seq in range(20):
+        pkt = RtpPacket(0, seq, seq * 80, 1, bytes([seq]) * 10)
+        jb.put(pkt)
+        jb.put(pkt)                  # exact duplicate
+    got = []
+    for _ in range(25):
+        p = jb.get_tick()
+        if p is not None:
+            got.append(p[0])
+    assert got == list(range(20))    # each packet exactly once, in order
+    assert jb.lost == 0
