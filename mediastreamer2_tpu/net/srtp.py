@@ -402,3 +402,127 @@ class SrtpTransport(Transport):
 
     def close(self):
         self.inner.close()
+
+
+# ------------------------------------------------------------------ EKT
+# Encrypted Key Transport (RFC 8870), the reference's mechanism for
+# carrying the INNER SRTP master key inside the (outer-protected) packets
+# of a relayed double-encrypted conference (ms_srtp.cpp:53-56 msg types,
+# :395-460 tag construction): a relay or late joiner holding only the EKT
+# key learns each sender's inner key from the first full tag it sees.
+EKT_MSG_SHORT = 0x00
+EKT_MSG_FULL = 0x02
+
+
+def _ekt_full_tag(ekt_key: bytes, master_key: bytes, ssrc: int, roc: int,
+                  spi: int, epoch: int = 0) -> bytes:
+    """FullEKTField: AESKW(keylen|key|ssrc|roc) || SPI || Epoch || Len || 0x02
+    (exactly ms_srtp.cpp:414-450)."""
+    from cryptography.hazmat.primitives.keywrap import aes_key_wrap
+    plain = bytes([len(master_key)]) + master_key \
+        + struct.pack("!II", ssrc, roc)
+    if len(plain) % 8:
+        plain += b"\x00" * (8 - len(plain) % 8)      # KW needs 8-byte blocks
+    ct = aes_key_wrap(ekt_key, plain)
+    size = len(ct) + 7            # + SPI(2) Epoch(2) Length(2) MsgType(1)
+    return ct + struct.pack("!HHH", spi, epoch, size) + bytes([EKT_MSG_FULL])
+
+
+def _ekt_parse_tag(packet: bytes, keys: Dict[int, bytes]):
+    """-> (packet_without_tag, None | (spi, master_key, ssrc, roc)).
+    `keys` maps SPI -> EKT key (the receiver's SPI pool)."""
+    from cryptography.hazmat.primitives.keywrap import (aes_key_unwrap,
+                                                        InvalidUnwrap)
+    if not packet:
+        return packet, None
+    msg = packet[-1]
+    if msg == EKT_MSG_SHORT:
+        return packet[:-1], None
+    if msg != EKT_MSG_FULL or len(packet) < 8:
+        return packet, None                        # no EKT field
+    size = struct.unpack("!H", packet[-3:-1])[0]
+    if size > len(packet):
+        return packet, None
+    tag = packet[-size:]
+    spi, epoch = struct.unpack("!HH", tag[-7:-3])
+    key = keys.get(spi)
+    if key is None:
+        return packet[:-size], None                # unknown SPI: drop tag
+    try:
+        plain = aes_key_unwrap(key, tag[:-7])
+    except (InvalidUnwrap, ValueError):
+        return packet[:-size], None
+    klen = plain[0]
+    if 1 + klen + 8 > len(plain):
+        return packet[:-size], None
+    mkey = plain[1:1 + klen]
+    ssrc, roc = struct.unpack("!II", plain[1 + klen:9 + klen])
+    return packet[:-size], (spi, mkey, ssrc, roc)
+
+
+class EktTransport(Transport):
+    """Transport layer between the inner and outer SRTP wrappers of a
+    double-encrypted relayed stream: appends EKT tags on send (full tag on
+    first packet / ROC change / every `full_period` packets, short tag
+    otherwise) and strips them on receive, announcing learned inner keys
+    via `on_key(ssrc, master_key, roc)`."""
+
+    def __init__(self, inner: Transport, ekt_key: bytes = None,
+                 spi: int = 0, send_master_key: bytes = None,
+                 recv_keys: Optional[Dict[int, bytes]] = None,
+                 on_key=None, full_period: int = 50):
+        self.inner = inner
+        self.ekt_key = ekt_key
+        self.spi = spi
+        self.send_master_key = send_master_key
+        self.recv_keys = dict(recv_keys or {})
+        if ekt_key is not None and spi not in self.recv_keys:
+            self.recv_keys[self.spi] = ekt_key
+        self.on_key = on_key
+        self.full_period = full_period
+        self._sent: Dict[int, int] = {}            # ssrc -> packets since full
+        self._tag_cache: Dict[int, tuple] = {}     # ssrc -> (roc, tag)
+        self.learned: Dict[int, tuple] = {}        # ssrc -> (key, roc)
+
+    @staticmethod
+    def _is_rtcp(data: bytes) -> bool:
+        return len(data) >= 2 and 200 <= data[1] <= 207
+
+    def send(self, data: bytes):
+        if self._is_rtcp(data) or self.send_master_key is None \
+                or len(data) < 12:
+            self.inner.send(data)
+            return
+        ssrc = struct.unpack("!I", data[8:12])[0]
+        seq = struct.unpack("!H", data[2:4])[0]
+        n = self._sent.get(ssrc, 0)
+        cached = self._tag_cache.get(ssrc)
+        roc = 0 if cached is None else cached[0]
+        if cached is None or n >= self.full_period or seq == 0:
+            tag = _ekt_full_tag(self.ekt_key, self.send_master_key, ssrc,
+                                roc, self.spi)
+            self._tag_cache[ssrc] = (roc, tag)
+            self._sent[ssrc] = 0
+            self.inner.send(data + tag)
+        else:
+            self._sent[ssrc] = n + 1
+            self.inner.send(data + bytes([EKT_MSG_SHORT]))
+
+    def recv_all(self):
+        out = []
+        for data in self.inner.recv_all():
+            if self._is_rtcp(data):
+                out.append(data)
+                continue
+            stripped, info = _ekt_parse_tag(data, self.recv_keys)
+            if info is not None:
+                _spi, mkey, ssrc, roc = info
+                if self.learned.get(ssrc, (None,))[0] != mkey:
+                    self.learned[ssrc] = (mkey, roc)
+                    if self.on_key is not None:
+                        self.on_key(ssrc, mkey, roc)
+            out.append(stripped)
+        return out
+
+    def close(self):
+        self.inner.close()

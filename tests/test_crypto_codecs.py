@@ -402,3 +402,61 @@ def test_srtp_session_key_change(factory):
     sim, _ = audio_diff(sig, rx.get_recording()[0])
     assert sim > 0.9, f"post-rekey sim {sim}"
     assert wrapped.auth_failures == 0 or wrapped.auth_failures < 3
+
+
+def test_ekt_relayed_double_encryption():
+    """'Double Encrypted relayed audio stream using ekt' tester case: the
+    receiver holds only the OUTER key and the EKT key; the sender's inner
+    master key travels in RFC 8870 full tags (ms_srtp.cpp:395-460 layout),
+    so the receiver bootstraps inner decryption from the first packet."""
+    import os
+    from mediastreamer2_tpu.net.srtp import (EktTransport, SrtcpContext,
+                                             _ekt_full_tag, _ekt_parse_tag)
+    ekt_key = bytes(range(16))
+    inner_key, inner_salt = os.urandom(16), bytes(range(14))
+    outer_key, outer_salt = os.urandom(16), bytes(range(10, 24))
+
+    # wire-layout unit check first (tag layout per ms_srtp.cpp)
+    tag = _ekt_full_tag(ekt_key, inner_key, 0xABCD, 3, spi=7)
+    assert tag[-1] == 0x02
+    size = int.from_bytes(tag[-3:-1], "big")
+    assert size == len(tag)
+    rest, info = _ekt_parse_tag(b"\x80\x00" + b"x" * 10 + tag, {7: ekt_key})
+    assert info == (7, inner_key, 0xABCD, 3)
+
+    pair = LoopbackPair()
+    # sender: inner protect -> EKT tag -> outer protect
+    tx_outer = SrtpTransport(pair.endpoint(0),
+                             tx=SrtpContext(outer_key, outer_salt),
+                             rx=SrtpContext(outer_key, outer_salt))
+    tx_ekt = EktTransport(tx_outer, ekt_key=ekt_key, spi=7,
+                          send_master_key=inner_key)
+    tx = SrtpTransport(tx_ekt, tx=SrtpContext(inner_key, inner_salt),
+                       rx=SrtpContext(inner_key, inner_salt))
+    # receiver: does NOT know the inner key — learns it from the tag
+    learned = {}
+    rx_inner_holder = {}
+
+    def on_key(ssrc, mkey, roc):
+        learned[ssrc] = (mkey, roc)
+        rx_inner_holder["ctx"] = SrtpContext(mkey, inner_salt)
+
+    rx_outer = SrtpTransport(pair.endpoint(1),
+                             tx=SrtpContext(outer_key, outer_salt),
+                             rx=SrtpContext(outer_key, outer_salt))
+    rx_ekt = EktTransport(rx_outer, recv_keys={7: ekt_key}, on_key=on_key)
+
+    sent = []
+    for i in range(8):
+        pkt = RtpPacket(0, i, i * 160, 0x1234, bytes([i]) * 30).pack()
+        sent.append(pkt)
+        tx.send(pkt)
+    got = []
+    for wire in rx_ekt.recv_all():       # outer-stripped, tag-stripped
+        plain = rx_inner_holder["ctx"].unprotect(wire)
+        assert plain is not None
+        got.append(plain)
+    assert got == sent
+    assert 0x1234 in learned and learned[0x1234][0] == inner_key
+    # only the first packet carried the full tag; the rest short tags
+    assert rx_ekt.learned[0x1234][0] == inner_key
