@@ -377,6 +377,11 @@ class VideoStreamBatch:
             w, h = self.out_fmt.width, self.out_fmt.height
             codec_factory = lambda: Av1FrameCodec(w, h, fps=fps)   # noqa: E731
             packetizer_factory = lambda: Av1Packetizer(mtu)        # noqa: E731
+        elif codec == "vp8":              # convenience: full VP8 legs
+            from mediastreamer2_tpu.ops.vp8 import Vp8FrameCodec
+            w, h = self.out_fmt.width, self.out_fmt.height
+            codec_factory = lambda: Vp8FrameCodec(w, h)            # noqa: E731
+            packetizer_factory = None
         else:
             packetizer_factory = None
         if codec_factory is not None:

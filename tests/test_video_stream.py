@@ -125,3 +125,49 @@ def test_preview_only_graph(factory):
     # advanced); no sessions => nothing sent anywhere
     assert vs.sessions == [None]
     assert int(np.asarray(vs.ticker.state["cam"]["frame_idx"])[0]) == 30
+
+
+class _DropFirstN:
+    """Transport filter: swallow the first N delivered packets (the
+    'first iframe lost' tester scenario)."""
+    def __init__(self, inner, n):
+        self.inner, self.n = inner, n
+
+    def send(self, data):
+        self.inner.send(data)
+
+    def recv_all(self):
+        out = self.inner.recv_all()
+        while self.n > 0 and out:
+            out.pop(0)
+            self.n -= 1
+        return out
+
+    def close(self):
+        self.inner.close()
+
+
+def test_first_iframe_lost_recovers_via_starter(factory):
+    """'AVPF video stream first iframe lost': the initial keyframe never
+    arrives; the VideoStarter notices nothing decodes and requests an
+    I-frame (videostarter.c role), after which the stream runs."""
+    import pytest as _pytest
+    from mediastreamer2_tpu.core.block import Format
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    if not vp8_available():
+        _pytest.skip("libvpx unavailable")
+    fmt = Format(kind="yuv420", width=64, height=48, fps=10.0)
+    tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0, codec="vp8")
+    rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0, codec="vp8")
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, _DropFirstN(pair.endpoint(1), 4))  # eat 1st frame
+    tx.bind_assemblers(); rx.bind_assemblers()
+    rx.fir_limiters[0].min_interval_s = 0.2
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(150):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    assert rx.stats[0].fir_sent > 0            # starter asked for an iframe
+    assert rx.stats[0].frames_received >= 5    # and the stream recovered
