@@ -197,6 +197,19 @@ def e2e_legs() -> tuple:
                   f"ms/tick -> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
             if ok:
                 best = (mid, res)
+    if best[0] == 0:
+        # degraded environment (loaded host / slow tunnel): walk DOWN so the
+        # headline reports what actually fits instead of 0
+        for n in (1024, 768, 512, 256):
+            K, D = _kd_for(n)
+            res = e2e_trial(n, K, D)
+            ok = e2e_passes(res)
+            print(f"# e2e fallback n={n}: "
+                  f"{None if res is None else round(res.ms_per_tick, 2)} "
+                  f"ms/tick -> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+            if ok:
+                best = (n, res)
+                break
     return best
 
 
