@@ -89,7 +89,8 @@ def test_sas_encoding():
 def test_goclear_authenticated_downgrade():
     """RFC 6189 GoClear: secure -> clear on both ends, authenticated by
     the shared-secret HMAC; a forged GoClear is ignored."""
-    from mediastreamer2_tpu.net.zrtp import ZrtpSession, MSG_GOCLEAR, MAGIC
+    from mediastreamer2_tpu.net.zrtp import (ZrtpSession, T_GOCLEAR,
+                                             make_message, wrap_packet)
     a_out, b_out = [], []
     a = ZrtpSession(send=a_out.append)
     b = ZrtpSession(send=b_out.append)
@@ -105,7 +106,7 @@ def test_goclear_authenticated_downgrade():
     b.on_goclear = lambda: cleared.append("b")
     a.on_goclear = lambda: cleared.append("a")
     # forged GoClear (wrong mac) must be ignored
-    b.process(MAGIC + bytes([MSG_GOCLEAR]) + b"\x00" * 32)
+    b.process(wrap_packet(make_message(T_GOCLEAR, b"\x00" * 8), 1, 7))
     assert b.state == "secure" and cleared == []
     # genuine GoClear
     a.go_clear()
@@ -116,3 +117,74 @@ def test_goclear_authenticated_downgrade():
             b_out.remove(m); a.process(m)
     assert b.state == "clear" and a.state == "clear"
     assert sorted(cleared) == ["a", "b"]
+
+
+def test_zrtp_wire_format_rfc6189():
+    """Structural wire check (RFC 6189 §5): RTP-lookalike header with the
+    ZRTP magic cookie, CRC-32C trailer (RFC 3309 check value), 0x505a
+    message preamble, word length, 8-octet type blocks."""
+    from mediastreamer2_tpu.net.zrtp import (crc32c, wrap_packet,
+                                             unwrap_packet, make_message,
+                                             parse_message, T_HELLO,
+                                             ZrtpSession, is_zrtp)
+    import struct
+    # CRC-32C standard check value
+    assert crc32c(b"123456789") == 0xE3069283
+    msg = make_message(T_HELLO, b"\x01\x02\x03")        # padded to a word
+    assert len(msg) % 4 == 0
+    pre, words = struct.unpack("!HH", msg[:4])
+    assert pre == 0x505A and words * 4 == len(msg)
+    t, body = parse_message(msg)
+    assert t == T_HELLO and body[:3] == b"\x01\x02\x03"
+    pkt = wrap_packet(msg, seq=42, ssrc=0xDEADBEEF)
+    assert pkt[0] == 0x10 and pkt[1] == 0x00
+    assert struct.unpack("!H", pkt[2:4])[0] == 42
+    assert struct.unpack("!I", pkt[4:8])[0] == 0x5A525450   # 'ZRTP'
+    assert struct.unpack("!I", pkt[8:12])[0] == 0xDEADBEEF
+    assert is_zrtp(pkt)
+    assert unwrap_packet(pkt) == msg
+    # corrupted CRC rejected
+    bad = pkt[:-1] + bytes([pkt[-1] ^ 1])
+    assert unwrap_packet(bad) is None
+    # a real Hello from a session has the RFC fields in place
+    out = []
+    z = ZrtpSession(send=out.append)
+    z.start()
+    hello = unwrap_packet(out[0])
+    t, body = parse_message(hello)
+    assert t == T_HELLO
+    assert body[:4] == b"1.10"                  # protocol version
+    assert body[20:52] == z.h[3]                # H3 hash-chain tip
+    assert body[52:64] == z.zid
+
+
+def test_zrtp_tampered_handshake_fails():
+    """Hash-chain + hvi commitment: a MitM substituting DH values breaks
+    the chain MACs and the session refuses to complete."""
+    from mediastreamer2_tpu.net.zrtp import (ZrtpSession, unwrap_packet,
+                                             parse_message, wrap_packet,
+                                             T_DH2)
+    a_out, b_out = [], []
+    a = ZrtpSession(send=a_out.append)
+    b = ZrtpSession(send=b_out.append)
+    a.start(); b.start()
+    tampered = [False]
+
+    def pump_once():
+        for m in a_out[:]:
+            a_out.remove(m)
+            msg = unwrap_packet(m)
+            t, body = parse_message(msg)
+            if t == T_DH2 and not tampered[0]:
+                # swap in an attacker's public value
+                body = body[:64] + b"\x99" * 32 + body[96:]
+                from mediastreamer2_tpu.net.zrtp import make_message
+                m = wrap_packet(make_message(T_DH2, body), 1, 1)
+                tampered[0] = True
+            b.process(m)
+        for m in b_out[:]:
+            b_out.remove(m); a.process(m)
+
+    for _ in range(12):
+        pump_once()
+    assert b.state == "failed" or not b.secrets_ready
