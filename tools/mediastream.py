@@ -44,18 +44,32 @@ def cmd_call(args):
     stream = AudioStreamBatch(factory, 1, codec=args.codec, rate=args.rate,
                               features=feats, mic_signal=sig,
                               record_ticks=args.seconds * 100)
-    t = UdpTransport(local_port=args.local_port)
+    mcast = args.multicast
+    t = UdpTransport(local_port=args.local_port,
+                     bind_host="0.0.0.0" if mcast else "127.0.0.1",
+                     reuse_addr=bool(mcast))
+    if mcast:
+        t.join_multicast_group(mcast)
+        t.set_remote(mcast, args.local_port)
     if args.remote:
         host, port = args.remote.rsplit(":", 1)
         t.set_remote(host, int(port))
+    if args.symmetric:
+        t.set_symmetric(True)
+    if args.dscp:
+        t.set_dscp(args.dscp)
     if args.use_native_pump:
         from mediastreamer2_tpu.native import NativeIoPump
         t.attach_pump(NativeIoPump())
     stream.set_transport(0, t)
     if args.srtp_key:
         import binascii
+        from mediastreamer2_tpu.net.srtp import SUITES
         km = binascii.unhexlify(args.srtp_key)
-        stream.enable_srtp(0, km[:16], km[16:30], km[:16], km[16:30])
+        _k, klen, slen, _t = SUITES[args.srtp_suite]
+        stream.enable_srtp(0, km[:klen], km[klen:klen + slen],
+                           km[:klen], km[klen:klen + slen],
+                           suite=args.srtp_suite)
     print(f"call leg up: 127.0.0.1:{t.local_port} -> {args.remote} "
           f"codec={args.codec}@{args.rate} features={feats}")
     stream.run(args.seconds * 100)
@@ -182,7 +196,15 @@ def main():
     c.add_argument("--agc", action="store_true")
     c.add_argument("--ng", action="store_true", help="noise gate")
     c.add_argument("--vad", action="store_true", help="VAD/DTX")
-    c.add_argument("--srtp-key", default="", help="hex master key||salt (60 hex chars)")
+    c.add_argument("--srtp-key", default="", help="hex master key||salt")
+    c.add_argument("--srtp-suite", default="AES_CM_128_HMAC_SHA1_80",
+                   help="AES_CM_128_HMAC_SHA1_80 | AEAD_AES_128_GCM | ...")
+    c.add_argument("--multicast", default="",
+                   help="multicast group to join/send to (e.g. 224.1.2.3)")
+    c.add_argument("--symmetric", action="store_true",
+                   help="symmetric RTP: follow the peer's source address")
+    c.add_argument("--dscp", type=int, default=0,
+                   help="DSCP mark for media packets (e.g. 46 = EF)")
     c.add_argument("--infile", default="", help="wav to send instead of mic")
     c.add_argument("--outfile", default="", help="record received audio")
     c.add_argument("--seconds", type=int, default=10)
