@@ -147,8 +147,76 @@ def local_capabilities() -> List[PayloadTypeDesc]:
     from mediastreamer2_tpu.ops.vp8 import vp8_available
     if vp8_available():
         caps.append(PayloadTypeDesc("VP8", 90000, 1, 102))
-    from mediastreamer2_tpu.ops.h264 import h264_available
+    from mediastreamer2_tpu.ops.h264 import h264_available, h265_available
     if h264_available():
         caps.append(PayloadTypeDesc("H264", 90000, 1, 103,
                                     "packetization-mode=1"))
+    if h265_available():
+        caps.append(PayloadTypeDesc("H265", 90000, 1, 104, "profile-id=1"))
+    from mediastreamer2_tpu.ops.av1 import av1_available
+    if av1_available():
+        caps.append(PayloadTypeDesc("AV1", 90000, 1, 105, "profile=0"))
+    if hc.speex_available():
+        caps.append(PayloadTypeDesc("speex", 16000, 1, 106))
+    if hc.g729_available():
+        caps.append(PayloadTypeDesc("G729", 8000, 1, 18))
     return caps
+
+
+def _h265_match(offered, local):
+    """HEVC (RFC 7798): echo profile/tier/level when main-profile."""
+    if offered.mime.lower() != "h265" or local.mime.lower() != "h265":
+        return None
+    fmtp = {}
+    for part in (offered.fmtp or "").split(";"):
+        if "=" in part:
+            k, v = part.strip().split("=", 1)
+            fmtp[k.lower()] = v
+    if fmtp.get("profile-id", "1") != "1":     # main profile only
+        return None
+    answer = []
+    if "profile-id" in fmtp:
+        answer.append("profile-id=1")
+    return PayloadTypeDesc("H265", 90000, 1, offered.number,
+                           ";".join(answer))
+
+
+register_offer_answer_provider("h265", _h265_match)
+
+
+def _av1_match(offered, local):
+    """AV1 (aom RTP spec): profile 0, echoed level-idx capped."""
+    if offered.mime.lower() != "av1" or local.mime.lower() != "av1":
+        return None
+    fmtp = {}
+    for part in (offered.fmtp or "").split(";"):
+        if "=" in part:
+            k, v = part.strip().split("=", 1)
+            fmtp[k.lower()] = v
+    if fmtp.get("profile", "0") != "0":
+        return None                            # high/pro profiles declined
+    answer = []
+    if "level-idx" in fmtp:
+        answer.append(f"level-idx={min(int(fmtp['level-idx']), 8)}")
+    return PayloadTypeDesc("AV1", 90000, 1, offered.number,
+                           ";".join(answer))
+
+
+register_offer_answer_provider("av1", _av1_match)
+
+
+def _speex_match(offered, local):
+    """Speex (RFC 5574): clock rates must agree; vbr=on echoed."""
+    if offered.mime.lower() != "speex" or local.mime.lower() != "speex":
+        return None
+    if offered.clock_rate != local.clock_rate:
+        return None
+    answer = []
+    for part in (offered.fmtp or "").split(";"):
+        if part.strip().startswith("vbr="):
+            answer.append(part.strip())
+    return PayloadTypeDesc("speex", local.clock_rate, 1, offered.number,
+                           ";".join(answer))
+
+
+register_offer_answer_provider("speex", _speex_match)

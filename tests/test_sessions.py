@@ -258,3 +258,28 @@ def test_offer_answer_video_and_new_codecs():
     hi = [PayloadTypeDesc("H264", 90000, 1, 104,
                           "packetization-mode=1;profile-level-id=640028")]
     assert negotiate(hi, caps) == []
+
+
+def test_offer_answer_new_providers():
+    """H.265/AV1/speex offer-answer providers (the reference registers one
+    per codec family via ms_factory_register_offer_answer_provider)."""
+    from mediastreamer2_tpu.models import offer_answer as oa
+    local = [oa.PayloadTypeDesc("H265", 90000, 1, 104, "profile-id=1"),
+             oa.PayloadTypeDesc("AV1", 90000, 1, 105, "profile=0"),
+             oa.PayloadTypeDesc("speex", 16000, 1, 106)]
+    offered = [oa.PayloadTypeDesc("H265", 90000, 1, 97, "profile-id=1"),
+               oa.PayloadTypeDesc("AV1", 90000, 1, 98,
+                                  "profile=0;level-idx=15"),
+               oa.PayloadTypeDesc("speex", 16000, 1, 99, "vbr=on")]
+    ans = oa.negotiate(offered, local)
+    assert [a.mime for a in ans] == ["H265", "AV1", "speex"]
+    assert ans[0].number == 97 and "profile-id=1" in ans[0].fmtp
+    assert "level-idx=8" in ans[1].fmtp          # capped to our level
+    assert ans[2].fmtp == "vbr=on"
+    # declined: AV1 high profile, H265 non-main profile
+    bad = [oa.PayloadTypeDesc("AV1", 90000, 1, 98, "profile=1"),
+           oa.PayloadTypeDesc("H265", 90000, 1, 97, "profile-id=2")]
+    assert oa.negotiate(bad, local) == []
+    # speex clock-rate mismatch declined
+    assert oa.negotiate([oa.PayloadTypeDesc("speex", 8000, 1, 99)],
+                        local) == []
