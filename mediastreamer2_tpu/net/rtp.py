@@ -127,6 +127,26 @@ class RtpStats:
     out_of_order: int = 0
 
 
+class BandwidthMeter:
+    """Sliding-window bits/s meter — media_stream_get_up_bw / get_down_bw
+    parity (mediastream.c:647-684 on oRTP's averaged bandwidth)."""
+
+    def __init__(self, window_s: float = 1.0):
+        self.window_s = window_s
+        self._events: List[Tuple[float, int]] = []   # (time, bytes)
+
+    def add(self, nbytes: int, now: Optional[float] = None):
+        now = time.monotonic() if now is None else now
+        self._events.append((now, nbytes))
+
+    def bps(self, now: Optional[float] = None) -> float:
+        now = time.monotonic() if now is None else now
+        floor = now - self.window_s
+        while self._events and self._events[0][0] < floor:
+            self._events.pop(0)
+        return sum(b for _, b in self._events) * 8.0 / self.window_s
+
+
 class Transport:
     """Abstract datagram transport; subclasses: UDP, loopback."""
     def send(self, data: bytes): ...
@@ -360,6 +380,8 @@ class RtpSession:
         self.seq = random.getrandbits(16)
         self.ts = random.getrandbits(31)
         self.stats = RtpStats()
+        self.up_bw = BandwidthMeter()     # media_stream_get_up_bw parity
+        self.down_bw = BandwidthMeter()
         self.jitter_buffer = jitter_buffer
         self.recv_ssrc: Optional[int] = None
         self.on_packet: Optional[Callable[[RtpPacket], None]] = None
@@ -477,6 +499,7 @@ class RtpSession:
         self.ts = (self.ts + ts_increment) & 0xFFFFFFFF
         self.stats.sent_packets += 1
         self.stats.sent_bytes += len(payload)
+        self.up_bw.add(len(wire))
 
     def retransmit(self, seq: int) -> bool:
         """Resend a NACKed packet from history."""
@@ -572,6 +595,7 @@ class RtpSession:
         self._last_transit = transit
         self.stats.recv_packets += 1
         self.stats.recv_bytes += len(pkt.payload)
+        self.down_bw.add(len(pkt.payload) + 12)
         if self.on_packet:
             self.on_packet(pkt)
         if self.jitter_buffer is not None:

@@ -72,3 +72,24 @@ def test_multicast_rtp_fanout():
         payloads = [RtpPacket.unpack(d).payload for d in pkts]
         assert payloads == [bytes([i]) * 40 for i in range(5)]
     tx.close(); rx1.close(); rx2.close()
+
+
+def test_bandwidth_meters():
+    """'Upload bandwidth computation' tester case: media_stream_get_up_bw /
+    down_bw parity via sliding-window meters on the session."""
+    from mediastreamer2_tpu.net.rtp import RtpSession, LoopbackPair
+    pair = LoopbackPair()
+    tx = RtpSession(pair.endpoint(0), payload_type=0, clock_rate=8000)
+    rx = RtpSession(pair.endpoint(1), payload_type=0, clock_rate=8000)
+    # 50 packets x 160 B payload inside the 1 s window:
+    # up_bw counts wire bytes (172 B each), down_bw payload+header
+    for _ in range(50):
+        tx.send_payload(b"\x00" * 160, 160)
+    rx.poll()
+    up = tx.up_bw.bps()
+    down = rx.down_bw.bps()
+    assert abs(up - 50 * 172 * 8) / (50 * 172 * 8) < 0.05, up
+    assert abs(down - 50 * 172 * 8) / (50 * 172 * 8) < 0.05, down
+    # window expiry: after >1 s the meter reads ~0
+    t_future = __import__("time").monotonic() + 2.0
+    assert tx.up_bw.bps(now=t_future) == 0.0
