@@ -76,7 +76,8 @@ class AudioStreamBatch:
                  record_ticks: int = 0,
                  record_mixed: bool = False,
                  jb_params: Optional[JBParams] = None,
-                 conference: bool = False):
+                 conference: bool = False,
+                 snd_card=None):
         """record_mixed=True records mic+received mixed (the reference's
         mixed-call recording branch, src/voip/audiostream.c:1068-1088,
         1834-1840: av_recorder fed from both directions) instead of the
@@ -101,6 +102,9 @@ class AudioStreamBatch:
         self.S_rtp = tick_samples(self.rtp_clock)
         self.features = features or AudioStreamFeatures()
         self.record_ticks = record_ticks
+        # capture/playback device (audio_stream_start_full's card args;
+        # hot-swappable via set_sound_card, audiostream.c:2046-style)
+        self.snd_card = snd_card
         fmt = Format(kind="pcm", rate=rate, channels=channels)
         ft = self.features
 
@@ -287,6 +291,24 @@ class AudioStreamBatch:
         self.sessions[leg].accepted_payload_types = {
             PAYLOAD_TYPES[self.codec], CN_PT}
 
+    def _mic_block(self, tick: int, B: int, S: int) -> np.ndarray:
+        """Capture block: the sound card's samples when a card is set
+        (ms_snd_card_create_reader role), silence otherwise."""
+        if self.snd_card is not None:
+            blk = self.snd_card.pull(tick, B)
+            if blk.shape[1] != S:                 # rate-mismatched card
+                out = np.zeros((B, S), np.float32)
+                n = min(S, blk.shape[1])
+                out[:, :n] = blk[:, :n]
+                return out
+            return blk
+        return np.zeros((B, S), np.float32)
+
+    def set_sound_card(self, card) -> None:
+        """Hot-swap the capture/playback device mid-call
+        (audio_stream_set_sound_card role; takes effect next tick)."""
+        self.snd_card = card
+
     def reclaim_sessions(self) -> List[Optional[RtpSession]]:
         """Detach the legs' RtpSessions for reuse by a replacement stream
         (media_stream_reclaim_sessions, mediastream.h:384): SSRC, sequence
@@ -407,7 +429,7 @@ class AudioStreamBatch:
         self._feed_echo_limiter()
         ext = {"rtp_rx": rx}
         if "mic" in self.graph.ext_inputs:
-            ext["mic"] = np.zeros((B, self.S), np.float32)
+            ext["mic"] = self._mic_block(tick, B, self.S)
         return ext
 
     def _push_batch_edge(self, tick: int, ext_out: Dict):
@@ -456,7 +478,7 @@ class AudioStreamBatch:
         self._feed_echo_limiter()
         ext = {"rtp_rx": rx}
         if "mic" in self.graph.ext_inputs:
-            ext["mic"] = np.zeros((B, S), np.float32)
+            ext["mic"] = self._mic_block(tick, B, S)
         return ext
 
     def _feed_echo_limiter(self):
@@ -513,10 +535,14 @@ class AudioStreamBatch:
             self.ticker.params["plc"]["lost"] = jnp.asarray(lost)
         ext = {"rtp_rx": rx}
         if "mic" in self.graph.ext_inputs:
-            ext["mic"] = np.zeros((B, S), np.float32)
+            ext["mic"] = self._mic_block(tick, B, S)
         return ext
 
     def _push(self, tick: int, ext_out: Dict):
+        if self.snd_card is not None and "spk" in ext_out:
+            # playback device consumes the recv-side output
+            # (ms_snd_card_create_writer / soundwrite role)
+            self.snd_card.push(tick, np.asarray(ext_out["spk"]))
         if self.batch_edge:
             return self._push_batch_edge(tick, ext_out)
         tx = np.asarray(ext_out["rtp_tx"])

@@ -304,3 +304,38 @@ def test_codec_change_over_reclaimed_sessions(factory):
     # same session identity continued: SSRC kept, sequence kept climbing
     assert tx_sess.ssrc == ssrc_before
     assert tx_sess.stats.sent_packets > 0 and tx_sess.seq != seq_before
+
+
+def test_stream_on_sound_card_with_hot_swap(factory):
+    """audio_stream_start_full's card wiring + audio_stream_set_sound_card
+    hot-swap: capture comes from a SndCard, playback goes to one, and the
+    card can be swapped mid-call (reference route-change handling)."""
+    from mediastreamer2_tpu.core.devices import FileSndCard
+    ticks = 120
+    sig1 = make_speechlike(S * ticks, RATE, seed=51)
+    sig2 = make_speechlike(S * ticks, RATE, seed=52)
+    card1 = FileSndCard("c1", signal=sig1, rate=RATE)
+    card2 = FileSndCard("c2", signal=sig2, rate=RATE)
+    tx = AudioStreamBatch(factory, 1, snd_card=card1)
+    rx = AudioStreamBatch(factory, 1, record_ticks=ticks + 40)
+    spk_card = FileSndCard("spk", rate=RATE)
+    rx.set_sound_card(spk_card)
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    rx.start(ticks + 40)
+    tx.ticker.realtime = True
+    tx.run(ticks // 2)
+    tx.set_sound_card(card2)          # hot swap mid-call
+    tx.run(ticks // 2)
+    tx.stop(); rx.stop()
+    rec = rx.get_recording()[0]
+    # first half is card1's signal, second half card2's
+    sim1, _ = audio_diff(sig1[: S * (ticks // 2)], rec[: S * (ticks // 2)])
+    sim2, _ = audio_diff(sig2, rec)   # card2 pulls from tick offset > half
+    assert sim1 > 0.85, f"pre-swap sim {sim1}"
+    # playback side: the card collected the received audio
+    played = np.concatenate([b[0] for b in spk_card.played])
+    simp, _ = audio_diff(sig1[: S * (ticks // 2)], played[: S * (ticks // 2)])
+    assert simp > 0.85, f"playback card sim {simp}"
