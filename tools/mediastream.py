@@ -41,9 +41,16 @@ def cmd_call(args):
         sig, rate = read_wav(args.infile)
         if rate != args.rate:
             print(f"warning: file rate {rate} != {args.rate}")
+    card = None
+    if args.card:
+        from mediastreamer2_tpu.core.devices import SndCardManager
+        mgr = SndCardManager()
+        card = mgr.get_card(args.card) or (mgr.cards[0] if mgr.cards else None)
+        print(f"sound card: {card}")
     stream = AudioStreamBatch(factory, 1, codec=args.codec, rate=args.rate,
                               features=feats, mic_signal=sig,
-                              record_ticks=args.seconds * 100)
+                              record_ticks=args.seconds * 100,
+                              snd_card=card)
     mcast = args.multicast
     t = UdpTransport(local_port=args.local_port,
                      bind_host="0.0.0.0" if mcast else "127.0.0.1",
@@ -206,6 +213,8 @@ def main():
     c.add_argument("--dscp", type=int, default=0,
                    help="DSCP mark for media packets (e.g. 46 = EF)")
     c.add_argument("--infile", default="", help="wav to send instead of mic")
+    c.add_argument("--card", default="",
+                   help="sound card name (alsa:default, pulse:default, ...)")
     c.add_argument("--outfile", default="", help="record received audio")
     c.add_argument("--seconds", type=int, default=10)
     c.add_argument("--use-native-pump", action="store_true")
