@@ -465,6 +465,24 @@ class VideoStreamBatch:
         Image.fromarray((rgb * 255).astype(np.uint8)).save(path, "JPEG")
         return path
 
+    def reclaim_sessions(self):
+        """Detach RtpSessions for reuse by a replacement stream — the video
+        half of media_stream_reclaim_sessions (codec change for video
+        stream tester case)."""
+        out = list(self.sessions)
+        self.sessions = [None] * self.batch
+        return out
+
+    def adopt_session(self, leg: int, session):
+        """Attach a reclaimed session re-pointed at this stream's payload
+        type; SSRC/seq continue across the codec change."""
+        session.reconfigure(VIDEO_PT, 90000)
+        session.jitter_buffer = None
+        if session.rtcp is None:
+            session.attach_rtcp(interval_s=5.0)
+        self.sessions[leg] = session
+        self.starters[leg].activate(now=self.ticker.stats.ticks * 0.01)
+
     def set_transport(self, leg: int, transport: Transport):
         self.sessions[leg] = RtpSession(transport, payload_type=VIDEO_PT,
                                         clock_rate=90000)

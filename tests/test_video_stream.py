@@ -171,3 +171,40 @@ def test_first_iframe_lost_recovers_via_starter(factory):
         rx.ticker.do_tick()
     assert rx.stats[0].fir_sent > 0            # starter asked for an iframe
     assert rx.stats[0].frames_received >= 5    # and the stream recovered
+
+
+def test_video_codec_change_over_reclaimed_sessions(factory):
+    """'Codec change for video stream': stop, reclaim sessions, restart
+    with a different codec — transport/SSRC identity survives."""
+    from mediastreamer2_tpu.core.block import Format
+    fmt = Format(kind="yuv420", width=64, height=48, fps=10.0)
+    tx1 = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0)        # dummy codec
+    rx1 = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0)
+    pair = LoopbackPair()
+    tx1.set_transport(0, pair.endpoint(0))
+    rx1.set_transport(0, pair.endpoint(1))
+    tx1.bind_assemblers(); rx1.bind_assemblers()
+    tx1.ticker.realtime = rx1.ticker.realtime = False
+    tx1.ticker.warm_up(); rx1.ticker.warm_up()
+    for _ in range(30):
+        tx1.ticker.do_tick(); rx1.ticker.do_tick()
+    assert rx1.stats[0].frames_received >= 2
+    tx_sess = tx1.reclaim_sessions()[0]
+    rx_sess = rx1.reclaim_sessions()[0]
+    ssrc = tx_sess.ssrc
+
+    import pytest as _pytest
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    if not vp8_available():
+        _pytest.skip("libvpx unavailable")
+    tx2 = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0, codec="vp8")
+    rx2 = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0, codec="vp8")
+    tx2.ticker.warm_up(); rx2.ticker.warm_up()
+    tx2.adopt_session(0, tx_sess)
+    rx2.adopt_session(0, rx_sess)
+    tx2.bind_assemblers(); rx2.bind_assemblers()
+    tx2.ticker.realtime = rx2.ticker.realtime = False
+    for _ in range(60):
+        tx2.ticker.do_tick(); rx2.ticker.do_tick()
+    assert rx2.stats[0].frames_received >= 3
+    assert tx_sess.ssrc == ssrc          # same identity continued
