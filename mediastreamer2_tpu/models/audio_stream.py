@@ -240,6 +240,7 @@ class AudioStreamBatch:
         self.jb_params = jb_params or JBParams()
         self._dtx_silent = np.zeros(batch, bool)
         self._was_voice = np.ones(batch, bool)
+        self._rtp_muted = np.zeros(batch, bool)   # audio_stream_mute_rtp
         # runtime ptime for byte codecs (MS_AUDIO_ENCODER_SET_PTIME; the
         # QoS AudioBitrateDriver climbs the ptime ladder under loss)
         self._ptime_ticks = [1] * batch
@@ -290,6 +291,37 @@ class AudioStreamBatch:
         # CN packets are accepted; their 1-byte payload routes to PLC/CN fill
         self.sessions[leg].accepted_payload_types = {
             PAYLOAD_TYPES[self.codec], CN_PT}
+
+    # -- per-leg control surface (audio_stream_* setters) -----------------
+    def _set_vol_param(self, node: str, key: str, leg: int, value):
+        if node not in self.ticker.params:
+            raise RuntimeError(f"stream built without {node} (volume off)")
+
+        def fn(tk, node=node, key=key, leg=leg, value=value):
+            arr = np.asarray(tk.params[node][key]).copy()
+            arr[leg] = value
+            tk.params[node][key] = jnp.asarray(arr)
+        self.ticker.mutate(fn)
+
+    def enable_mic(self, leg: int, enabled: bool):
+        """audio_stream_enable_mic: mute/unmute this leg's capture (the
+        send-side volume filter's mute switch, msvolume.c)."""
+        self._set_vol_param("vol_send", "mute", leg, not enabled)
+
+    def set_mic_gain_db(self, leg: int, db: float):
+        """audio_stream_set_mic_gain_db -> MS_VOLUME_SET_DB_GAIN."""
+        self._set_vol_param("vol_send", "static_gain", leg,
+                            10.0 ** (db / 20.0))
+
+    def set_spk_gain_db(self, leg: int, db: float):
+        """audio_stream_set_spk_gain_db on the receive volume."""
+        self._set_vol_param("vol_recv", "static_gain", leg,
+                            10.0 ** (db / 20.0))
+
+    def mute_rtp(self, leg: int, muted: bool = True):
+        """audio_stream_mute_rtp: stop emitting RTP for the leg (clock
+        keeps running — same DTX-style skip as the reference's mute)."""
+        self._rtp_muted[leg] = muted
 
     def _mic_block(self, tick: int, B: int, S: int) -> np.ndarray:
         """Capture block: the sound card's samples when a card is set
@@ -444,6 +476,9 @@ class AudioStreamBatch:
                               ).astype(np.uint8)
         else:
             mask = None
+        if self._rtp_muted.any():
+            mask = (np.ones(self.batch, np.uint8) if mask is None else mask) \
+                * (~self._rtp_muted).astype(np.uint8)
         self._edge_tx.send(payloads, ts_inc=self.S_rtp, mask=mask)
 
     def _pull(self, tick: int) -> Dict[str, np.ndarray]:
@@ -563,6 +598,7 @@ class AudioStreamBatch:
             voice = np.asarray(self.ticker.state["vad"]["voice"])
         else:
             voice = np.ones(self.batch, bool)
+        voice = voice & ~self._rtp_muted          # audio_stream_mute_rtp
         if self.host_codec:
             frame_samples = self.S * self.frame_ticks
             for i, sess in enumerate(self.sessions):
@@ -601,7 +637,7 @@ class AudioStreamBatch:
                 sess.send_payload(self._encode_payload(tx[i]),
                                   ts_increment=self.S_rtp)
             else:
-                if self._was_voice[i]:
+                if self._was_voice[i] and self.features.vad_dtx:
                     # RFC 3389 CN packet at silence onset (cf. vaddtx CN event)
                     level = np.asarray(self.ticker.state["vad"]["floor"])[i]
                     db = int(np.clip(-10 * np.log10(level + 1e-12), 0, 127))

@@ -339,3 +339,41 @@ def test_stream_on_sound_card_with_hot_swap(factory):
     played = np.concatenate([b[0] for b in spk_card.played])
     simp, _ = audio_diff(sig1[: S * (ticks // 2)], played[: S * (ticks // 2)])
     assert simp > 0.85, f"playback card sim {simp}"
+
+
+def test_mic_mute_gains_and_rtp_mute(factory):
+    """audio_stream_enable_mic / set_mic_gain_db / mute_rtp surface: a
+    muted mic sends silence, rtp-mute stops packets, gains scale levels."""
+    ticks = 60
+    sig = make_speechlike(S * ticks, RATE, seed=61)
+    tx = AudioStreamBatch(factory, 2, mic_signal=sig)
+    rx = AudioStreamBatch(factory, 2, record_ticks=ticks + 40)
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    pairs = []
+    for leg in range(2):
+        pair = LoopbackPair()
+        tx.set_transport(leg, pair.endpoint(0))
+        rx.set_transport(leg, pair.endpoint(1))
+        pairs.append(pair)
+    tx.enable_mic(0, False)                 # leg 0: mic muted
+    rx.start(ticks + 40)
+    tx.run(ticks + 10)
+    tx.stop(); rx.stop()
+    rec = rx.get_recording()
+    # the volume filter ramps gain smoothly (anti-click, msvolume.c):
+    # steady state after the ramp must be silence
+    assert np.abs(rec[0][S * 40:]).max() < 1e-2   # silence came through
+    sim, _ = audio_diff(sig, rec[1])
+    assert sim > 0.9                        # unmuted leg unaffected
+
+    # rtp mute: packets stop entirely on the muted leg
+    tx2 = AudioStreamBatch(factory, 2, mic_signal=sig)
+    tx2.ticker.warm_up()
+    p0, p1 = LoopbackPair(), LoopbackPair()
+    tx2.set_transport(0, p0.endpoint(0))
+    tx2.set_transport(1, p1.endpoint(0))
+    tx2.mute_rtp(0, True)
+    tx2.run(30)
+    tx2.stop()
+    assert tx2.sessions[0].stats.sent_packets == 0
+    assert tx2.sessions[1].stats.sent_packets > 20
