@@ -58,6 +58,7 @@ class AudioStreamFeatures:
     vad_dtx: bool = False
     dtmf: bool = False
     volume: bool = True
+    baudot: bool = False       # TTY tones: baudot_gen (send) + _det (recv)
     local_play: bool = False   # announcement mixer into the send path
                                # (cf. audiostream.c local player branch)
     # device-quirk-driven knobs (core/quirks.py -> audiostream.c:1642-1680)
@@ -121,6 +122,12 @@ class AudioStreamBatch:
             dec = g.add(f"{codec}_dec", "dec")
             g.link(rx, 0, dec, 0)
             last = dec
+        if ft.baudot:
+            # recv chain: detector before PLC (audiostream.c:1812-1832
+            # places baudot_det between local_mixer and plc)
+            bd = g.add("baudot_det", "baudot_det")
+            g.link(last, 0, bd, 0)
+            last = bd
         if ft.plc:
             plc = g.add("generic_plc", "plc")
             g.link(last, 0, plc, 0)
@@ -202,6 +209,12 @@ class AudioStreamBatch:
             vad = g.add("vad_dtx", "vad")
             g.link(last, 0, vad, 0)
             last = vad
+        if ft.baudot:
+            # send chain: tone generator after vad (audiostream.c:1796-1810
+            # [dtmfgen_rtp]->[baudot_gen] position)
+            bgen = g.add("baudot_gen", "baudot_gen")
+            g.link(last, 0, bgen, 0)
+            last = bgen
         if ft.local_play:
             # announcement player mixed into the outgoing audio
             player = g.add("file_player", "announce", fmt=fmt,
@@ -229,6 +242,8 @@ class AudioStreamBatch:
         self.graph = g.build()
         self.ticker = Ticker(self.graph, name=f"audio[{batch}]", realtime=True)
         self.ticker.set_io(pull=self._pull, push=self._push)
+        if ft.baudot:
+            self._init_baudot()
         if "vol_send" in self.ticker.params:
             if ft.agc:
                 self.ticker.params["vol_send"]["agc_enabled"] = jnp.ones((batch,), bool)
@@ -291,6 +306,40 @@ class AudioStreamBatch:
         # CN packets are accepted; their 1-byte payload routes to PLC/CN fill
         self.sessions[leg].accepted_payload_types = {
             PAYLOAD_TYPES[self.codec], CN_PT}
+
+    # -- Baudot TTY (audio_stream_send_baudot_* / enable_baudot_decoding) --
+    def _init_baudot(self):
+        from mediastreamer2_tpu.ops.baudot import BaudotFramer
+        self._baudot_framers = [BaudotFramer() for _ in range(self.batch)]
+        self._baudot_mark: Dict[tuple, np.ndarray] = {}
+
+        def on_mark(ev):
+            self._baudot_mark[(ev.tick, ev.leg)] = np.asarray(ev.value)
+
+        def on_space(ev):
+            mark = self._baudot_mark.pop((ev.tick, ev.leg), None)
+            if mark is not None:
+                self._baudot_framers[ev.leg].push_envelopes(
+                    mark, np.asarray(ev.value))
+
+        self.ticker.event_queue.set_handler("baudot_det.mark_env", on_mark)
+        self.ticker.event_queue.set_handler("baudot_det.space_env", on_space)
+
+    def send_baudot_string(self, leg: int, text: str):
+        """audio_stream_send_baudot_string: queue TTY FSK for this leg's
+        send path (baudot_generator_filter.cpp role)."""
+        if not self.features.baudot:
+            raise RuntimeError("stream built without baudot feature")
+        from mediastreamer2_tpu.ops.baudot import load_text
+
+        def fn(tk, leg=leg, text=text):
+            tk.state["baudot_gen"] = load_text(tk.state["baudot_gen"],
+                                               {leg: text}, self.batch)
+        self.ticker.mutate(fn)
+
+    def get_baudot_text(self, leg: int) -> str:
+        """Decoded TTY characters received so far on this leg."""
+        return self._baudot_framers[leg].text()
 
     # -- per-leg control surface (audio_stream_* setters) -----------------
     def _set_vol_param(self, node: str, key: str, leg: int, value):

@@ -84,3 +84,26 @@ def test_decode_reference_recordings(factory):
     assert decode("baudot_mono_alphabet_us.wav") == \
         "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     assert "0123456789" in decode("baudot_mono_digits_us.wav")
+
+
+def test_baudot_over_audio_stream(factory):
+    """Session-level TTY: audio_stream_send_baudot_string on one stream,
+    decoded text surfaces on the peer (audiostream.c baudot_gen/baudot_det
+    chain positions + baudot tester round trip)."""
+    from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
+                                                        AudioStreamFeatures)
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    feats = AudioStreamFeatures(baudot=True, plc=False, volume=False)
+    tx = AudioStreamBatch(factory, 1, features=feats)
+    rx = AudioStreamBatch(factory, 1, features=feats)
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.send_baudot_string(0, "SOS 911")
+    tx.ticker.realtime = rx.ticker.realtime = False
+    for _ in range(350):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+        rx.iterate()                      # pumps detector events
+    assert rx.get_baudot_text(0) == "SOS 911"
