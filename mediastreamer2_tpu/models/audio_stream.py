@@ -46,6 +46,9 @@ RTP_CLOCK = {"g722": 8000}
 # host codecs run at the RTP boundary (cf. SURVEY.md §7: library codecs are
 # host filters, like the reference's hw codec backends); value = frame ms
 HOST_CODECS = {"opus": 10, "gsm": 20, "g729": 20}
+# codec byte value that decodes to digital silence (for muted-direction
+# legs): mu-law 0xFF, A-law 0xD5 (RFC 3551 silence codes)
+SILENCE_CODE = {"ulaw": 0xFF, "alaw": 0xD5}
 
 
 @dataclasses.dataclass
@@ -256,6 +259,9 @@ class AudioStreamBatch:
         self._dtx_silent = np.zeros(batch, bool)
         self._was_voice = np.ones(batch, bool)
         self._rtp_muted = np.zeros(batch, bool)   # audio_stream_mute_rtp
+        self._rx_muted = np.zeros(batch, bool)    # recv leg of set_direction
+        self._direction = ["sendrecv"] * batch
+        self._srtp_info: Dict[int, tuple] = {}    # leg -> (suite, source)
         # runtime ptime for byte codecs (MS_AUDIO_ENCODER_SET_PTIME; the
         # QoS AudioBitrateDriver climbs the ptime ladder under loss)
         self._ptime_ticks = [1] * batch
@@ -306,6 +312,20 @@ class AudioStreamBatch:
         # CN packets are accepted; their 1-byte payload routes to PLC/CN fill
         self.sessions[leg].accepted_payload_types = {
             PAYLOAD_TYPES[self.codec], CN_PT}
+
+    # -- direction (media_stream_set_direction / one-way streams) ---------
+    def set_direction(self, leg: int, direction: str):
+        """'sendrecv' | 'sendonly' | 'recvonly' | 'inactive' — the
+        media_stream_set_direction surface; recv-muting zeroes the leg's
+        playout, send-muting stops RTP emission (clock keeps running)."""
+        if direction not in ("sendrecv", "sendonly", "recvonly", "inactive"):
+            raise ValueError(direction)
+        self._rtp_muted[leg] = direction in ("recvonly", "inactive")
+        self._rx_muted[leg] = direction in ("sendonly", "inactive")
+        self._direction[leg] = direction
+
+    def get_direction(self, leg: int) -> str:
+        return self._direction[leg]
 
     # -- Baudot TTY (audio_stream_send_baudot_* / enable_baudot_decoding) --
     def _init_baudot(self):
@@ -390,6 +410,15 @@ class AudioStreamBatch:
         (audio_stream_set_sound_card role; takes effect next tick)."""
         self.snd_card = card
 
+    def get_srtp_info(self, leg: int):
+        """(crypto suite, key source) — media_stream_get_srtp_crypto_suite
+        / get_srtp_key_source parity; None when the leg is unencrypted."""
+        return self._srtp_info.get(leg)
+
+    def secured(self, leg: int) -> bool:
+        """media_stream_secured parity."""
+        return leg in self._srtp_info
+
     def reclaim_sessions(self) -> List[Optional[RtpSession]]:
         """Detach the legs' RtpSessions for reuse by a replacement stream
         (media_stream_reclaim_sessions, mediastream.h:384): SSRC, sequence
@@ -408,7 +437,8 @@ class AudioStreamBatch:
         self.sessions[leg] = session
 
     def enable_srtp(self, leg: int, tx_key: bytes, tx_salt: bytes,
-                    rx_key: bytes, rx_salt: bytes, suite: str = None):
+                    rx_key: bytes, rx_salt: bytes, suite: str = None,
+                    key_source: str = "sdes"):
         """cf. media_stream_enable_srtp — wraps the leg's transport.
 
         RTCP is protected as SRTCP with the same keys (the reference's
@@ -422,6 +452,7 @@ class AudioStreamBatch:
         if sess is None:
             raise RuntimeError("set_transport first")
         suite = suite or AES_CM_128_HMAC_SHA1_80
+        self._srtp_info[leg] = (suite, key_source)
         if isinstance(sess.transport, SrtpTransport):
             # key change on a running stream (tester case 'Encrypted audio
             # stream with key change'): swap contexts, don't stack another
@@ -544,6 +575,11 @@ class AudioStreamBatch:
                 lost[i] = True
                 continue
             sess.poll()
+            if self._rx_muted[i]:
+                # sendonly/inactive direction: discard inbound media
+                sess.jitter_buffer.buf.clear()
+                rx[i] = SILENCE_CODE.get(self.codec, 0)
+                continue
             fifo = self._rx_tick_fifo[i]
             if not fifo:
                 payload = sess.jitter_buffer.get_tick()

@@ -377,3 +377,33 @@ def test_mic_mute_gains_and_rtp_mute(factory):
     tx2.stop()
     assert tx2.sessions[0].stats.sent_packets == 0
     assert tx2.sessions[1].stats.sent_packets > 20
+
+
+def test_stream_direction_one_way(factory):
+    """'Basic one-way stream' + media_stream_set_direction: a sendonly leg
+    discards inbound media; a recvonly leg emits no RTP."""
+    ticks = 60
+    sig = make_speechlike(S * ticks, RATE, seed=71)
+    a = AudioStreamBatch(factory, 1, mic_signal=sig, record_ticks=ticks + 20)
+    b = AudioStreamBatch(factory, 1, mic_signal=sig, record_ticks=ticks + 20)
+    a.ticker.warm_up(); b.ticker.warm_up()
+    pair = LoopbackPair()
+    a.set_transport(0, pair.endpoint(0))
+    b.set_transport(0, pair.endpoint(1))
+    a.set_direction(0, "sendonly")
+    assert a.get_direction(0) == "sendonly"
+    b.start(ticks + 20)
+    a.ticker.realtime = True
+    a.run(ticks + 10)
+    a.stop(); b.stop()
+    # b received a's audio; a discarded b's
+    sim_b, _ = audio_diff(sig, b.get_recording()[0])
+    assert sim_b > 0.9
+    assert np.abs(a.get_recording()[0][S * 5:]).max() < 1e-3
+    # recvonly: no packets sent
+    c = AudioStreamBatch(factory, 1, mic_signal=sig)
+    c.ticker.warm_up()
+    c.set_transport(0, LoopbackPair().endpoint(0))
+    c.set_direction(0, "recvonly")
+    c.run(30); c.stop()
+    assert c.sessions[0].stats.sent_packets == 0
