@@ -465,6 +465,27 @@ class VideoStreamBatch:
         Image.fromarray((rgb * 255).astype(np.uint8)).save(path, "JPEG")
         return path
 
+    # -- stats getters (video_stream_get_* parity) ----------------------
+    def get_sent_framerate(self, leg: int) -> float:
+        """video_stream_get_sent_framerate: measured average fps."""
+        t = max(self.ticker.stats.ticks, 1) * 0.01
+        return self.stats[leg].frames_sent / t
+
+    def get_received_framerate(self, leg: int) -> float:
+        t = max(self.ticker.stats.ticks, 1) * 0.01
+        return self.stats[leg].frames_received / t
+
+    def get_sent_video_size(self) -> tuple:
+        """video_stream_get_sent_video_size (width, height)."""
+        return (self.out_fmt.width, self.out_fmt.height)
+
+    def get_received_video_size(self, leg: int) -> tuple:
+        f = self._last_rx[leg]
+        if f is None:
+            return (0, 0)
+        a = np.asarray(f)
+        return (a.shape[-1], a.shape[-2] * 2 // 3)
+
     def reclaim_sessions(self):
         """Detach RtpSessions for reuse by a replacement stream — the video
         half of media_stream_reclaim_sessions (codec change for video

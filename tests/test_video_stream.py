@@ -208,3 +208,23 @@ def test_video_codec_change_over_reclaimed_sessions(factory):
         tx2.ticker.do_tick(); rx2.ticker.do_tick()
     assert rx2.stats[0].frames_received >= 3
     assert tx_sess.ssrc == ssrc          # same identity continued
+
+
+def test_video_stats_getters(factory):
+    """video_stream_get_sent/received_framerate + video_size parity."""
+    from mediastreamer2_tpu.core.block import Format
+    fmt = Format(kind="yuv420", width=64, height=48, fps=10.0)
+    tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0)
+    rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.bind_assemblers(); rx.bind_assemblers()
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(100):
+        tx.ticker.do_tick(); rx.ticker.do_tick()
+    assert 7.0 <= tx.get_sent_framerate(0) <= 11.0
+    assert rx.get_received_framerate(0) > 5.0
+    assert tx.get_sent_video_size() == (64, 48)
+    assert rx.get_received_video_size(0) == (64, 48)
