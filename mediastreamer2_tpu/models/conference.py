@@ -102,6 +102,18 @@ class AudioConferenceControl:
                 out.setdefault(conf, []).append(leg)
         return out
 
+    def participant_volume(self, leg: int) -> int:
+        """ms_audio_conference_get_participant_volume parity: the member's
+        current level in dBov (0 loudest .. -127 silence)."""
+        if self.levels_node and self.levels_node in self.ticker.state:
+            e = np.asarray(self.ticker.state[self.levels_node]["energy"])
+        elif "vol_send" in self.ticker.state:
+            e = np.asarray(self.ticker.state["vol_send"]["energy"])
+        else:
+            return -127
+        db = 10 * np.log10(float(e[leg]) + 1e-12)
+        return int(np.clip(db, -127, 0))
+
     def csrc_levels_for(self, leg: int, ssrc_map: Optional[Dict[int, int]]
                         = None, top_n: int = 15) -> List:
         """RFC 6465 feed for a mixed output leg: the other members of
