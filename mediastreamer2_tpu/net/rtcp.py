@@ -237,6 +237,67 @@ class XrVoipMetrics:
                    rerl, rf, mlq, mcq, jbn, jbm)
 
 
+@dataclasses.dataclass
+class XrReceiverReferenceTime:
+    """RFC 3611 §4.4 (block 4): receiver NTP timestamp — lets a media
+    SENDER-less endpoint still be an RTT anchor (paired with DLRR)."""
+    ntp: int    # 64-bit NTP timestamp
+
+    def pack(self) -> bytes:
+        return struct.pack("!BBHQ", XR_BLOCK_RCVR_RTT, 0, 2, self.ntp)
+
+    @classmethod
+    def unpack(cls, blk: bytes) -> "XrReceiverReferenceTime":
+        return cls(struct.unpack_from("!Q", blk, 4)[0])
+
+
+@dataclasses.dataclass
+class XrDlrr:
+    """RFC 3611 §4.5 (block 5): delay since last RR, one sub-block per
+    reported SSRC: (ssrc, last_rr middle-32 NTP, delay in 1/65536 s)."""
+    subblocks: List[Tuple[int, int, int]]
+
+    def pack(self) -> bytes:
+        body = b"".join(struct.pack("!III", s, lrr, dlrr)
+                        for s, lrr, dlrr in self.subblocks)
+        return struct.pack("!BBH", 5, 0, len(body) // 4) + body
+
+    @classmethod
+    def unpack(cls, blk: bytes) -> "XrDlrr":
+        subs = []
+        for o in range(4, len(blk) - 11, 12):
+            subs.append(struct.unpack_from("!III", blk, o))
+        return cls(subs)
+
+
+@dataclasses.dataclass
+class XrStatSummary:
+    """RFC 3611 §4.6 (block 6): per-interval loss/dup/jitter summary."""
+    ssrc: int
+    begin_seq: int
+    end_seq: int
+    lost: int = 0
+    dup: int = 0
+    min_jitter: int = 0
+    max_jitter: int = 0
+    mean_jitter: int = 0
+    dev_jitter: int = 0
+
+    def pack(self) -> bytes:
+        body = struct.pack("!IHHIIIIII", self.ssrc, self.begin_seq,
+                           self.end_seq, self.lost, self.dup,
+                           self.min_jitter, self.max_jitter,
+                           self.mean_jitter, self.dev_jitter)
+        body += struct.pack("!I", 0)            # TTL/HL fields unused
+        return struct.pack("!BBH", 6, 0xC0, len(body) // 4) + body
+
+    @classmethod
+    def unpack(cls, blk: bytes) -> "XrStatSummary":
+        ssrc, b, e, lost, dup, mnj, mxj, mej, dvj = \
+            struct.unpack_from("!IHHIIIIII", blk, 4)
+        return cls(ssrc, b, e, lost, dup, mnj, mxj, mej, dvj)
+
+
 def pack_xr(sender_ssrc: int, blocks: List[bytes]) -> bytes:
     body = struct.pack("!I", sender_ssrc) + b"".join(blocks)
     hdr = struct.pack("!BBH", 0x80, RTCP_XR, len(body) // 4)
@@ -313,6 +374,13 @@ def parse_compound(data: bytes):
                 blen = 4 * (bl + 1)
                 if bt == XR_BLOCK_VOIP_METRICS and o + blen <= len(chunk):
                     out.append(XrVoipMetrics.unpack(chunk[o:o + blen]))
+                elif bt == XR_BLOCK_RCVR_RTT and o + blen <= len(chunk):
+                    out.append(XrReceiverReferenceTime.unpack(
+                        chunk[o:o + blen]))
+                elif bt == 5 and o + blen <= len(chunk):
+                    out.append(XrDlrr.unpack(chunk[o:o + blen]))
+                elif bt == 6 and o + blen <= len(chunk):
+                    out.append(XrStatSummary.unpack(chunk[o:o + blen]))
                 o += blen
         off += size
     return out

@@ -93,3 +93,25 @@ def test_smff_wire_format(tmp_path):
     assert (ts0, pos0, sz0) == (960, 0, 9)       # clock units, rel. position
     assert (ts1, pos1, sz1) == (1920, 9, 10)
     assert len(section) == 28 + 2 * 12
+
+
+def test_xr_rrt_dlrr_statsummary_roundtrip():
+    """RFC 3611 blocks 4/5/6: receiver reference time + DLRR (the RTT
+    anchor pair for one-way flows) and the statistics summary block."""
+    rrt = rtcp.XrReceiverReferenceTime(ntp=0x0123456789ABCDEF)
+    dlrr = rtcp.XrDlrr(subblocks=[(0xAAA, 0x11111111, 6554),
+                                  (0xBBB, 0x22222222, 0)])
+    ss = rtcp.XrStatSummary(ssrc=9, begin_seq=100, end_seq=200, lost=3,
+                            dup=1, min_jitter=2, max_jitter=40,
+                            mean_jitter=11, dev_jitter=5)
+    pkt = rtcp.pack_xr(1, [rrt.pack(), dlrr.pack(), ss.pack()])
+    msgs = rtcp.parse_compound(pkt)
+    kinds = [type(m).__name__ for m in msgs]
+    assert kinds == ["XrReceiverReferenceTime", "XrDlrr", "XrStatSummary"]
+    assert msgs[0].ntp == 0x0123456789ABCDEF
+    assert msgs[1].subblocks == [(0xAAA, 0x11111111, 6554),
+                                 (0xBBB, 0x22222222, 0)]
+    got = msgs[2]
+    assert (got.begin_seq, got.end_seq, got.lost, got.dup) == (100, 200, 3, 1)
+    assert (got.min_jitter, got.max_jitter, got.mean_jitter,
+            got.dev_jitter) == (2, 40, 11, 5)
