@@ -396,6 +396,9 @@ class RtcpSession:
     def __init__(self, rtp_session, interval_s: float = 5.0):
         self.rtp = rtp_session
         self.interval_s = interval_s
+        # RFC 3550 §6.1: every compound packet carries an SDES with CNAME
+        self.cname = f"{rtp_session.ssrc:08x}@mediastreamer2_tpu"
+        self.tool = "mediastreamer2_tpu"
         self._next_emit = time.monotonic() + interval_s
         self.last_rtt_ms: Optional[float] = None
         self.remote_reports: List[ReportBlock] = []
@@ -425,9 +428,16 @@ class RtcpSession:
                           self.rtp.stats.sent_bytes, rb)
         self._own_sr_ntp_mid = ((ns & 0xFFFF) << 16) | (nf >> 16)
         self._own_sr_wall = now
-        pkt = sr.pack()
+        pkt = sr.pack() + Sdes(self.rtp.ssrc, cname=self.cname,
+                               tool=self.tool).pack()
         transport.send(pkt)
         return pkt
+
+    def set_rtcp_information(self, cname: str, tool: str = ""):
+        """media_stream_set_rtcp_information parity (mediastream.c)."""
+        self.cname = cname
+        if tool:
+            self.tool = tool
 
     def send_bye(self, transport, reason: str = ""):
         """RTCP BYE on teardown (RFC 3550 §6.6; the reference emits BYE

@@ -115,3 +115,20 @@ def test_xr_rrt_dlrr_statsummary_roundtrip():
     assert (got.begin_seq, got.end_seq, got.lost, got.dup) == (100, 200, 3, 1)
     assert (got.min_jitter, got.max_jitter, got.mean_jitter,
             got.dev_jitter) == (2, 40, 11, 5)
+
+
+def test_rtcp_compound_carries_sdes_cname():
+    """RFC 3550 §6.1: SR compounds include SDES CNAME; configurable via
+    set_rtcp_information (mediastream.c parity)."""
+    from mediastreamer2_tpu.net.rtp import RtpSession, LoopbackPair
+    pair = LoopbackPair()
+    sess = RtpSession(pair.endpoint(0), payload_type=0)
+    r = sess.attach_rtcp(interval_s=0.0)
+    r.set_rtcp_information("alice@example.org", "ms2tpu-test")
+    r._next_emit = 0.0
+    pkt = r.maybe_emit(pair.endpoint(0))
+    msgs = rtcp.parse_compound(pkt)
+    kinds = [type(m).__name__ for m in msgs]
+    assert kinds == ["SenderReport", "Sdes"]
+    assert msgs[1].cname == "alice@example.org"
+    assert msgs[1].tool == "ms2tpu-test"
