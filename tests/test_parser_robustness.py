@@ -104,3 +104,44 @@ def test_dtmf_and_fec_survive_garbage():
         sess._handle_telephone_event(pkt)
         if len(blob) >= 10:
             dec.push_repair(RtpPacket(115, 1, 0, 9, blob))
+
+
+def test_zrtp_wire_parser_survives_garbage():
+    """RFC 6189 packet/message parsers + full session.process on noise."""
+    from mediastreamer2_tpu.net.zrtp import (unwrap_packet, parse_message,
+                                             is_zrtp, ZrtpSession,
+                                             wrap_packet, make_message)
+    z = ZrtpSession(send=lambda b: None)
+    z.start()
+    for blob in _rand_blobs(7):
+        is_zrtp(blob)
+        m = unwrap_packet(blob)
+        if m is not None:
+            parse_message(m)
+        z.process(blob)                   # must never raise
+    # CRC-valid packets with garbage message bodies must not raise either
+    import random as _r
+    rng = _r.Random(8)
+    for _ in range(200):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(120)))
+        z.process(wrap_packet(body, 1, 2))
+        for t in (b"Hello   ", b"Commit  ", b"DHPart1 ", b"DHPart2 ",
+                  b"Confirm1", b"GoClear "):
+            z.process(wrap_packet(make_message(t, body), 1, 2))
+
+
+def test_ekt_tag_parser_survives_garbage():
+    from mediastreamer2_tpu.net.srtp import _ekt_parse_tag
+    keys = {7: bytes(16)}
+    for blob in _rand_blobs(9):
+        _ekt_parse_tag(blob, keys)        # must never raise
+
+
+def test_gcm_srtp_unprotect_survives_garbage():
+    from mediastreamer2_tpu.net.srtp import (SrtpContext, SrtcpContext,
+                                             AEAD_AES_128_GCM)
+    rx = SrtpContext(bytes(16), bytes(12), AEAD_AES_128_GCM)
+    rc = SrtcpContext(bytes(16), bytes(12), AEAD_AES_128_GCM)
+    for blob in _rand_blobs(10):
+        rx.unprotect(blob)
+        rc.unprotect(blob)
