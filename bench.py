@@ -163,10 +163,42 @@ def _kd_for(n: int) -> tuple:
 
 
 
-def e2e_legs() -> tuple:
-    """Largest N passing the paced e2e run. Returns (n, result)."""
+def tunnel_mbps(rtt_ms: float) -> float:
+    """Measured host->device transfer bandwidth over the tunnel (MB/s).
+    The e2e ceiling is this link: each duplex leg moves 16 KB/s, so the
+    ladder should start near what the link can actually carry."""
+    import jax
+    import jax.numpy as jnp
+    nbytes = 8 * 1024 * 1024
+    x = np.zeros(nbytes // 4, np.float32)
+    f = jax.jit(lambda a: a[0])
+    float(f(jax.device_put(x)))                 # warm compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(jax.device_put(x)))
+        best = min(best, time.perf_counter() - t0)
+    dt = max(best - rtt_ms / 1e3, 1e-3)
+    return nbytes / dt / 1e6
+
+
+def e2e_legs(link_mbps: float = None) -> tuple:
+    """Largest N passing the paced e2e run. Returns (n, result).
+
+    The candidate ladder is centered on the measured tunnel bandwidth
+    (each duplex leg needs ~16 KB/s each way, with overlap) so a degraded
+    link is probed where it can actually pass instead of wasting trials
+    far above the ceiling."""
     best = (0, None)
     candidates = [1536, 2048, 2560, 3072, 4096, 6144]
+    if link_mbps is not None:
+        est = int(link_mbps * 1e6 * 0.9 / 16000) // 256 * 256
+        if est >= 256:
+            ladder = sorted({max(256, est - 512), est, est + 256,
+                             est + 512, est + 1024, est + 2048})
+            candidates = ladder
+            print(f"# e2e ladder from measured link {link_mbps:.1f} MB/s: "
+                  f"{candidates}", file=sys.stderr)
     lo_fail = None
     for n in candidates:
         K, D = _kd_for(n)
@@ -220,7 +252,9 @@ def main():
     print(f"# null-op RTT {rtt:.2f} ms", file=sys.stderr)
 
     dev_legs, dev_ms = device_only_legs(rtt)
-    n_e2e, res = e2e_legs()
+    link = tunnel_mbps(rtt)
+    print(f"# measured tunnel bandwidth {link:.1f} MB/s", file=sys.stderr)
+    n_e2e, res = e2e_legs(link_mbps=link)
 
     result = {
         "metric": ("end-to-end 48kHz AEC+resample+mix G.711 legs per chip "
@@ -239,6 +273,7 @@ def main():
         "e2e_added_latency_ms": (None if res is None
                                  else res.mouth_to_ear_ms),
         "rtt_ms": round(rtt, 2),
+        "tunnel_MBps": round(link, 1),
     }
     print(json.dumps(result))
 

@@ -410,6 +410,36 @@ class AudioStreamBatch:
         (audio_stream_set_sound_card role; takes effect next tick)."""
         self.snd_card = card
 
+    def enable_double_srtp(self, leg: int, inner: tuple, outer: tuple,
+                           suite: str = None, ekt_key: bytes = None,
+                           ekt_spi: int = 0):
+        """Inner+outer SRTP on one leg (the reference's double encryption,
+        ms_srtp.cpp inner/outer contexts; tester 'Double Encrypted audio
+        stream').  `inner`/`outer` are (tx_key, tx_salt, rx_key, rx_salt).
+        With `ekt_key`, RFC 8870 tags carry the inner key between the
+        layers for relayed conferences."""
+        from mediastreamer2_tpu.net.srtp import (SrtpContext, SrtcpContext,
+                                                 SrtpTransport, EktTransport,
+                                                 AES_CM_128_HMAC_SHA1_80)
+        sess = self.sessions[leg]
+        if sess is None:
+            raise RuntimeError("set_transport first")
+        suite = suite or AES_CM_128_HMAC_SHA1_80
+        otk, ots, ork, ors = outer
+        itk, its, irk, irs = inner
+        t = SrtpTransport(sess.transport,
+                          tx=SrtpContext(otk, ots, suite),
+                          rx=SrtpContext(ork, ors, suite),
+                          tx_rtcp=SrtcpContext(otk, ots, suite),
+                          rx_rtcp=SrtcpContext(ork, ors, suite))
+        if ekt_key is not None:
+            t = EktTransport(t, ekt_key=ekt_key, spi=ekt_spi,
+                             send_master_key=itk)
+        sess.transport = SrtpTransport(t,
+                                       tx=SrtpContext(itk, its, suite),
+                                       rx=SrtpContext(irk, irs, suite))
+        self._srtp_info[leg] = (suite, "sdes-double")
+
     def get_srtp_info(self, leg: int):
         """(crypto suite, key source) — media_stream_get_srtp_crypto_suite
         / get_srtp_key_source parity; None when the leg is unencrypted."""

@@ -407,3 +407,30 @@ def test_stream_direction_one_way(factory):
     c.set_direction(0, "recvonly")
     c.run(30); c.stop()
     assert c.sessions[0].stats.sent_packets == 0
+
+
+def test_double_encrypted_audio_stream(factory):
+    """'Double Encrypted audio stream' tester case at the session level:
+    inner+outer SRTP both ways; audio survives, middle-layer taps see only
+    inner-encrypted bytes."""
+    import os as _os
+    ticks = 60
+    sig = make_speechlike(S * ticks, RATE, seed=81)
+    tx = AudioStreamBatch(factory, 1, mic_signal=sig)
+    rx = AudioStreamBatch(factory, 1, record_ticks=ticks + 40)
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    ik = (_os.urandom(16), bytes(range(14))) * 2
+    ok = (_os.urandom(16), bytes(range(10, 24))) * 2
+    inner = (ik[0], ik[1], ik[0], ik[1])
+    outer = (ok[0], ok[1], ok[0], ok[1])
+    tx.enable_double_srtp(0, inner, outer)
+    rx.enable_double_srtp(0, inner, outer)
+    assert tx.get_srtp_info(0) == ("AES_CM_128_HMAC_SHA1_80", "sdes-double")
+    rx.start(ticks + 40)
+    tx.run(ticks + 10)
+    tx.stop(); rx.stop()
+    sim, _ = audio_diff(sig, rx.get_recording()[0])
+    assert sim > 0.9, f"double-encrypted call sim {sim}"
