@@ -185,22 +185,14 @@ def tunnel_mbps(rtt_ms: float) -> float:
 def e2e_legs(link_mbps: float = None) -> tuple:
     """Largest N passing the paced e2e run. Returns (n, result).
 
-    The candidate ladder is centered on the measured tunnel bandwidth
-    (each duplex leg needs ~16 KB/s each way, with overlap) so a degraded
-    link is probed where it can actually pass instead of wasting trials
-    far above the ceiling."""
-    best = (0, None)
-    candidates = [1536, 2048, 2560, 3072, 4096, 6144]
-    if link_mbps is not None:
-        est = int(link_mbps * 1e6 * 0.9 / 16000) // 256 * 256
-        if est >= 256:
-            ladder = sorted({max(256, est - 512), est, est + 256,
-                             est + 512, est + 1024, est + 2048})
-            candidates = ladder
-            print(f"# e2e ladder from measured link {link_mbps:.1f} MB/s: "
-                  f"{candidates}", file=sys.stderr)
-    lo_fail = None
-    for n in candidates:
+    Strategy: start at a floor the link can certainly carry, climb ~1.5x
+    while passing, then refine once between the last pass and the first
+    fail.  Climbing from below never skips the passable range the way a
+    fixed ladder does when the tunnel is having a slow day; the burst
+    bandwidth probe only picks the starting floor (sustained paced
+    throughput is usually well below the burst number)."""
+
+    def trial(n):
         K, D = _kd_for(n)
         res = e2e_trial(n, K, D)
         ok = e2e_passes(res)
@@ -210,38 +202,46 @@ def e2e_legs(link_mbps: float = None) -> tuple:
               f"loss={None if res is None else round(res.loss_rate, 4)} "
               f"fid={None if res is None else round(res.fidelity, 3)} "
               f"-> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+        return res, ok
+
+    floor = 1024
+    if link_mbps is not None:
+        # sustained paced throughput is ~25-50% of the burst probe; pick a
+        # floor well under the burst-implied ceiling
+        floor = max(256, min(1536,
+                             int(link_mbps * 1e6 * 0.25 / 16000)
+                             // 256 * 256))
+    best = (0, None)
+    cur = floor
+    first_fail = None
+    retried = False
+    for _ in range(10):                       # bounded number of trials
+        res, ok = trial(cur)
         if ok:
-            best = (n, res)
-        elif best[0] == 0 and n <= candidates[1]:
-            continue          # transient early failure: try the next size
-        else:
-            lo_fail = n
-            break
-    if lo_fail and best[0]:
-        # one refinement step between last pass and first fail
-        mid = (best[0] + lo_fail) // 2 // 256 * 256
-        if best[0] < mid < lo_fail:
-            K, D = _kd_for(mid)
-            res = e2e_trial(mid, K, D)
-            ok = e2e_passes(res)
-            print(f"# e2e n={mid}: "
-                  f"{None if res is None else round(res.ms_per_tick, 2)} "
-                  f"ms/tick -> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
-            if ok:
-                best = (mid, res)
-    if best[0] == 0:
-        # degraded environment (loaded host / slow tunnel): walk DOWN so the
-        # headline reports what actually fits instead of 0
-        for n in (1024, 768, 512, 256):
-            K, D = _kd_for(n)
-            res = e2e_trial(n, K, D)
-            ok = e2e_passes(res)
-            print(f"# e2e fallback n={n}: "
-                  f"{None if res is None else round(res.ms_per_tick, 2)} "
-                  f"ms/tick -> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
-            if ok:
-                best = (n, res)
+            best = (cur, res)
+            nxt = (cur * 3 // 2) // 256 * 256
+            cur = nxt if nxt > cur else cur + 256
+        elif best[0] == 0:
+            if not retried:
+                retried = True                # tolerate one transient fail
+                continue
+            if cur <= 256:
                 break
+            cur = max(256, cur // 2 // 256 * 256)   # walk down to a pass
+        else:
+            first_fail = cur
+            break
+    for _ in range(2):                        # refine between pass and fail
+        if not (first_fail and best[0]):
+            break
+        mid = (best[0] + first_fail) // 2 // 128 * 128
+        if not (best[0] < mid < first_fail):
+            break
+        res, ok = trial(mid)
+        if ok:
+            best = (mid, res)
+        else:
+            first_fail = mid
     return best
 
 
