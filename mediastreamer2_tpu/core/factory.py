@@ -34,6 +34,7 @@ class Factory:
         if load_builtins:
             _load_builtin_filters()
         self._filters: Dict[str, FilterDef] = dict(FILTER_REGISTRY)
+        self._disabled: set = set()
         self.mtu = 1500                       # cf. ms_factory_set_mtu
         self.statistics_enabled = False       # cf. ms_factory_enable_statistics
         self.plugins: List[str] = []
@@ -43,6 +44,9 @@ class Factory:
         self._filters[fdef.name] = fdef
 
     def lookup(self, name: str) -> FilterDef:
+        if name in self._disabled:
+            raise KeyError(f"filter '{name}' is disabled "
+                           f"(ms_factory_enable_filter_from_name)")
         try:
             return self._filters[name]
         except KeyError:
@@ -50,20 +54,38 @@ class Factory:
                            f"(have: {sorted(self._filters)})") from None
 
     def has(self, name: str) -> bool:
-        return name in self._filters
+        return name in self._filters and name not in self._disabled
 
     def filters(self) -> Dict[str, FilterDef]:
-        return dict(self._filters)
+        return {k: v for k, v in self._filters.items()
+                if k not in self._disabled}
+
+    # --- per-filter enable/disable (ms_factory_enable_filter_from_name;
+    # framework tester 'FilterDesc enabling/disabling') ----------------
+    def enable_filter(self, name: str, enabled: bool = True):
+        if name not in self._filters:
+            raise KeyError(name)
+        if enabled:
+            self._disabled.discard(name)
+        else:
+            self._disabled.add(name)
+
+    def filter_enabled(self, name: str) -> bool:
+        return self.has(name)
 
     # --- codec lookup (cf. ms_factory_create_encoder/decoder) ---------
     def find_encoder(self, mime: str) -> Optional[FilterDef]:
-        for f in self._filters.values():
+        for name, f in self._filters.items():
+            if name in self._disabled:
+                continue
             if f.category == "encoder" and f.enc_fmt.lower() == mime.lower():
                 return f
         return None
 
     def find_decoder(self, mime: str) -> Optional[FilterDef]:
-        for f in self._filters.values():
+        for name, f in self._filters.items():
+            if name in self._disabled:
+                continue
             if f.category == "decoder" and f.enc_fmt.lower() == mime.lower():
                 return f
         return None

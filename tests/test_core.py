@@ -214,3 +214,22 @@ def test_ticker_save_load_state_resumes_streams(factory):
     b.run(ticks // 2)
     np.testing.assert_allclose(np.concatenate(outs),
                                np.concatenate(outs_ref), atol=1e-6)
+
+
+def test_factory_filter_enable_disable():
+    """'FilterDesc enabling/disabling' framework tester case
+    (ms_factory_enable_filter_from_name)."""
+    import pytest
+    from mediastreamer2_tpu.core.factory import Factory
+    f = Factory()
+    assert f.filter_enabled("ulaw_enc")
+    f.enable_filter("ulaw_enc", False)
+    assert not f.filter_enabled("ulaw_enc")
+    assert not f.has("ulaw_enc")
+    assert f.find_encoder("ulaw") is None      # codec lookup skips disabled
+    with pytest.raises(KeyError):
+        f.lookup("ulaw_enc")
+    f.enable_filter("ulaw_enc", True)
+    assert f.has("ulaw_enc") and f.find_encoder("ulaw") is not None
+    with pytest.raises(KeyError):
+        f.enable_filter("nonexistent")
