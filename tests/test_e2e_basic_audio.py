@@ -127,3 +127,24 @@ def test_stereo_fixture_and_channel_adapter(factory):
     out = recorder_get_audio(tk.state["rec"], ticks, S)[0]
     sim, _ = audio_diff(mono[: ticks * S], out)
     assert sim > 0.99, sim
+
+
+def test_mix_two_mono_files_into_stereo(factory, tmp_path):
+    """basic_audio tester: 'Mix two mono files into one stereo file' —
+    two mono sources become the L/R channels of one stereo WAV."""
+    import numpy as np
+    from mediastreamer2_tpu.io.wav import write_wav, read_wav_multi
+    rate, n = 8000, 8000
+    t = np.arange(n) / rate
+    left = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    right = (0.4 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+    stereo = np.stack([left, right], axis=1).reshape(-1)
+    path = str(tmp_path / "stereo.wav")
+    write_wav(path, stereo, rate, channels=2)
+    multi, r2, ch = read_wav_multi(path)
+    assert (r2, ch) == (rate, 2)
+    # channel isolation: L carries 440 Hz, R carries 880 Hz
+    for cidx, freq in ((0, 440), (1, 880)):
+        spec = np.abs(np.fft.rfft(multi[:, cidx]))
+        peak_hz = np.argmax(spec) * rate / len(multi)
+        assert abs(peak_hz - freq) < 5, (cidx, peak_hz)
