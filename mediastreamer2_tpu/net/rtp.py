@@ -147,6 +147,16 @@ class BandwidthMeter:
         return sum(b for _, b in self._events) * 8.0 / self.window_s
 
 
+def is_multicast(host: str) -> bool:
+    """ms_is_multicast_addr parity (framework tester 'Is multicast'):
+    IPv4 224.0.0.0/4 and IPv6 ff00::/8."""
+    import ipaddress
+    try:
+        return ipaddress.ip_address(host).is_multicast
+    except ValueError:
+        return False
+
+
 class Transport:
     """Abstract datagram transport; subclasses: UDP, loopback."""
     def send(self, data: bytes): ...

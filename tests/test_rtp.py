@@ -93,3 +93,12 @@ def test_bandwidth_meters():
     # window expiry: after >1 s the meter reads ~0
     t_future = __import__("time").monotonic() + 2.0
     assert tx.up_bw.bps(now=t_future) == 0.0
+
+
+def test_is_multicast_helper():
+    from mediastreamer2_tpu.net.rtp import is_multicast
+    assert is_multicast("224.0.0.1") and is_multicast("239.255.255.255")
+    assert is_multicast("ff02::1")
+    assert not is_multicast("127.0.0.1")
+    assert not is_multicast("223.255.255.255")
+    assert not is_multicast("not-an-ip")
