@@ -262,6 +262,8 @@ class AudioStreamBatch:
         self._rx_muted = np.zeros(batch, bool)    # recv leg of set_direction
         self._direction = ["sendrecv"] * batch
         self._srtp_info: Dict[int, tuple] = {}    # leg -> (suite, source)
+        self.bitrate_caps: Dict[int, int] = {}    # leg -> TMMBR/REMB cap bps
+        self.on_tmmbr = None                      # cb(leg, bps)
         # runtime ptime for byte codecs (MS_AUDIO_ENCODER_SET_PTIME; the
         # QoS AudioBitrateDriver climbs the ptime ladder under loss)
         self._ptime_ticks = [1] * batch
@@ -885,7 +887,22 @@ class AudioStreamBatch:
                     enc.set_packet_loss(
                         min(30, int(stats.loss_rate * 100)))
                 sess.rtcp.remote_reports.clear()
+            # inbound TMMBR/REMB caps the sender's bitrate
+            # (media_stream_process_rtcp TMMBR handling,
+            # mediastream.c:983-1078)
+            for fb in sess.rtcp.feedback_in:
+                if fb.kind in ("tmmbr", "remb"):
+                    self._apply_bitrate_cap(leg, fb.value)
+            sess.rtcp.feedback_in.clear()
         return n
+
+    def _apply_bitrate_cap(self, leg: int, bps: int):
+        self.bitrate_caps[leg] = bps
+        enc = self._host_enc[leg] if leg < len(self._host_enc) else None
+        if enc is not None and hasattr(enc, "set_bitrate"):
+            enc.set_bitrate(max(int(bps), 8000))
+        if self.on_tmmbr is not None:
+            self.on_tmmbr(leg, bps)
 
     # -- observability (cf. media_stream_get_*, audio_stream_get_quality) --
     def get_stats(self, leg: int):

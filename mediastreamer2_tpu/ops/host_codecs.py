@@ -75,6 +75,7 @@ class OpusEncoder:
         _opus.opus_encoder_ctl(ctypes.c_void_p(self.st), req, ctypes.c_int(val))
 
     def set_bitrate(self, bps: int):
+        self.bitrate = bps
         self._ctl(OPUS_SET_BITRATE_REQUEST, bps)
 
     def set_packet_loss(self, percent: int):

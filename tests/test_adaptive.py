@@ -49,3 +49,42 @@ def test_rtcp_feedback_drives_bitrate_down(factory):
         assert rates[-1] < 64000
     assert qi.rating < 4.5          # MOS degraded under 18% loss
     assert rx.sessions[0].stats.recv_packets > 50
+
+
+def test_tmmbr_caps_opus_bitrate(factory):
+    """'Upload bitrate [opus]' adaptive tester shape: the receiver's
+    BandwidthController emits TMMBR; the sender's iterate() applies it to
+    the opus encoder (media_stream_process_rtcp TMMBR handling)."""
+    import pytest
+    from mediastreamer2_tpu.ops import host_codecs as hc
+    from mediastreamer2_tpu.net.rtcp import Feedback
+    if not hc.opus_available():
+        pytest.skip("libopus missing")
+    ticks = 60
+    sig = make_speechlike(tick_samples(48000) * ticks, 48000, seed=9)
+    tx = AudioStreamBatch(factory, 1, codec="opus", rate=48000,
+                          mic_signal=sig)
+    rx = AudioStreamBatch(factory, 1, codec="opus", rate=48000,
+                          record_ticks=ticks)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.enable_rtcp(interval_s=0.1)
+    rx.enable_rtcp(interval_s=0.1)
+    caps = []
+    tx.on_tmmbr = lambda leg, bps: caps.append((leg, bps))
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    rx.start(ticks + 30)
+    # run half the call, then the receiver signals congestion via TMMBR
+    tx.ticker.realtime = True
+    tx.run(ticks // 2)
+    tmmbr = Feedback("tmmbr", rx.sessions[0].ssrc, tx.sessions[0].ssrc,
+                     24000)
+    pair.endpoint(1).send(tmmbr.pack())
+    tx.run(ticks // 2)
+    tx.iterate()
+    tx.stop(); rx.stop()
+    assert caps and caps[-1][1] in range(20000, 29000)
+    assert tx.bitrate_caps[0] == caps[-1][1]
+    # the opus encoder was actually re-targeted
+    assert tx._host_enc[0].bitrate <= 24576
