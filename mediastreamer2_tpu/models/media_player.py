@@ -395,6 +395,35 @@ class MediaRecorder:
                     if data:
                         w.write_frame(2, ts_ms, data, keyframe=key)
             w.close()
+        elif path.lower().endswith(".smff"):
+            # the reference's 'Record .smff' case, in the wire-compatible
+            # container (io/smff.py): pcm16 audio + optional VP8 video
+            from mediastreamer2_tpu.io.smff import (SmffWriter, SmffTrack,
+                                                    KIND_AUDIO, KIND_VIDEO)
+            tracks = [SmffTrack(KIND_AUDIO, "pcm16", self.rate, 1)]
+            if self._video_wh and self._video_frames:
+                tracks.append(SmffTrack(KIND_VIDEO, "vp8",
+                                        *self._video_wh))
+            w = SmffWriter(path, tracks)
+            F = self.rate // 100
+            pcm = np.clip(audio * 32768.0, -32768, 32767).astype("<i2")
+            for i in range(len(pcm) // F):
+                w.write_frame(0, i * 10, pcm[i * F:(i + 1) * F].tobytes())
+            if self._video_wh and self._video_frames:
+                from mediastreamer2_tpu.ops.vp8 import Vp8Encoder
+                vw, vh = self._video_wh
+                venc = Vp8Encoder(vw, vh, fps=max(
+                    1, len(self._video_frames) * 1000
+                    // max(self._video_frames[-1][0] + 10, 10)))
+                for k, (ts_ms, block) in enumerate(self._video_frames):
+                    arr = (np.clip(block, 0, 1) * 255).astype(np.uint8)
+                    y = arr[:vh]
+                    uv = arr[vh:].reshape(vh // 2, 2, vw // 2)
+                    data, key = venc.encode_planes(y, uv[:, 0], uv[:, 1],
+                                                   force_keyframe=(k == 0))
+                    if data:
+                        w.write_frame(1, ts_ms, data, keyframe=key)
+            w.close()
         else:
             write_wav(path, audio, self.rate)
         return path

@@ -288,3 +288,49 @@ def test_third_party_mka_audio(factory):
         sig2, rate2 = _read_mkv_audio(f"{FIX}/hello_opus.mka")
         assert rate2 == 8000 and len(sig2) > 4000
         assert np.abs(sig2).max() > 0.01
+
+
+def test_media_recorder_smff_av_roundtrip(factory, tmp_path):
+    """'Record .smff' recorder tester case: A/V into the wire-compatible
+    SMFF, played back by MediaPlayer (audio similarity + video frames)."""
+    import numpy as np
+    import pytest
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    from mediastreamer2_tpu.models.media_player import (MediaPlayer,
+                                                        MediaRecorder)
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    if not vp8_available():
+        pytest.skip("libvpx unavailable")
+    rate, ticks = 8000, 100
+    S = rate // 100
+    sig = (0.4 * np.sin(2 * np.pi * 440 * np.arange(S * ticks) / rate)
+           ).astype(np.float32)
+    rec = MediaRecorder(factory, rate=rate)
+    rec.set_input(lambda t: sig[t * S:(t + 1) * S] if t < ticks
+                  else np.zeros(S, np.float32))
+    rec.enable_video(64, 48)
+    rng = np.random.default_rng(5)
+    base = rng.random((48 * 3 // 2, 64)).astype(np.float32)
+    rec.ticker.realtime = False
+    rec.ticker.warm_up()
+    for t in range(ticks):
+        rec.ticker.do_tick()
+        if t % 10 == 0:
+            rec.push_video_frame(np.roll(base, t, axis=1))
+    path = str(tmp_path / "clip.smff")
+    rec.stop_and_save(path)
+
+    player = MediaPlayer(factory)
+    player.open(path)
+    got = []
+    player.set_output(lambda block: got.append(np.asarray(block)))
+    player.ticker.realtime = False
+    import jax.numpy as jnp
+    player.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+        "playing", jnp.ones((1,), bool)))
+    for _ in range(ticks + 20):
+        player.ticker.do_tick()
+    out = np.concatenate([b.reshape(-1) for b in got])[: len(sig)]
+    sim, _ = audio_diff(sig, out)
+    assert sim > 0.95, f"smff audio sim {sim}"
+    assert player.video_frames_played >= 6
