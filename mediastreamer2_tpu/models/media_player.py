@@ -182,6 +182,12 @@ class MediaPlayer:
             "playing", jnp.zeros((1,), bool)))
         self.state = self.STATE_PAUSED
 
+    def set_loop(self, enabled: bool = True):
+        """MS_PLAYER_SET_LOOP (player tester 'Loop test'): wrap to the
+        start at EOF instead of stopping."""
+        self.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+            "loop", jnp.full((1,), enabled, bool)))
+
     def seek_ms(self, ms: int):
         pos = int(ms * self.rate / 1000)
 

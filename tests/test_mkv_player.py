@@ -334,3 +334,38 @@ def test_media_recorder_smff_av_roundtrip(factory, tmp_path):
     sim, _ = audio_diff(sig, out)
     assert sim > 0.95, f"smff audio sim {sim}"
     assert player.video_frames_played >= 6
+
+
+def test_media_player_loop_and_replay(factory, tmp_path):
+    """Player tester 'Loop test' + 'Playing twice': looping wraps past
+    EOF; a second play after completion replays from the start."""
+    import numpy as np
+    from mediastreamer2_tpu.io.wav import write_wav
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    rate, n = 8000, 1600                    # 0.2 s file
+    sig = (0.4 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+           ).astype(np.float32)
+    path = str(tmp_path / "short.wav")
+    write_wav(path, sig, rate)
+    player = MediaPlayer(factory)
+    player.open(path)
+    got = []
+    player.set_output(lambda b: got.append(np.asarray(b).reshape(-1)))
+    player.set_loop(True)
+    player.ticker.realtime = False
+    import jax.numpy as jnp
+    player.ticker.mutate(lambda tk: tk.params["play"].__setitem__(
+        "playing", jnp.ones((1,), bool)))
+    for _ in range(60):                      # 0.6 s > 3 loops
+        player.ticker.do_tick()
+    out = np.concatenate(got)
+    # energy continues past the file length (looping, not silence)
+    assert np.abs(out[n: 2 * n]).max() > 0.2
+    # a seek back to 0 replays ('Playing twice')
+    got.clear()
+    player.set_loop(False)
+    player.seek_ms(0)
+    for _ in range(25):
+        player.ticker.do_tick()
+    replay = np.concatenate(got)[:n]
+    assert np.abs(replay).max() > 0.2
