@@ -283,3 +283,30 @@ def test_offer_answer_new_providers():
     # speex clock-rate mismatch declined
     assert oa.negotiate([oa.PayloadTypeDesc("speex", 8000, 1, 99)],
                         local) == []
+
+
+def test_text_stream_over_srtp_and_long_paste():
+    """Text tester cases 'slow typing with SRTP' + 'copy paste text longer
+    than buffer size': RFC 4103 rides an SRTP transport; long pastes
+    deliver completely."""
+    from mediastreamer2_tpu.net.srtp import SrtpContext, SrtpTransport
+    key, salt = bytes(range(16)), bytes(range(14))
+    pair = LoopbackPair()
+    ta = SrtpTransport(pair.endpoint(0), tx=SrtpContext(key, salt),
+                       rx=SrtpContext(key, salt))
+    tb = SrtpTransport(pair.endpoint(1), tx=SrtpContext(key, salt),
+                       rx=SrtpContext(key, salt))
+    a = TextStream(RtpSession(ta, payload_type=98))
+    b = TextStream(RtpSession(tb, payload_type=98))
+    long_text = "".join(chr(0x41 + (i % 26)) for i in range(600))
+    for ch in long_text:
+        a.put_char(ch)
+    now = 0
+    for step in range(200):                  # buffered flush over time
+        now += 310
+        a.iterate(now_ms=now)
+        b.iterate(now_ms=now)
+        if b.get_received_text() == long_text:
+            break
+    assert b.get_received_text() == long_text
+    assert ta.auth_failures == 0 and tb.auth_failures == 0
