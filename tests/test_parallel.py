@@ -91,3 +91,27 @@ def test_sharded_e2e_graph_with_codec_boundary(factory):
     mic_s = shard_tree({"x": mic}, mesh, B)["x"]
     _, sh = jax.jit(step)(st_s, pr_s, rx_s, mic_s)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(sh))
+
+
+def test_sharded_video_pixel_path(factory):
+    """Video legs shard like audio legs: the mire->sizeconv pixel path on
+    the 8-device mesh equals the unsharded result (the embarrassingly
+    parallel video half of the leg axis)."""
+    from mediastreamer2_tpu.core.block import Format
+    from mediastreamer2_tpu.core.graph import GraphBuilder
+    B = 16
+    g = GraphBuilder(factory, batch=B)
+    mire = g.add("mire", "cam", fmt=Format(kind="yuv420", width=64,
+                                           height=48, fps=25.0))
+    sc = g.add("size_conv", "sc", out_w=32, out_h=24)
+    g.link(mire, 0, sc, 0)
+    g.link(sc, 0, g.add("ext_sink", "out"), 0)
+    cg = g.build()
+    state, params = cg.init_state(), cg.init_params()
+    ref_state, ref_out, _ = jax.jit(cg.step)(state, params, {})
+    mesh = make_mesh(8)
+    st_s = shard_tree(state, mesh, B)
+    pr_s = shard_tree(params, mesh, B)
+    sh_state, sh_out, _ = jax.jit(cg.step)(st_s, pr_s, {})
+    np.testing.assert_allclose(np.asarray(ref_out["out"]),
+                               np.asarray(sh_out["out"]), atol=1e-5)
