@@ -37,7 +37,8 @@ from mediastreamer2_tpu.net.rtp import RtpSession, Transport
 
 # payload-type profile (RFC 3551 static types + our dynamic ones)
 PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11, "gsm": 3, "opus": 96,
-                 "g722": 9, "g726_32": 97, "g729": 18}
+                 "g722": 9, "g726_32": 97, "g729": 18, "aac": 98,
+                 "bv16": 107}
 CN_PT = 13   # RFC 3389 comfort noise
 CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2, "g722": 1}
 # RFC 3551 quirk: G.722 runs 16 kHz audio on an 8 kHz RTP clock (4.5.2);
@@ -45,7 +46,10 @@ CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2, "g722": 1}
 RTP_CLOCK = {"g722": 8000}
 # host codecs run at the RTP boundary (cf. SURVEY.md §7: library codecs are
 # host filters, like the reference's hw codec backends); value = frame ms
-HOST_CODECS = {"opus": 10, "gsm": 20, "g729": 20}
+HOST_CODECS = {"opus": 10, "gsm": 20, "g729": 20, "bv16": 10,
+               # AAC-LC over RFC 3640 (cf. aac-eld.c); its 1024-sample AU is
+               # not a tick multiple, so it runs on sample-granular FIFOs
+               "aac": 10}
 # codec byte value that decodes to digital silence (for muted-direction
 # legs): mu-law 0xFF, A-law 0xD5 (RFC 3551 silence codes)
 SILENCE_CODE = {"ulaw": 0xFF, "alaw": 0xD5}
@@ -97,8 +101,8 @@ class AudioStreamBatch:
         self.codec = codec
         self.rate = rate
         self.channels = channels
-        if channels != 1 and codec != "opus":
-            raise ValueError("multichannel audio requires the opus codec")
+        if channels != 1 and codec not in ("opus", "aac"):
+            raise ValueError("multichannel audio requires opus or aac")
         self.S = tick_samples(rate) * channels
         self.rtp_clock = RTP_CLOCK.get(codec, rate)
         # samples-worth of RTP clock per tick = timestamp increment and,
@@ -302,6 +306,19 @@ class AudioStreamBatch:
                     # like a reference build without ENABLE_G729 the codec
                     # is absent when libbcg729 is not on the system
                     c = hc.G729Codec(enable_vad=self.features.vad_dtx)
+                    self._host_enc[i] = c
+                    self._host_dec[i] = c
+                elif codec == "aac":
+                    from mediastreamer2_tpu.ops import aac as aac_mod
+                    c = aac_mod.AacStreamCodec(rate=rate,
+                                               channels=self.channels)
+                    self._host_enc[i] = c
+                    self._host_dec[i] = c
+                elif codec == "bv16":
+                    if rate != 8000:
+                        raise ValueError("bv16 requires 8 kHz")
+                    # gated absent like a reference build without ENABLE_BV16
+                    c = hc.Bv16Codec()
                     self._host_enc[i] = c
                     self._host_dec[i] = c
 
@@ -642,7 +659,43 @@ class AudioStreamBatch:
         if "vol_send" in pr and "vol_recv" in st:
             pr["vol_send"]["peer_energy"] = st["vol_recv"]["energy"]
 
+    def _pull_aac(self, tick: int) -> Dict[str, np.ndarray]:
+        """AAC recv: drain RFC 3640 payloads into the per-leg decoder FIFO,
+        then emit one tick's worth of samples (sample-granular, since the
+        1024-sample AU spans 6.4 ticks at 16 kHz)."""
+        B, S = self.batch, self.S
+        rx = np.zeros((B, S), np.float32)
+        lost = np.zeros(B, bool)
+        for i, sess in enumerate(self.sessions):
+            if sess is None:
+                lost[i] = True
+                continue
+            sess.poll()
+            dec = self._host_dec[i]
+            n = tick_samples(self.rate)
+            got = dec.pull_rx(n)
+            if got is None:
+                # FIFO dry: ask the jitter buffer for the next AU (at most
+                # one per tick — its playout pacing is seq-driven)
+                payload = sess.jitter_buffer.get_tick()
+                if payload is not None:
+                    dec.push_rx_payload(payload)
+                got = dec.pull_rx(n)
+            if got is None:
+                lost[i] = True
+            else:
+                rx[i] = got.reshape(-1) if self.channels > 1 else got
+        self._lost_mask = lost
+        if self.features.plc:
+            self.ticker.params["plc"]["lost"] = jnp.asarray(lost)
+        ext = {"rtp_rx": rx}
+        if "mic" in self.graph.ext_inputs:
+            ext["mic"] = self._mic_block(tick, B, S)
+        return ext
+
     def _pull_host_codec(self, tick: int) -> Dict[str, np.ndarray]:
+        if self.codec == "aac":
+            return self._pull_aac(tick)
         B, S = self.batch, self.S
         rx = np.zeros((B, S), np.float32)
         lost = np.zeros(B, bool)
@@ -716,6 +769,20 @@ class AudioStreamBatch:
         else:
             voice = np.ones(self.batch, bool)
         voice = voice & ~self._rtp_muted          # audio_stream_mute_rtp
+        if self.codec == "aac":
+            # sample-granular: the encoder FIFO emits an RFC 3640 payload
+            # whenever 1024 samples have accumulated (one AU per packet,
+            # aac-eld.c:30); RTP timestamps advance by the AU size
+            for i, sess in enumerate(self.sessions):
+                if sess is None:
+                    continue
+                pcm = tx[i].reshape(-1, self.channels) \
+                    if self.channels > 1 else tx[i]
+                from mediastreamer2_tpu.ops.aac import AAC_FRAME_SAMPLES
+                for payload in self._host_enc[i].push_tx(pcm):
+                    sess.send_payload(payload,
+                                      ts_increment=AAC_FRAME_SAMPLES)
+            return
         if self.host_codec:
             frame_samples = self.S * self.frame_ticks
             for i, sess in enumerate(self.sessions):

@@ -160,6 +160,16 @@ def local_capabilities() -> List[PayloadTypeDesc]:
         caps.append(PayloadTypeDesc("speex", 16000, 1, 106))
     if hc.g729_available():
         caps.append(PayloadTypeDesc("G729", 8000, 1, 18))
+    if hc.bv16_available():
+        caps.append(PayloadTypeDesc("BV16", 8000, 1, 107))   # RFC 4298
+    from mediastreamer2_tpu.ops.aac import (aac_available,
+                                            make_audio_specific_config)
+    if aac_available():
+        cfg = make_audio_specific_config(16000, 1).hex()
+        caps.append(PayloadTypeDesc(
+            "mpeg4-generic", 16000, 1, 108,
+            f"mode=AAC-hbr;config={cfg};sizeLength=13;indexLength=3;"
+            "indexDeltaLength=3"))
     return caps
 
 
@@ -220,3 +230,26 @@ def _speex_match(offered, local):
 
 
 register_offer_answer_provider("speex", _speex_match)
+
+
+def _aac_match(offered, local):
+    """mpeg4-generic (RFC 3640): AAC-hbr mode only; the answer echoes OUR
+    AudioSpecificConfig (config= is declarative per direction, like the
+    reference decoder reading the peer's via dec_add_fmtp, aac-eld.c:775)."""
+    if offered.mime.lower() != "mpeg4-generic" or \
+            local.mime.lower() != "mpeg4-generic":
+        return None
+    fmtp = {}
+    for part in (offered.fmtp or "").split(";"):
+        if "=" in part:
+            k, v = part.strip().split("=", 1)
+            fmtp[k.lower()] = v
+    if fmtp.get("mode", "").lower() != "aac-hbr":
+        return None
+    if offered.clock_rate != local.clock_rate:
+        return None
+    return PayloadTypeDesc("mpeg4-generic", local.clock_rate,
+                           local.channels, offered.number, local.fmtp)
+
+
+register_offer_answer_provider("mpeg4-generic", _aac_match)

@@ -323,3 +323,100 @@ class G729Codec:
                                   buf.ctypes.data_as(ctypes.c_void_p))
             chunks.append(buf.astype(np.float32) / 32768.0)
         return np.concatenate(chunks)[:frame_samples]
+
+
+# ---------------------------------------------------------------- bv16
+# BroadVoice16 (libbv16 / bv16-floatingpoint) — the library the reference
+# wraps in src/audiofilters/bv16.c:192-336.  5 ms frames: 40 samples @8k
+# in, 10 bytes out (FRSZ/BITSTREAM_FRAME_SIZE, bv16.c:50-52).  Like a
+# reference build without ENABLE_BV16, the codec is unavailable when the
+# shared library is absent (it is not packaged in this distro at all).
+_bv16 = None
+try:
+    _p = ctypes.util.find_library("bv16") or \
+        ctypes.util.find_library("bv16-floatingpoint")
+    if _p:
+        _bv16 = ctypes.CDLL(_p)
+except OSError:                                    # pragma: no cover
+    _bv16 = None
+
+BV16_FRAME_SAMPLES = 40       # 5 ms @ 8k (FRSZ)
+BV16_FRAME_BYTES = 10         # 80-bit bitstream frame
+# BV16_{Encoder,Decoder}_State / BV16_Bit_Stream are caller-allocated
+# structs; without the headers we over-allocate opaque storage (the float
+# build's states are <2 KB) — Reset_* initializes every field within.
+_BV16_STATE_BYTES = 16384
+
+
+def bv16_available() -> bool:
+    return _bv16 is not None and _bv16_selfcheck()
+
+
+_bv16_ok = None
+
+
+def _bv16_selfcheck() -> bool:
+    """Roundtrip sanity before trusting the dlopen'd ABI (same discipline
+    as h264_available: never expose a codec that didn't prove itself)."""
+    global _bv16_ok
+    if _bv16_ok is not None:
+        return _bv16_ok
+    _bv16_ok = False
+    try:
+        c = Bv16Codec()
+        t = np.arange(320) / 8000.0
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        y = c.decode(c.encode(x))
+        _bv16_ok = bool(y.shape == x.shape and
+                        0.01 < float(np.sqrt(np.mean(y ** 2))) < 1.0)
+    except Exception:
+        _bv16_ok = False
+    return _bv16_ok
+
+
+class Bv16Codec:
+    """BV16 via libbv16 (cf. MSBv16Enc/Dec, bv16.c:148-180,258-290):
+    ptime/5 frames per packet, BitPack/BitUnPack 10-byte frames, PLC on
+    erased frames."""
+
+    def __init__(self):
+        if _bv16 is None:
+            raise RuntimeError("libbv16 not available")
+        self.enc_st = ctypes.create_string_buffer(_BV16_STATE_BYTES)
+        self.dec_st = ctypes.create_string_buffer(_BV16_STATE_BYTES)
+        self._bs = ctypes.create_string_buffer(_BV16_STATE_BYTES)
+        _bv16.Reset_BV16_Encoder(self.enc_st)
+        _bv16.Reset_BV16_Decoder(self.dec_st)
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        s16 = np.clip(np.round(np.asarray(pcm) * 32768.0),
+                      -32768, 32767).astype(np.int16)
+        assert len(s16) % BV16_FRAME_SAMPLES == 0
+        out = b""
+        for i in range(0, len(s16), BV16_FRAME_SAMPLES):
+            frame = np.ascontiguousarray(s16[i:i + BV16_FRAME_SAMPLES])
+            _bv16.BV16_Encode(self._bs, self.enc_st,
+                              frame.ctypes.data_as(ctypes.c_void_p))
+            buf = ctypes.create_string_buffer(BV16_FRAME_BYTES)
+            _bv16.BV16_BitPack(buf, self._bs)
+            out += buf.raw[:BV16_FRAME_BYTES]
+        return out
+
+    def decode(self, payload, frame_samples: int = 80) -> np.ndarray:
+        """RTP payload (or None -> PLC, bv16.c:284) to >= frame_samples."""
+        chunks = []
+        if payload:
+            for pos in range(0, len(payload) - BV16_FRAME_BYTES + 1,
+                             BV16_FRAME_BYTES):
+                _bv16.BV16_BitUnPack(payload[pos:pos + BV16_FRAME_BYTES],
+                                     self._bs)
+                buf = np.zeros(BV16_FRAME_SAMPLES, np.int16)
+                _bv16.BV16_Decode(self._bs, self.dec_st,
+                                  buf.ctypes.data_as(ctypes.c_void_p))
+                chunks.append(buf.astype(np.float32) / 32768.0)
+        while sum(len(c) for c in chunks) < frame_samples:
+            buf = np.zeros(BV16_FRAME_SAMPLES, np.int16)
+            _bv16.BV16_PLC(self.dec_st,
+                           buf.ctypes.data_as(ctypes.c_void_p))
+            chunks.append(buf.astype(np.float32) / 32768.0)
+        return np.concatenate(chunks)[:frame_samples]
