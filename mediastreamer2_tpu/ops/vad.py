@@ -24,6 +24,7 @@ def _vad_init(ctx):
         "energy": jnp.zeros((B,), jnp.float32),
         "hangover": jnp.zeros((B,), jnp.int32),
         "voice": jnp.ones((B,), jnp.bool_),
+        "sil_ticks": jnp.zeros((B,), jnp.int32),      # running silence length
     }
 
 
@@ -32,6 +33,14 @@ def _vad_params(ctx):
     return {
         "enabled": jnp.ones((B,), jnp.bool_),
         "threshold_ratio": jnp.full((B,), 4.0, jnp.float32),  # energy over floor
+        # -- silence detection surface (MS_VAD_ENABLE_SILENCE_DETECTION /
+        # MS_VAD_SET_SILENCE_DURATION_THRESHOLD, the mswebrtc vad filter's
+        # method set exercised by the basic_audio silence tester) --
+        "silence_detection": jnp.zeros((B,), jnp.bool_),
+        "silence_duration_ticks": jnp.full((B,), 100, jnp.int32),   # 1000 ms
+        # absolute energy gate for silence measurement (~ -40 dBov); the
+        # MS_VAD_SET_MODE aggressiveness ladder maps onto this value
+        "silence_energy": jnp.full((B,), 1e-4, jnp.float32),
     }
 
 
@@ -52,12 +61,29 @@ def _vad_process(state, ins, params, ctx):
     voice = jnp.where(params["enabled"], voice, True)
     silence_start = state["voice"] & ~voice
     voice_start = ~state["voice"] & voice
+    # -- silence-duration measurement (raw energy gate, no hangover: the
+    # reported durations are the recording's actual quiet spans, like the
+    # mswebrtc vad the basic_audio tester drives) ------------------------
+    quiet = e <= params["silence_energy"]
+    sil_ticks = jnp.where(quiet, state["sil_ticks"] + 1, 0)
+    sd_on = params["silence_detection"]
+    thr_t = params["silence_duration_ticks"]
+    # MS_VAD_EVENT_SILENCE_DETECTED: fires once, when the quiet span
+    # crosses the configured duration threshold
+    silence_detected = sd_on & (sil_ticks == thr_t)
+    # MS_VAD_EVENT_SILENCE_ENDED: voice resumed after a reported silence;
+    # value = the span's length in ms (0 = no event this tick)
+    ended = sd_on & ~quiet & (state["sil_ticks"] >= thr_t)
+    silence_ended_ms = jnp.where(ended, state["sil_ticks"] * 10, 0)
     new_state = {"floor": floor, "energy": energy,
-                 "hangover": hangover, "voice": voice}
+                 "hangover": hangover, "voice": voice,
+                 "sil_ticks": sil_ticks}
     return new_state, (x,), {
         "silence_start": silence_start,    # cf. MS_VAD_DTX events
         "voice_start": voice_start,
         "noise_level": jnp.where(silence_start, jnp.sqrt(floor), 0.0),
+        "silence_detected": silence_detected,
+        "silence_ended_ms": silence_ended_ms,
     }
 
 

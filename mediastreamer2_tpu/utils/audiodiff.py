@@ -53,6 +53,63 @@ def audio_diff(ref: np.ndarray, rec: np.ndarray,
     return max(0.0, min(1.0, sim)), shift
 
 
+def silence_mask(ref: np.ndarray, threshold: float = 0.001,
+                 half_window: int = 200,
+                 smooth_half_window: int = 1400) -> np.ndarray:
+    """Boolean silence mask of the reference signal — the reference's
+    two-stage detector (audiodiff.c ms_audio_compute_energy_in_silence):
+    sliding-mean |x| below threshold, then a majority vote over a wider
+    window removes speckle."""
+    x = np.abs(np.asarray(ref, np.float64))
+    if x.size and x.max() > 1.5:                   # int16-scaled input
+        x = x / 32768.0
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, bool)
+    w = 2 * half_window + 1
+    csum = np.cumsum(np.concatenate([[0.0], x]))
+    idx = np.arange(n)
+    w0 = np.maximum(0, idx - half_window)
+    wn = np.minimum(n, idx + half_window + 1)
+    mean = (csum[wn] - csum[w0]) / (wn - w0)
+    raw = (mean < threshold).astype(np.float64)
+    csum2 = np.cumsum(np.concatenate([[0.0], raw]))
+    w0 = np.maximum(0, idx - smooth_half_window)
+    wn = np.minimum(n, idx + smooth_half_window + 1)
+    frac = (csum2[wn] - csum2[w0]) / (wn - w0)
+    return frac >= 0.5
+
+
+def audio_compare_silence_and_speech(ref: np.ndarray, rec: np.ndarray,
+                                     rate: int,
+                                     align_window_ms: tuple = (0, 2000),
+                                     ) -> Tuple[float, float]:
+    """(speech_similarity, silence_energy) — the reference's second test
+    oracle ``ms_audio_compare_silence_and_speech`` (audiodiff.c /
+    msutils.h:76): align on a short window, detect the reference's silence
+    spans, then measure cross-correlation similarity on the SPEECH samples
+    only and the summed energy of the matched signal on the SILENCE
+    samples (quantifies noise/echo injected into pauses)."""
+    ref = np.asarray(ref, np.float64)
+    rec = np.asarray(rec, np.float64)
+    s0 = int(align_window_ms[0] * rate / 1000)
+    s1 = min(int(align_window_ms[1] * rate / 1000), len(ref), len(rec))
+    _, shift = audio_diff(ref[s0:s1], rec[s0:s1])
+    if shift > 0:                                  # rec lags: drop its head
+        rec = rec[shift:]
+    elif shift < 0:
+        ref = ref[-shift:]
+    n = min(len(ref), len(rec))
+    ref, rec = ref[:n], rec[:n]
+    mask = silence_mask(ref)
+    energy = float((rec[mask] ** 2).sum())
+    speech_ref = ref[~mask]
+    speech_rec = rec[~mask]
+    max_shift = max(1, len(speech_ref) // 100)     # 1% like the reference
+    sim, _ = audio_diff(speech_ref, speech_rec, max_shift=max_shift)
+    return sim, energy
+
+
 def energy_db(x: np.ndarray) -> float:
     x = np.asarray(x, np.float64)
     p = (x * x).mean() if len(x) else 0.0
