@@ -485,6 +485,20 @@ class AudioStreamBatch:
         session.accepted_payload_types = {PAYLOAD_TYPES[self.codec], CN_PT}
         self.sessions[leg] = session
 
+    def set_encryption_mandatory(self, leg: int, yesno: bool = True):
+        """ms_media_stream_sessions_set_encryption_mandatory parity
+        (ms_srtp.cpp:1576): while this leg's transport is not SRTP, media
+        and RTCP are dropped instead of sent in clear, and inbound
+        plaintext is discarded."""
+        sess = self.sessions[leg]
+        if sess is None:
+            raise RuntimeError("set_transport first")
+        sess.set_encryption_mandatory(yesno)
+
+    def get_encryption_mandatory(self, leg: int) -> bool:
+        sess = self.sessions[leg]
+        return sess is not None and sess.encryption_mandatory
+
     def enable_srtp(self, leg: int, tx_key: bytes, tx_salt: bytes,
                     rx_key: bytes, rx_salt: bytes, suite: str = None,
                     key_source: str = "sdes"):

@@ -430,6 +430,10 @@ class RtcpSession:
         self._own_sr_wall = now
         pkt = sr.pack() + Sdes(self.rtp.ssrc, cname=self.cname,
                                tool=self.tool).pack()
+        if self.rtp._cleartext_blocked():
+            # encryption-mandatory leg without SRTCP yet: no plaintext RTCP
+            self.rtp.mandatory_dropped += 1
+            return pkt
         transport.send(pkt)
         return pkt
 
@@ -448,7 +452,8 @@ class RtcpSession:
             body += bytes([len(r)]) + r
             body += b"\x00" * ((-len(r) - 1) % 4)
         hdr = struct.pack("!BBH", 0x80 | 1, RTCP_BYE, len(body) // 4)
-        transport.send(hdr + body)
+        if not self.rtp._cleartext_blocked():
+            transport.send(hdr + body)
 
     def process(self, data: bytes):
         self.bye_received = getattr(self, "bye_received", False)

@@ -409,6 +409,19 @@ class RtpSession:
         self._dtmf_queue: List[_DtmfTx] = []
         self._dtmf_cur: Optional[_DtmfTx] = None
         self._dtmf_rx_ts: Optional[int] = None   # current inbound event ts
+        # encryption-mandatory mode (ms_media_stream_sessions_set_
+        # encryption_mandatory, ms_srtp.cpp:1576): while the transport is
+        # not an encrypting one, outbound media is dropped instead of sent
+        # in clear, and inbound plaintext is discarded
+        self.encryption_mandatory = False
+        self.mandatory_dropped = 0
+
+    def set_encryption_mandatory(self, yesno: bool = True):
+        self.encryption_mandatory = bool(yesno)
+
+    def _cleartext_blocked(self) -> bool:
+        return self.encryption_mandatory and \
+            not getattr(self.transport, "encrypting", False)
 
     @property
     def jitter_ms(self) -> float:
@@ -499,6 +512,13 @@ class RtpSession:
         pkt = RtpPacket(self.payload_type, self.seq, self.ts, self.ssrc,
                         payload, marker, extensions=ext, csrcs=csrcs)
         wire = pkt.pack()
+        if self._cleartext_blocked():
+            # mandatory encryption, no SRTP yet: drop instead of leaking
+            # plaintext (ms_srtp.cpp:460); the clock still advances
+            self.mandatory_dropped += 1
+            self.seq = (self.seq + 1) & 0xFFFF
+            self.ts = (self.ts + ts_increment) & 0xFFFFFFFF
+            return
         self.transport.send(wire)
         if self._rtx_history is not None:
             self._rtx_history[self.seq] = wire
@@ -516,7 +536,7 @@ class RtpSession:
         if self._rtx_history is None:
             return False
         wire = self._rtx_history.get(seq)
-        if wire is None:
+        if wire is None or self._cleartext_blocked():
             return False
         self.transport.send(wire)
         return True
@@ -559,7 +579,10 @@ class RtpSession:
         pkt = RtpPacket(self.telephone_event_pt, self.seq, ev.start_ts,
                         self.ssrc, payload, marker=ev.first)
         ev.first = False
-        self.transport.send(pkt.pack())
+        if self._cleartext_blocked():
+            self.mandatory_dropped += 1
+        else:
+            self.transport.send(pkt.pack())
         self.seq = (self.seq + 1) & 0xFFFF
         self.stats.sent_packets += 1
         if end:
@@ -624,6 +647,12 @@ class RtpSession:
 
     def poll(self):
         """Drain transport into the jitter buffer; call once per tick."""
+        if self._cleartext_blocked():
+            # mandatory encryption, no SRTP yet: inbound plaintext is
+            # discarded (ms_srtp.cpp:755 'cannot decrypt but encryption
+            # is mandatory')
+            self.mandatory_dropped += len(self.transport.recv_all())
+            return
         for data in self.transport.recv_all():
             if self._is_rtcp(data):
                 if self.rtcp is not None:

@@ -359,6 +359,10 @@ class SrtpTransport(Transport):
     double encryption). RTCP on the same transport is protected as SRTCP
     when rtcp contexts are supplied."""
 
+    # marks this transport as satisfying encryption-mandatory mode
+    # (RtpSession._cleartext_blocked duck-types on this attribute)
+    encrypting = True
+
     def __init__(self, inner: Transport, tx: SrtpContext, rx: SrtpContext,
                  tx_rtcp: Optional[SrtcpContext] = None,
                  rx_rtcp: Optional[SrtcpContext] = None):
