@@ -131,6 +131,22 @@ class BandwidthController:
         self.est_bps = 0.0
         self.congested = False
         self._window: List[float] = []
+        # fed by the packet-cluster bandwidth estimators (net/bwe.py); the
+        # reference's bandwidthcontroller reads the same figure from oRTP
+        self.download_video_bandwidth_available_estimated = 0.0
+        self.download_audio_bandwidth_available_estimated = 0.0
+
+    def update_estimate(self, bps: float, kind: str = "video"):
+        """Feed a VideoBandwidthEstimator/AudioBandwidthEstimator reading
+        (rtp_session_get_*_bandwidth_estimator result)."""
+        if kind == "video":
+            self.download_video_bandwidth_available_estimated = bps
+        else:
+            self.download_audio_bandwidth_available_estimated = bps
+
+    def _available(self) -> float:
+        return max(self.download_video_bandwidth_available_estimated,
+                   self.download_audio_bandwidth_available_estimated)
 
     def on_interval(self, recv_bytes: int, interval_s: float,
                     jitter_rising: bool, loss_rate: float):
@@ -149,10 +165,17 @@ class BandwidthController:
         self.congested = (loss_rate > 0.05) \
             or (jitter_rising and (loss_rate > 0.01 or rate_drop))
         if self.congested:
-            target = max(self.est_bps * 0.7, 16000)
+            # prefer the cluster estimator's available-bandwidth figure
+            # (the reference sends TMMBR at 0.7x the estimated bandwidth)
+            base = self._available() or self.est_bps
+            target = max(base * 0.7, 16000)
             self.emit_feedback(int(target))
         elif was and not self.congested:
-            self.emit_feedback(int(self.est_bps * 1.5))   # release cap
+            base = self._available()
+            # congestion over: 0.9x the measured available bandwidth when
+            # an estimator is feeding us, else open up the EWMA cap
+            self.emit_feedback(int(base * 0.9 if base
+                                   else self.est_bps * 1.5))
 
 
 # ---------------------------------------------------------- quality (MOS)

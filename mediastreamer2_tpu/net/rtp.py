@@ -161,6 +161,14 @@ class Transport:
     """Abstract datagram transport; subclasses: UDP, loopback."""
     def send(self, data: bytes): ...
     def recv_all(self) -> List[bytes]: ...
+
+    def recv_all_ts(self) -> List[Tuple[float, bytes]]:
+        """(arrival_time, packet) pairs; default stamps at drain time.
+        Transports with better knowledge (netsim delivery schedule, native
+        pump kernel timestamps) override this."""
+        now = time.monotonic()
+        return [(now, d) for d in self.recv_all()]
+
     def close(self): ...
 
 
@@ -269,10 +277,13 @@ class LoopbackPair:
             self.queues[1 - from_idx].extend(items)
 
     def _recv(self, idx: int) -> List[bytes]:
+        return [d for _, d in self._recv_ts(idx)]
+
+    def _recv_ts(self, idx: int) -> List[Tuple[float, bytes]]:
         now = time.monotonic()
         with self.lock:
             q = self.queues[idx]
-            ready = [d for t, d in q if t <= now]
+            ready = [(t, d) for t, d in q if t <= now]
             self.queues[idx][:] = [(t, d) for t, d in q if t > now]
         return ready
 
@@ -287,6 +298,11 @@ class LoopbackTransport(Transport):
 
     def recv_all(self) -> List[bytes]:
         return self.pair._recv(self.idx)
+
+    def recv_all_ts(self) -> List[Tuple[float, bytes]]:
+        """Packets with their (simulated) delivery times — the bandwidth
+        estimators need real inter-arrival spacing."""
+        return self.pair._recv_ts(self.idx)
 
     def close(self):
         pass
@@ -415,6 +431,36 @@ class RtpSession:
         # in clear, and inbound plaintext is discarded
         self.encryption_mandatory = False
         self.mandatory_dropped = 0
+        # receive-side bandwidth estimators (oRTP OrtpVideo/Audio
+        # BandwidthEstimator parity, net/bwe.py)
+        self.vbe = None
+        self.abe = None
+        self._abe_dup_every = 0
+        self._abe_dup_active = False
+        self._abe_pending_dup: Optional[bytes] = None
+        self._abe_count = 0
+        self.abe_duplicates_sent = 0
+
+    def enable_video_bandwidth_estimator(self, params=None):
+        """cf. rtp_session_enable_video_bandwidth_estimator."""
+        from mediastreamer2_tpu.net.bwe import VideoBandwidthEstimator
+        self.vbe = VideoBandwidthEstimator(params)
+        return self.vbe
+
+    def enable_audio_bandwidth_estimator(self, params=None):
+        """cf. rtp_session_enable_audio_bandwidth_estimator — measures on
+        the receive side AND arms the sender's duplicate machinery (clusters
+        only flow once set_abe_duplicates(True), mirroring the reference
+        where duplicates start when the sender is bitrate-capped)."""
+        from mediastreamer2_tpu.net.bwe import (AudioBandwidthEstimator,
+                                                BweParams)
+        p = params or BweParams()
+        self.abe = AudioBandwidthEstimator(p)
+        self._abe_dup_every = max(2, p.duplicate_every)
+        return self.abe
+
+    def set_abe_duplicates(self, active: bool):
+        self._abe_dup_active = bool(active)
 
     def set_encryption_mandatory(self, yesno: bool = True):
         self.encryption_mandatory = bool(yesno)
@@ -519,7 +565,18 @@ class RtpSession:
             self.seq = (self.seq + 1) & 0xFFFF
             self.ts = (self.ts + ts_increment) & 0xFFFFFFFF
             return
+        if self._abe_pending_dup is not None:
+            # glue the scheduled duplicate to this packet: the two leave
+            # back-to-back, so their arrival spacing at the receiver is one
+            # serialization time (the audio bandwidth estimator's probe)
+            self.transport.send(self._abe_pending_dup)
+            self._abe_pending_dup = None
+            self.abe_duplicates_sent += 1
         self.transport.send(wire)
+        if self._abe_dup_active and self._abe_dup_every:
+            self._abe_count += 1
+            if self._abe_count % self._abe_dup_every == 0:
+                self._abe_pending_dup = wire
         if self._rtx_history is not None:
             self._rtx_history[self.seq] = wire
             if len(self._rtx_history) > self._rtx_depth:
@@ -653,7 +710,7 @@ class RtpSession:
             # is mandatory')
             self.mandatory_dropped += len(self.transport.recv_all())
             return
-        for data in self.transport.recv_all():
+        for when, data in self.transport.recv_all_ts():
             if self._is_rtcp(data):
                 if self.rtcp is not None:
                     self.rtcp.process(data)
@@ -662,6 +719,12 @@ class RtpSession:
                 pkt = RtpPacket.unpack(data)
             except ValueError:
                 continue
+            if self.vbe is not None:
+                self.vbe.on_packet(when, len(data), pkt.timestamp,
+                                   pkt.marker)
+            if self.abe is not None and \
+                    self.abe.on_packet(when, len(data), pkt.seq):
+                continue                    # measurement duplicate: drop
             self._deliver(pkt)
 
     def attach_rtcp(self, interval_s: float = 5.0):
