@@ -710,7 +710,13 @@ class RtpSession:
             # is mandatory')
             self.mandatory_dropped += len(self.transport.recv_all())
             return
-        for when, data in self.transport.recv_all_ts():
+        recv_ts = getattr(self.transport, "recv_all_ts", None)
+        if recv_ts is not None:
+            arrivals = recv_ts()
+        else:                       # duck-typed transports (test doubles)
+            now = time.monotonic()
+            arrivals = [(now, d) for d in self.transport.recv_all()]
+        for when, data in arrivals:
             if self._is_rtcp(data):
                 if self.rtcp is not None:
                     self.rtcp.process(data)
