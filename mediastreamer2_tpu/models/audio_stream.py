@@ -271,6 +271,7 @@ class AudioStreamBatch:
         # runtime ptime for byte codecs (MS_AUDIO_ENCODER_SET_PTIME; the
         # QoS AudioBitrateDriver climbs the ptime ladder under loss)
         self._ptime_ticks = [1] * batch
+        self._max_ptime_ms = [100] * batch    # fmtp maxptime (default 100)
         self._tx_tick_accum: List[list] = [[] for _ in range(batch)]
         self._rx_tick_fifo: List[list] = [[] for _ in range(batch)]
         self._lost_mask = np.zeros(batch, bool)
@@ -579,11 +580,30 @@ class AudioStreamBatch:
         """cf. MS_AUDIO_ENCODER_SET_PTIME (audiostream.c:1608-1618): pack
         ptime_ms worth of audio per packet — fewer packets, more latency;
         the QoS ptime ladder calls this under loss. Byte codecs only
-        (host codecs have their own frame aggregation)."""
+        (host codecs have their own frame aggregation).
+
+        Clamped to max_ptime when one was negotiated (the basic_audio
+        tester's 'Max ptime' contract: maxptime=60 then SET_PTIME 80 must
+        read back 60)."""
         if self.host_codec:
             raise ValueError("host codecs manage their own frame size")
         assert ptime_ms % 10 == 0 and ptime_ms >= 10
+        ptime_ms = min(ptime_ms, self._max_ptime_ms[leg])
         self._ptime_ticks[leg] = ptime_ms // 10
+
+    def set_max_ptime(self, leg: int, max_ptime_ms: int):
+        """fmtp maxptime= (MS_FILTER_ADD_FMTP parity); an out-of-range
+        value falls back to the reference's 100 ms default
+        (bv16.c:91 / msopus.c maxptime handling)."""
+        if not 10 <= max_ptime_ms <= 140:
+            max_ptime_ms = 100
+        self._max_ptime_ms[leg] = max_ptime_ms
+        if self._ptime_ticks[leg] * 10 > max_ptime_ms:
+            self._ptime_ticks[leg] = max_ptime_ms // 10
+
+    def get_ptime(self, leg: int) -> int:
+        """MS_AUDIO_ENCODER_GET_PTIME."""
+        return self._ptime_ticks[leg] * 10
 
     batch_edge = False
 

@@ -434,3 +434,24 @@ def test_double_encrypted_audio_stream(factory):
     tx.stop(); rx.stop()
     sim, _ = audio_diff(sig, rx.get_recording()[0])
     assert sim > 0.9, f"double-encrypted call sim {sim}"
+
+
+def test_max_ptime_clamps_setter(factory):
+    """'Max ptime' (basic_audio tester): maxptime=60 negotiated, then
+    SET_PTIME 40 reads back 40, SET_PTIME 80 reads back 60."""
+    st = AudioStreamBatch(factory, 1)
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    pair = LoopbackPair()
+    st.set_transport(0, pair.endpoint(0))
+    st.set_max_ptime(0, 60)
+    st.set_ptime(0, 40)
+    assert st.get_ptime(0) == 40
+    st.set_ptime(0, 80)
+    assert st.get_ptime(0) == 60
+    # out-of-range maxptime falls back to the 100 ms default (bv16.c:91)
+    st.set_max_ptime(0, 999)
+    st.set_ptime(0, 80)
+    assert st.get_ptime(0) == 80
+    # lowering maxptime below the current ptime clamps immediately
+    st.set_max_ptime(0, 20)
+    assert st.get_ptime(0) == 20
