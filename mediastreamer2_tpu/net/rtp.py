@@ -677,11 +677,15 @@ class RtpSession:
         self.recv_ssrc = pkt.ssrc
         now = time.monotonic()
         self.last_recv_time = now
-        # RFC 3550 §6.4.1 interarrival jitter (RTP timestamp units)
-        transit = now * self.clock_rate - pkt.timestamp
+        # RFC 3550 §6.4.1 interarrival jitter (RTP timestamp units), in
+        # 32-bit modular arithmetic so the ts rollover at 2^32 doesn't
+        # spike the estimate (the jitterbuffer tester's
+        # ideal_network_with_ts_rollover cases)
+        transit = (int(now * self.clock_rate) - pkt.timestamp) & 0xFFFFFFFF
         if self._last_transit is not None:
-            d = abs(transit - self._last_transit)
-            self.jitter_units += (d - self.jitter_units) / 16.0
+            d = ((transit - self._last_transit + (1 << 31)) & 0xFFFFFFFF) \
+                - (1 << 31)
+            self.jitter_units += (abs(d) - self.jitter_units) / 16.0
         self._last_transit = transit
         self.stats.recv_packets += 1
         self.stats.recv_bytes += len(pkt.payload)

@@ -287,3 +287,43 @@ def compose_selfview(main, pip, corner: str = "bottom_right",
     out_uv = jax.lax.dynamic_update_slice(
         main_uv, pip_uv, (0, y0 // 2, 0, x0 // 2))
     return jnp.concatenate([out_y, out_uv.reshape(B, h // 2, w)], axis=1)
+
+
+# --------------------------------------------------------- pix-stride copy
+def plane_copy_with_strides(src: np.ndarray, src_row_stride: int,
+                            src_pix_stride: int, src_roi,
+                            dst: np.ndarray, dst_row_stride: int,
+                            dst_pix_stride: int, dst_roi):
+    """One plane of ms_yuv_buf_copy_with_pix_strides (msvideo.c plane_copy):
+    copy a src ROI into a dst ROI where each may be planar (pix stride 1)
+    or semi-planar interleaved (pix stride 2). Host-side numpy — this is a
+    byte-layout shuffle, not device math (CLAUDE.md design rules)."""
+    sx, sy, w, h = src_roi
+    dx, dy, _, _ = dst_roi
+    src = np.asarray(src).reshape(-1)
+    dst = dst.reshape(-1)
+    for row in range(h):
+        r0 = (sy + row) * src_row_stride + sx * src_pix_stride
+        w0 = (dy + row) * dst_row_stride + dx * dst_pix_stride
+        dst[w0:w0 + w * dst_pix_stride:dst_pix_stride] = \
+            src[r0:r0 + w * src_pix_stride:src_pix_stride]
+
+
+def yuv_copy_with_pix_strides(src_planes, src_row_strides, src_pix_strides,
+                              src_roi, dst_planes, dst_row_strides,
+                              dst_pix_strides, dst_roi):
+    """ms_yuv_buf_copy_with_pix_strides (msvideo.c:245): Y plane copies the
+    full ROI, chroma planes copy the ROI halved in every coordinate.
+    ROI = (x, y, w, h). Supports planar<->semi-planar (NV12-style UV
+    interleave via pixel stride 2) and "sliding" (src ROI != dst ROI)."""
+    plane_copy_with_strides(src_planes[0], src_row_strides[0],
+                            src_pix_strides[0], src_roi,
+                            dst_planes[0], dst_row_strides[0],
+                            dst_pix_strides[0], dst_roi)
+    half = lambda r: (r[0] // 2, r[1] // 2, r[2] // 2, r[3] // 2)
+    s2, d2 = half(src_roi), half(dst_roi)
+    for p in (1, 2):
+        plane_copy_with_strides(src_planes[p], src_row_strides[p],
+                                src_pix_strides[p], s2,
+                                dst_planes[p], dst_row_strides[p],
+                                dst_pix_strides[p], d2)

@@ -114,3 +114,64 @@ def test_opus_poor_quality_capture_through_jitter_and_decoder():
     played = ticks - concealed
     assert played >= 4000, (played, ticks)
     assert jb.lost + jb.late < 600              # envelope like the reference
+
+
+def _synthetic_run(packets, algo, ticks_extra=40):
+    """Drive the jitter buffer with synthetic (arrival_tick, seq, ts)
+    triples; returns counters (the tester's synthetic half:
+    ideal_network / ts_rollover / chaotic_start cases)."""
+    from mediastreamer2_tpu.net.rtp import RtpPacket
+    jb = JitterBuffer(JBParams(min_depth_ticks=2, nom_depth_ticks=4,
+                               max_depth_ticks=50, algorithm=algo))
+    by_tick = {}
+    for tick, seq, ts in packets:
+        by_tick.setdefault(tick, []).append((seq, ts))
+    last = max(by_tick) + ticks_extra
+    played = 0
+    for tick in range(last):
+        for seq, ts in by_tick.get(tick, ()):
+            jb.put(RtpPacket(0, seq & 0xFFFF, ts & 0xFFFFFFFF, 1,
+                             b"\x00" * 80), now=tick * 0.01)
+        if jb.get_tick() is not None:
+            played += 1
+    return jb, played
+
+
+@pytest.mark.parametrize("algo", ["basic", "rls"])
+def test_ideal_network_with_ts_rollover(algo):
+    """ideal_network_with_ts_rollover_{basic,rls}: timestamps wrap through
+    2^32 mid-stream; counters must stay clean and playout continuous."""
+    n = 400
+    start_ts = (1 << 32) - 80 * (n // 2)      # wraps halfway
+    packets = [(i, 7000 + i, start_ts + 80 * i) for i in range(n)]
+    jb, played = _synthetic_run(packets, algo)
+    assert jb.lost == 0
+    assert jb.late == 0
+    assert played >= n - 10                   # prebuffer only
+
+
+@pytest.mark.parametrize("algo", ["basic", "rls"])
+def test_ideal_network_with_seq_rollover(algo):
+    """Sequence numbers wrap through 65535 (the same scenarios exercise
+    both wraps)."""
+    n = 300
+    packets = [(i, 65_450 + i, 80 * i) for i in range(n)]
+    jb, played = _synthetic_run(packets, algo)
+    assert jb.lost == 0 and jb.late == 0
+    assert played >= n - 10
+
+
+@pytest.mark.parametrize("algo", ["basic", "rls"])
+def test_chaotic_start(algo):
+    """chaotic_start_{basic,rls}: the first packets arrive as one
+    disordered burst (late join / ICE unfreeze), then the stream settles.
+    The buffer must resync and play the steady tail without residue."""
+    import random
+    rng = random.Random(7)
+    burst = [(rng.randrange(0, 3), 100 + i, 80 * i) for i in range(30)]
+    steady = [(3 + i, 130 + i, 80 * (30 + i)) for i in range(300)]
+    jb, played = _synthetic_run(burst + steady, algo)
+    # everything after the chaos plays; at most the burst itself is spent
+    # syncing (reference asserts the tail is clean)
+    assert played >= 300 - 5
+    assert jb.lost <= 30
