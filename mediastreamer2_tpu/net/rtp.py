@@ -125,6 +125,7 @@ class RtpStats:
     late: int = 0
     discarded: int = 0
     out_of_order: int = 0
+    packet_dup_recv: int = 0    # oRTP rtp_stats_t.packet_dup_recv
 
 
 class BandwidthMeter:
@@ -462,6 +463,15 @@ class RtpSession:
     def set_abe_duplicates(self, active: bool):
         self._abe_dup_active = bool(active)
 
+    def set_duplication_ratio(self, ratio: float):
+        """cf. rtp_session_set_duplication_ratio (oRTP): every packet is
+        re-sent `ratio` extra times (fractional ratios accumulate), a blunt
+        redundancy tool the adaptive tester measures via packet_dup_recv
+        and the (1+ratio)x upload bandwidth."""
+        self._dup_ratio = max(0.0, float(ratio))
+        if not hasattr(self, "_dup_accum"):
+            self._dup_accum = 0.0
+
     def set_encryption_mandatory(self, yesno: bool = True):
         self.encryption_mandatory = bool(yesno)
 
@@ -577,6 +587,13 @@ class RtpSession:
             self._abe_count += 1
             if self._abe_count % self._abe_dup_every == 0:
                 self._abe_pending_dup = wire
+        ratio = getattr(self, "_dup_ratio", 0.0)
+        if ratio > 0:
+            self._dup_accum += ratio
+            while self._dup_accum >= 1.0:
+                self.transport.send(wire)       # redundancy duplicate
+                self.up_bw.add(len(wire))
+                self._dup_accum -= 1.0
         if self._rtx_history is not None:
             self._rtx_history[self.seq] = wire
             if len(self._rtx_history) > self._rtx_depth:
@@ -690,6 +707,17 @@ class RtpSession:
         self.stats.recv_packets += 1
         self.stats.recv_bytes += len(pkt.payload)
         self.down_bw.add(len(pkt.payload) + 12)
+        # duplicate detection (oRTP rtp_stats_t.packet_dup_recv): a seq in
+        # the recent window counts as dup and is not delivered twice
+        recent = getattr(self, "_recent_seqs", None)
+        if recent is None:
+            recent = self._recent_seqs = {}
+        if pkt.seq in recent:
+            self.stats.packet_dup_recv += 1
+            return
+        recent[pkt.seq] = None
+        if len(recent) > 128:
+            del recent[next(iter(recent))]
         if self.on_packet:
             self.on_packet(pkt)
         if self.jitter_buffer is not None:

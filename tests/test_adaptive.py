@@ -88,3 +88,39 @@ def test_tmmbr_caps_opus_bitrate(factory):
     assert tx.bitrate_caps[0] == caps[-1][1]
     # the opus encoder was actually re-targeted
     assert tx._host_enc[0].bitrate <= 24576
+
+
+def test_packet_duplication_stats():
+    """'Packet duplication' (adaptive tester:401): duplication_ratio R
+    makes packet_dup_recv == packet_recv / (R+1); ratio 0 -> none."""
+    from mediastreamer2_tpu.net.rtp import LoopbackPair, RtpSession
+    for ratio, n in ((0.0, 100), (1.0, 100), (0.5, 100)):
+        pair = LoopbackPair()
+        tx = RtpSession(pair.endpoint(0))
+        rx = RtpSession(pair.endpoint(1))
+        tx.set_duplication_ratio(ratio)
+        for _ in range(n):
+            tx.send_payload(b"\x00" * 80, ts_increment=80)
+        rx.poll()
+        expect_dup = int(n * ratio)
+        assert rx.stats.packet_dup_recv == expect_dup, ratio
+        assert rx.stats.recv_packets == n + expect_dup   # oRTP counts both
+
+
+def test_upload_bandwidth_with_duplication():
+    """'Upload bandwidth computation' (adaptive tester:430): PCMU at
+    ~80 kbit/s measures 80*(1+R) kbit/s with duplication ratio R."""
+    import time as _time
+    from mediastreamer2_tpu.net.rtp import LoopbackPair, RtpSession
+    for ratio in (0, 1, 2):
+        pair = LoopbackPair()
+        tx = RtpSession(pair.endpoint(0))
+        tx.set_duplication_ratio(ratio)
+        for i in range(50):                    # 0.5 s of 10 ms G.711,
+            tx.send_payload(b"\x00" * 160, ts_increment=160)
+            _time.sleep(0.002)                 # compressed-time pacing
+        # all sends fall inside the meter's 1 s window: the measured rate
+        # scales exactly with (1+R), the tester's 80*(1+R) arithmetic
+        kbps = tx.up_bw.bps() / 1000.0
+        expect = 50 * (160 + 12) * 8 * (1 + ratio) / 1000.0
+        assert abs(kbps - expect) / expect < 0.1, (ratio, kbps, expect)
