@@ -170,21 +170,29 @@ def test_zrtp_tampered_handshake_fails():
     a.start(); b.start()
     tampered = [False]
 
+    def tamper(m):
+        # DH2 comes from whichever side won the initiator role (the
+        # commit contention is nonce-random), so intercept both directions
+        msg = unwrap_packet(m)
+        t, body = parse_message(msg)
+        if t == T_DH2 and not tampered[0]:
+            # swap in an attacker's public value
+            body = body[:64] + b"\x99" * 32 + body[96:]
+            from mediastreamer2_tpu.net.zrtp import make_message
+            m = wrap_packet(make_message(T_DH2, body), 1, 1)
+            tampered[0] = True
+        return m
+
     def pump_once():
         for m in a_out[:]:
             a_out.remove(m)
-            msg = unwrap_packet(m)
-            t, body = parse_message(msg)
-            if t == T_DH2 and not tampered[0]:
-                # swap in an attacker's public value
-                body = body[:64] + b"\x99" * 32 + body[96:]
-                from mediastreamer2_tpu.net.zrtp import make_message
-                m = wrap_packet(make_message(T_DH2, body), 1, 1)
-                tampered[0] = True
-            b.process(m)
+            b.process(tamper(m))
         for m in b_out[:]:
-            b_out.remove(m); a.process(m)
+            b_out.remove(m)
+            a.process(tamper(m))
 
     for _ in range(12):
         pump_once()
-    assert b.state == "failed" or not b.secrets_ready
+    assert tampered[0], "no DH2 was ever exchanged"
+    assert (b.state == "failed" or not b.secrets_ready
+            or a.state == "failed" or not a.secrets_ready)
