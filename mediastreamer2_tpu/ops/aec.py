@@ -37,7 +37,6 @@ from mediastreamer2_tpu.core.filter import FilterDef, register_filter
 from mediastreamer2_tpu.ops.rfft import rfft, irfft, cmul, cmul_conj, cabs2
 
 DEFAULT_TAIL_MS = 80
-POW_EWMA = 0.65        # far-end PSD smoothing
 MU = 0.6               # shadow NLMS step
 ERR_EWMA = 0.6         # error-energy smoothing for transfer logic
 COPY_RATIO = 0.4       # shadow must (sustainably) halve the error -> promote
@@ -88,13 +87,14 @@ def _aec_init(ctx):
         "Ws_r": zc(), "Ws_i": zc(),        # shadow (adapting) taps, f32
         "Xh_r": zh(), "Xh_i": zh(),        # far-end block spectra history
         "far_prev": jnp.zeros((B, S), jnp.float32),   # overlap-save
-        "Pxx": jnp.full((B, F), 1e-6, jnp.float32),   # far PSD estimate
+        "Hp": jnp.zeros((B, F), jnp.float32),   # exact per-bin history power
         "Em": jnp.full((B,), 1e-6, jnp.float32),      # smoothed main error
         "Es": jnp.full((B,), 1e-6, jnp.float32),      # smoothed shadow error
         "Dn": jnp.full((B,), 1e-6, jnp.float32),      # smoothed near energy
         "promote_cnt": jnp.zeros((B,), jnp.int32),
         "reseed_cnt": jnp.zeros((B,), jnp.int32),
         "diverge_cnt": jnp.zeros((B,), jnp.int32),
+        "Nf": jnp.ones((B,), jnp.float32),   # shadow-error floor (min stats)
         "leak": jnp.ones((B,), jnp.float32),
         "cpos": jnp.zeros((), jnp.int32),   # round-robin constraint cursor
     }
@@ -119,12 +119,19 @@ def _aec_process(state, ins, params, ctx):
     use_pallas = pk.mdf_available(B)
 
     F_nat = S + 1
-    F_pad = state["Pxx"].shape[1] - F_nat           # lane padding columns
+    F_pad = state["Hp"].shape[1] - F_nat            # lane padding columns
     far_blk = jnp.concatenate([state["far_prev"], far], axis=1)     # [B, 2S]
     Xr, Xi = rfft(far_blk, two_s)                                   # [B, F]
     if F_pad:
         Xr = jnp.pad(Xr, ((0, 0), (0, F_pad)))
         Xi = jnp.pad(Xi, ((0, 0), (0, F_pad)))
+    # the block leaving the far-history window this tick (for the exact
+    # running history-power sum; read pre-shift, in the storage dtype so
+    # the telescoping sum adds and removes identical quantized values)
+    drop_pow = cabs2(state["Xh_r"][:, -1].astype(jnp.float32),
+                     state["Xh_i"][:, -1].astype(jnp.float32))
+    inst_q = cabs2(Xr.astype(STORE_DTYPE).astype(jnp.float32),
+                   Xi.astype(STORE_DTYPE).astype(jnp.float32))
 
     # --- history shift + dual filter apply ---------------------------------
     Wm_r_f = state["Wm_r"].astype(jnp.float32)
@@ -165,8 +172,19 @@ def _aec_process(state, ins, params, ctx):
     if F_pad:
         Er = jnp.pad(Er, ((0, 0), (0, F_pad)))
         Ei = jnp.pad(Ei, ((0, 0), (0, F_pad)))
-    Pxx = POW_EWMA * state["Pxx"] + (1 - POW_EWMA) * cabs2(Xr, Xi)
-    inv_norm = 1.0 / (P * Pxx + 1e-6)
+    # exact MDF-NLMS normalization: divide by the per-bin power of the
+    # ACTUAL history window, maintained as a telescoping running sum
+    # (+ incoming block, - dropped block, identical quantized values both
+    # ways). The old P*EWMA proxy under-normalized at speech OFFSETS —
+    # loud blocks still in the history while the smoothed PSD decays —
+    # and the shadow diverged (measured Ws -> 1e18 on the double-talk
+    # fixture); the reseed loop was masking it, costing 10+ s convergence.
+    Hp = jnp.maximum(state["Hp"] + inst_q - drop_pow, 0.0)
+    # bins where the far signal carries no energy give NLMS nothing to
+    # identify — their gradients are noise and the taps random-walk large
+    # over minutes (then a promote captures the garbage). Freeze them.
+    bin_active = Hp > 1e-3 * Hp.mean(axis=1, keepdims=True)
+    inv_norm = bin_active.astype(jnp.float32) / (Hp + 1e-5)
     mu = params["mu"] * params["adapt"].astype(jnp.float32)
     # causality (gradient) constraint, ONE partition per tick round-robin —
     # the classic MDF cost reduction (speexdsp constrains one block per
@@ -191,8 +209,22 @@ def _aec_process(state, ins, params, ctx):
     Em = ERR_EWMA * state["Em"] + (1 - ERR_EWMA) * (e_m * e_m).mean(axis=1)
     Es = ERR_EWMA * state["Es"] + (1 - ERR_EWMA) * (e_s * e_s).mean(axis=1)
     Dn = ERR_EWMA * state["Dn"] + (1 - ERR_EWMA) * (near * near).mean(axis=1)
-    better = (Es < COPY_RATIO * Em) & (Es < ERLE_GATE * Dn)
-    worse = Es > RESET_RATIO * Em
+    # shadow-error floor via min statistics: with ambient mic noise the
+    # error can never reach ERLE_GATE*Dn, so ALSO promote when the shadow
+    # error sits at its own long-term floor (and still sustainably halves
+    # the main error — that gate stays). The floor creeps up slowly and is
+    # capped at the current error, so sustained double-talk (error = near
+    # speech energy, far above the between-words floor) never qualifies.
+    Nf = jnp.where(Dn > 1e-7,
+                   jnp.minimum(state["Nf"] * 1.01, Es), state["Nf"])
+    at_floor = Es < 4.0 * Nf
+    better = (Es < COPY_RATIO * Em) & ((Es < ERLE_GATE * Dn) | at_floor)
+    # a transiently-diverged shadow is only reseeded when the MAIN filter
+    # actually cancels something (Em well under the mic energy) — early in
+    # a call main is zero taps and Em==Dn, and repeatedly reseeding the
+    # shadow from zeros just restarts its convergence (measured: 15 ms
+    # single-tap echo took 15 s to converge from reseed thrash)
+    worse = (Es > RESET_RATIO * Em) & (Em < 0.8 * Dn)
     promote_cnt = jnp.where(better, state["promote_cnt"] + 1, 0)
     reseed_cnt = jnp.where(worse, state["reseed_cnt"] + 1, 0)
     promote = promote_cnt >= HOLD_TICKS
@@ -209,7 +241,11 @@ def _aec_process(state, ins, params, ctx):
     # leaky accumulator: speech pauses must not reset the evidence
     # (energies go quiet between words), so decay instead of clearing
     active = Dn > 1e-5
-    diverged = (jnp.minimum(Em, Es) > 1.05 * Dn) & active
+    # also catch a blown-up SHADOW alone (main healthy): with the main
+    # filter converged the min() below never trips, but a diverged shadow
+    # must not keep integrating garbage
+    diverged = ((jnp.minimum(Em, Es) > 1.05 * Dn)
+                | (Es > 10.0 * Dn)) & active
     diverge_cnt = jnp.where(
         diverged, state["diverge_cnt"] + 1,
         jnp.where(active, jnp.maximum(state["diverge_cnt"] - 1, 0),
@@ -252,6 +288,16 @@ def _aec_process(state, ins, params, ctx):
 
     e = jnp.where(promote[:, None], e_s, e_m)
     y = jnp.where(promote[:, None], y_s, y_m)
+    # per-tick output limiter: if the selected filter makes this block
+    # WORSE than the raw mic (a stale/garbage main right after an echo
+    # path change or a bad promote), pass the mic through for this tick —
+    # cancellation can never be worse than doing nothing (the reference's
+    # echo-limiter safety role)
+    blk_near = (near * near).mean(axis=1)
+    blk_err = (e * e).mean(axis=1)
+    bad_blk = (blk_err > 2.0 * blk_near + 1e-9)[:, None]
+    e = jnp.where(bad_blk, near, e)
+    y = jnp.where(bad_blk, jnp.zeros_like(y), y)
     if use_pallas:
         Xh_r = Xh_r.astype(STORE_DTYPE)
         Xh_i = Xh_i.astype(STORE_DTYPE)
@@ -280,7 +326,9 @@ def _aec_process(state, ins, params, ctx):
 
     new_state = {"Wm_r": Wm_r, "Wm_i": Wm_i, "Ws_r": Ws_r, "Ws_i": Ws_i,
                  "Xh_r": Xh_r, "Xh_i": Xh_i, "far_prev": far,
-                 "Pxx": Pxx, "Em": Em, "Es": Es, "Dn": Dn, "leak": leak,
+                 "Hp": Hp,
+                 "Em": Em, "Es": Es, "Dn": Dn, "Nf": Nf,
+                 "leak": leak,
                  "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt,
                  "diverge_cnt": diverge_cnt,
                  "cpos": (cpos + 1) % P}

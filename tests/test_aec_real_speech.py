@@ -102,3 +102,95 @@ def test_echo_path_change_reconverges(factory):
     assert erle(4 * rate, half) > 14.0          # converged on path A
     assert erle(half, half + rate) < 6.0        # change really broke it
     assert erle(end - 3 * rate, end) > 8.0      # re-converged on path B
+
+
+def test_simple_talk_with_white_noise(factory):
+    """'Simple talk with white noise' (aec3 tester): ambient noise at the
+    mic must not break convergence — echo still cancelled, the noise floor
+    itself survives (the canceller only models the far path)."""
+    from mediastreamer2_tpu.io.wav import read_wav
+    far, rate = read_wav(f"{FIX}/farend_double_talk.wav")
+    echo = _room_echo(far, rate)
+    rng = np.random.default_rng(3)
+    # echo RMS on this fixture is ~0.028: 0.003 noise = ~19 dB SNR, which
+    # leaves real ERLE headroom (the noise itself legitimately passes
+    # through, bounding measurable ERLE at echo/noise energy)
+    noise = (0.003 * rng.standard_normal(len(echo))).astype(np.float32)
+    out, n = _run_ec(echo + noise, far, rate, factory)
+    a = 5 * rate
+    erle = 10 * np.log10((echo[a:n] ** 2).mean()
+                         / max((out[a:n] ** 2).mean(), 1e-12))
+    assert erle > 8.0, f"noisy ERLE {erle:.1f} dB"
+
+
+def test_near_end_single_talk_passthrough(factory):
+    """'Near end single talk': no far-end signal -> the canceller must not
+    touch the near speech (no spurious adaptation on silence)."""
+    from mediastreamer2_tpu.io.wav import read_wav
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    near, rate = read_wav(f"{FIX}/nearend_double_talk.wav")
+    far = np.zeros_like(near)
+    out, n = _run_ec(near, far, rate, factory)
+    sim, _ = audio_diff(near[:n], out[:n])
+    assert sim > 0.9, sim
+
+
+def test_far_end_single_talk_suppression(factory):
+    """'Far end single talk': mic = pure echo -> the residual after
+    convergence is far below the echo (this is the ERLE test's shape but
+    asserted as output-energy ratio like the reference)."""
+    from mediastreamer2_tpu.io.wav import read_wav
+    far, rate = read_wav(f"{FIX}/farend_double_talk.wav")
+    echo = _room_echo(far, rate)
+    out, n = _run_ec(echo, far, rate, factory)
+    a = 5 * rate
+    ratio = (out[a:n] ** 2).mean() / max((echo[a:n] ** 2).mean(), 1e-12)
+    assert ratio < 0.08, ratio                 # > ~11 dB attenuation
+
+
+def test_simple_talk_48000(factory):
+    """'Simple talk 48000 Hz': the canceller converges at the full rate
+    (the flagship config's operating point)."""
+    from mediastreamer2_tpu.io.wav import read_wav
+    far8, rate8 = read_wav(f"{FIX}/farend_double_talk.wav")
+    t_out = np.arange(int(len(far8) * 48000 / rate8)) * rate8 / 48000
+    far = np.interp(t_out, np.arange(len(far8)), far8).astype(np.float32)
+    echo = _room_echo(far, 48000)
+    out, n = _run_ec(echo, far, 48000, factory)
+    a = 5 * 48000
+    erle = 10 * np.log10((echo[a:n] ** 2).mean()
+                         / max((out[a:n] ** 2).mean(), 1e-12))
+    assert erle > 12.0, f"48k ERLE {erle:.1f} dB"
+
+
+def test_several_delays_reconverge(factory):
+    """'Simple talks with several delays': three successive echo paths;
+    the two-path scheme recovers each time."""
+    from mediastreamer2_tpu.io.wav import read_wav
+    from mediastreamer2_tpu.core.block import tick_samples
+    far, rate = read_wav(f"{FIX}/farend_double_talk.wav")
+    S = tick_samples(rate)
+    n = (len(far) // (3 * S)) * 3 * S
+    third = n // 3
+
+    def ir(delay_ms, g0):
+        d = int(delay_ms * rate / 1000)
+        v = np.zeros(d + 1, np.float32)
+        v[d] = g0
+        return v
+
+    echo = np.concatenate([
+        np.convolve(far[:third], ir(15, 0.7))[:third],
+        np.convolve(far[third:2 * third], ir(40, 0.65))[:third],
+        np.convolve(far[2 * third:n], ir(70, 0.6))[:third],
+    ]).astype(np.float32)
+    out, end = _run_ec(echo, far[:n], rate, factory)
+
+    def erle(a, b):
+        return 10 * np.log10((echo[a:b] ** 2).mean()
+                             / max((out[a:b] ** 2).mean(), 1e-12))
+
+    # converged at the tail of each delay segment
+    assert erle(third - 3 * rate, third) > 10.0
+    assert erle(2 * third - 3 * rate, 2 * third) > 8.0
+    assert erle(end - 3 * rate, end) > 8.0
