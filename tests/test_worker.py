@@ -22,7 +22,11 @@ def test_worker_repeated_and_cancel():
     w = WorkerThread()
     hits = []
     t = w.add_repeated_task(lambda: hits.append(1), interval_s=0.02)
-    time.sleep(0.15)
+    # wait on the COUNT, not wall time — a loaded single-core host can
+    # starve the worker thread for hundreds of ms
+    deadline = time.monotonic() + 5.0
+    while len(hits) < 3 and time.monotonic() < deadline:
+        time.sleep(0.02)
     t.cancel()
     n = len(hits)
     assert n >= 3
