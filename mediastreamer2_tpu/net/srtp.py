@@ -474,7 +474,12 @@ class EktTransport(Transport):
     def __init__(self, inner: Transport, ekt_key: bytes = None,
                  spi: int = 0, send_master_key: bytes = None,
                  recv_keys: Optional[Dict[int, bytes]] = None,
-                 on_key=None, full_period: int = 50):
+                 on_key=None, full_period: int = 50,
+                 initial_roc: int = 0):
+        """initial_roc seeds the advertised rollover counter for streams
+        that started before this transport existed — the tester's 'ekt,
+        skip initial ROC' case: a late joiner must learn a non-zero ROC
+        from the tag or every inner auth fails."""
         self.inner = inner
         self.ekt_key = ekt_key
         self.spi = spi
@@ -484,8 +489,10 @@ class EktTransport(Transport):
             self.recv_keys[self.spi] = ekt_key
         self.on_key = on_key
         self.full_period = full_period
+        self.initial_roc = initial_roc
         self._sent: Dict[int, int] = {}            # ssrc -> packets since full
         self._tag_cache: Dict[int, tuple] = {}     # ssrc -> (roc, tag)
+        self._last_seq: Dict[int, int] = {}        # ssrc -> last sent seq
         self.learned: Dict[int, tuple] = {}        # ssrc -> (key, roc)
 
     @staticmethod
@@ -501,14 +508,22 @@ class EktTransport(Transport):
         seq = struct.unpack("!H", data[2:4])[0]
         n = self._sent.get(ssrc, 0)
         cached = self._tag_cache.get(ssrc)
-        roc = 0 if cached is None else cached[0]
-        if cached is None or n >= self.full_period or seq == 0:
+        roc = self.initial_roc if cached is None else cached[0]
+        # seq rollover: the inner context's ROC just incremented, and the
+        # tag must advertise the new value immediately (full tag forced)
+        last = self._last_seq.get(ssrc)
+        rolled = last is not None and last > 0xF000 and seq < 0x1000
+        if rolled:
+            roc += 1
+        self._last_seq[ssrc] = seq
+        if cached is None or rolled or n >= self.full_period:
             tag = _ekt_full_tag(self.ekt_key, self.send_master_key, ssrc,
                                 roc, self.spi)
             self._tag_cache[ssrc] = (roc, tag)
             self._sent[ssrc] = 0
             self.inner.send(data + tag)
         else:
+            self._tag_cache[ssrc] = (roc, cached[1])
             self._sent[ssrc] = n + 1
             self.inner.send(data + bytes([EKT_MSG_SHORT]))
 

@@ -460,3 +460,101 @@ def test_ekt_relayed_double_encryption():
     assert 0x1234 in learned and learned[0x1234][0] == inner_key
     # only the first packet carried the full tag; the rest short tags
     assert rx_ekt.learned[0x1234][0] == inner_key
+
+
+def test_ekt_skip_initial_roc():
+    """'Double Encrypted relayed data with ekt, skip initial ROC': a
+    receiver joining after the sender's 16-bit seq wrapped must learn the
+    non-zero ROC from the full tag — seeding its inner context with it —
+    or every inner auth fails."""
+    import os
+    from mediastreamer2_tpu.net.srtp import EktTransport
+    ekt_key = bytes(range(16))
+    inner_key, inner_salt = os.urandom(16), bytes(range(14))
+
+    pair = LoopbackPair()
+    # ROC=5: far beyond the +-1 adjacent-ROC resync unprotect() already
+    # performs, so ONLY the EKT tag can bootstrap the late joiner
+    tx_ekt = EktTransport(pair.endpoint(0), ekt_key=ekt_key, spi=3,
+                          send_master_key=inner_key, initial_roc=5)
+    tx_ctx = SrtpContext(inner_key, inner_salt)
+    ssrc = 0x5151
+    tx_ctx.roc[ssrc] = 5                       # stream wrapped five times
+    tx_ctx.last_seq[ssrc] = 5
+
+    learned = {}
+    rx_ekt = EktTransport(pair.endpoint(1), recv_keys={3: ekt_key},
+                          on_key=lambda s, k, r: learned.update({s: (k, r)}))
+    sent = []
+    for i in range(6, 12):
+        pkt = RtpPacket(0, i, i * 160, ssrc, bytes([i]) * 20).pack()
+        sent.append(pkt)
+        tx_ekt.send(tx_ctx.protect(pkt))
+    wires = rx_ekt.recv_all()
+    assert learned[ssrc][0] == inner_key
+    assert learned[ssrc][1] == 5               # the advertised ROC
+    # naive context (ROC 0) fails auth; seeding the learned ROC decrypts
+    naive = SrtpContext(inner_key, inner_salt)
+    assert naive.unprotect(wires[0]) is None
+    seeded = SrtpContext(inner_key, inner_salt)
+    seeded.roc[ssrc] = learned[ssrc][1]
+    got = [seeded.unprotect(w) for w in wires]
+    assert got == sent
+
+
+def test_ekt_roc_rollover_announced_in_tag():
+    """A seq wrap mid-stream forces an immediate full tag carrying the
+    incremented ROC (receivers resync without waiting for full_period)."""
+    import os
+    from mediastreamer2_tpu.net.srtp import EktTransport, _ekt_parse_tag
+    ekt_key = bytes(range(16))
+    inner_key = os.urandom(16)
+    wires = []
+
+    class Cap:
+        def send(self, d): wires.append(d)
+        def recv_all(self): return []
+        def close(self): pass
+
+    tx = EktTransport(Cap(), ekt_key=ekt_key, spi=1,
+                      send_master_key=inner_key, full_period=1000)
+    ssrc = 0x42
+    for seq in (0xFFFE, 0xFFFF, 0x0000, 0x0001):
+        tx.send(RtpPacket(0, seq, 0, ssrc, b"x" * 20).pack())
+    # packet at seq 0 (post-wrap) must carry a FULL tag with roc=1
+    rest, info = _ekt_parse_tag(wires[2], {1: ekt_key})
+    assert info is not None and info[3] == 1, info
+    # pre-wrap packets advertised roc=0
+    rest, info0 = _ekt_parse_tag(wires[0], {1: ekt_key})
+    assert info0 is not None and info0[3] == 0
+
+
+def test_ekt_survives_relay_discard():
+    """'Double Encrypted relayed data with ekt, packets discarded by
+    relay': the relay drops the first packets (including the full tag);
+    the receiver recovers at the next full tag."""
+    import os
+    from mediastreamer2_tpu.net.srtp import EktTransport
+    ekt_key = bytes(range(16))
+    inner_key, inner_salt = os.urandom(16), bytes(range(14))
+    pair = LoopbackPair()
+    tx_ekt = EktTransport(pair.endpoint(0), ekt_key=ekt_key, spi=9,
+                          send_master_key=inner_key, full_period=4)
+    tx_ctx = SrtpContext(inner_key, inner_salt)
+    learned = {}
+    rx_ekt = EktTransport(pair.endpoint(1), recv_keys={9: ekt_key},
+                          on_key=lambda s, k, r: learned.update({s: (k, r)}))
+    ssrc = 0x7777
+    dropped = 0
+    for i in range(14):
+        pkt = RtpPacket(0, i, i * 160, ssrc, bytes([i]) * 20).pack()
+        tx_ekt.send(tx_ctx.protect(pkt))
+        if i < 3:                              # relay discards the head
+            pair.queues[1].clear()
+            dropped += 1
+    wires = rx_ekt.recv_all()
+    assert dropped == 3 and learned[ssrc][0] == inner_key
+    ctx = SrtpContext(inner_key, inner_salt)
+    plains = [ctx.unprotect(w) for w in wires]
+    assert all(p is not None for p in plains)
+    assert len(plains) == 14 - dropped
