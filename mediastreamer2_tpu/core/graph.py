@@ -140,6 +140,22 @@ class CompiledGraph:
                 if l is None:
                     raise ValueError(f"{node} input pin {pin} unlinked")
                 in_fmts.append(self.out_formats[l.src][l.srcpin])
+            # multi-input nodes need matching tick geometry — the static
+            # analogue of the reference's bufferizer absorbing rate
+            # mismatches (basic_audio tester's 'unsynchronized inputs'):
+            # here rates are correct by construction, so a mismatch is a
+            # build-time error telling the caller to insert a resampler
+            pcm_fmts = [(p, f) for p, f in enumerate(in_fmts)
+                        if f.kind == "pcm"]
+            if len({f.samples_per_tick for _, f in pcm_fmts}) > 1:
+                detail = ", ".join(
+                    f"pin {p}: {f.rate} Hz x{f.channels}"
+                    for p, f in pcm_fmts)
+                raise ValueError(
+                    f"{node}: input rates disagree ({detail}) — link a "
+                    f"'resample' node in front of the slower/faster input "
+                    f"(graphs are fixed-shape; there is no bufferizer to "
+                    f"absorb unsynchronized inputs at run time)")
             ctx = FilterCtx(batch=gb.batch, in_formats=tuple(in_fmts),
                             params=gb.static_params[i], name=node.name)
             self.ctxs[i] = ctx

@@ -233,3 +233,47 @@ def test_factory_filter_enable_disable():
     assert f.has("ulaw_enc") and f.find_encoder("ulaw") is not None
     with pytest.raises(KeyError):
         f.enable_filter("nonexistent")
+
+
+def test_unsynchronized_inputs_rejected_at_build(factory):
+    """basic_audio tester's 'unsynchronized inputs' case, the TPU-native
+    way: the reference's bufferizer absorbs a 10%-fast input at run time;
+    here graphs are fixed-shape, so mismatched input rates are a
+    BUILD-time error directing the caller to a resampler."""
+    import numpy as np
+    import pytest
+    from mediastreamer2_tpu.core.graph import GraphBuilder
+    from mediastreamer2_tpu.core.block import Format
+    g = GraphBuilder(factory, batch=1)
+    p1 = g.add("file_player", "p1", fmt=Format(rate=8800),
+               signal=np.zeros(880, np.float32))
+    p2 = g.add("file_player", "p2", fmt=Format(rate=8000),
+               signal=np.zeros(800, np.float32))
+    mx = g.add("mix2", "mx")
+    g.link(p1, 0, mx, 0)
+    g.link(p2, 0, mx, 1)
+    g.link(mx, 0, g.add("ext_sink", "out"), 0)
+    with pytest.raises(ValueError, match="resample"):
+        g.build()
+
+
+def test_unsynchronized_inputs_fixed_with_resampler(factory):
+    """...and with the prescribed resampler the same graph mixes fine."""
+    import numpy as np
+    from mediastreamer2_tpu.core.graph import GraphBuilder
+    from mediastreamer2_tpu.core.block import Format
+    g = GraphBuilder(factory, batch=1)
+    p1 = g.add("file_player", "p1", fmt=Format(rate=16000),
+               signal=np.ones(1600, np.float32) * 0.25)
+    p2 = g.add("file_player", "p2", fmt=Format(rate=8000),
+               signal=np.ones(800, np.float32) * 0.25)
+    rs = g.add("resample", "rs", out_rate=8000)
+    mx = g.add("mix2", "mx")
+    g.link(p1, 0, rs, 0)
+    g.link(rs, 0, mx, 0)
+    g.link(p2, 0, mx, 1)
+    g.link(mx, 0, g.add("ext_sink", "out"), 0)
+    cg = g.build()
+    st = cg.init_state()
+    st, out, _ = cg.step(st, cg.init_params(), {})
+    assert np.asarray(out["out"]).shape == (1, 80)
