@@ -155,3 +155,53 @@ def test_csrc_levels_for_mixed_leg(factory):
     assert lv[0][1] < lv[1][1]                      # louder => lower dBov
     assert all(0 <= db <= 127 for _, db in lv)
     assert ctl.csrc_levels_for(2) == [(0, lv[0][1]), (1, lv[1][1])]
+
+
+def test_conference_membership_churn_without_recompile(factory):
+    """Mid-call join and leave — the reference's add/remove member graph
+    surgery (audioconference.c:119-178 cut_audio_stream_graph) is a pure
+    params update here: the SAME compiled program serves every membership
+    state. A leaver's audio vanishes from the others' mixes, a joiner's
+    appears, and the graph object never changes."""
+    ticks = 240
+    n = 4
+    sig = make_speechlike(S * (ticks + 40), 8000, seed=9)
+    mic = np.zeros((n, S * (ticks + 40)), np.float32)
+    mic[0] = sig                               # leg 0 talks throughout
+    clients = AudioStreamBatch(factory, n, mic_signal=mic,
+                               record_ticks=ticks + 50)
+    server = AudioStreamBatch(factory, n, conference=True)
+    ctl = AudioConferenceControl(server.ticker, "conf", "levels")
+    conf = ctl.new_conference()
+    for leg in range(n):
+        clients.set_transport(leg, (pair := LoopbackPair()).endpoint(0))
+        server.set_transport(leg, pair.endpoint(1))
+    # phase 1: legs 0,1,2 in the conference; leg 3 outside
+    for leg in (0, 1, 2):
+        ctl.add_member(leg, conf)
+    graph_before = server.ticker.graph
+    clients.ticker.realtime = server.ticker.realtime = False
+    clients.ticker.warm_up(); server.ticker.warm_up()
+    third = ticks // 3
+    for t in range(ticks + 30):
+        if t == third:                         # leg 2 leaves, leg 3 joins
+            ctl.remove_member(2)
+            ctl.add_member(3, conf)
+        clients.ticker.do_tick()
+        server.ticker.do_tick()
+    clients.stop(); server.stop()
+    assert server.ticker.graph is graph_before     # no recompile/surgery
+    rec = clients.get_recording()
+    seg1 = slice(S * 10, S * (third - 5))
+    seg2 = slice(S * (third + 20), S * ticks)
+    # leg 1 (member throughout) hears the talker in both phases
+    for seg in (seg1, seg2):
+        assert float((rec[1][seg] ** 2).mean()) > 1e-4
+    # leg 2 heard phase 1 but silence after leaving
+    assert float((rec[2][seg1] ** 2).mean()) > 1e-4
+    assert float((rec[2][seg2] ** 2).mean()) < 1e-6
+    # leg 3 heard nothing before joining, the talker after
+    assert float((rec[3][seg1] ** 2).mean()) < 1e-6
+    assert float((rec[3][seg2] ** 2).mean()) > 1e-4
+    # membership bookkeeping
+    assert ctl.member_count(conf) == 3
