@@ -281,6 +281,9 @@ class AudioStreamBatch:
         self._qi: Dict[int, object] = {}
         if self.host_codec:
             self.frame_ticks = HOST_CODECS[codec] // 10
+            # per-leg packet framing (msopus.c/gsm.c ptime aggregation:
+            # frames are appended until ptime is reached)
+            self._host_frame_ticks = [self.frame_ticks] * batch
             self._tx_accum: List[list] = [[] for _ in range(batch)]
             self._rx_fifo: List[list] = [[] for _ in range(batch)]
             # opus FEC lookahead: hold one packet so a loss can be
@@ -288,6 +291,10 @@ class AudioStreamBatch:
             # payload-picker behavior; adds one frame of latency)
             self._opus_pending: List = [None] * batch
             self._opus_primed = [False] * batch
+            # last successfully decoded duration (per-channel samples):
+            # FEC/PLC reconstruction must request EXACTLY the lost frame's
+            # duration, which follows the peer's ptime, not ours
+            self._rx_dur = [0] * batch
             from mediastreamer2_tpu.ops import host_codecs as hc
             for i in range(batch):
                 if codec == "opus":
@@ -585,10 +592,23 @@ class AudioStreamBatch:
         Clamped to max_ptime when one was negotiated (the basic_audio
         tester's 'Max ptime' contract: maxptime=60 then SET_PTIME 80 must
         read back 60)."""
-        if self.host_codec:
-            raise ValueError("host codecs manage their own frame size")
         assert ptime_ms % 10 == 0 and ptime_ms >= 10
         ptime_ms = min(ptime_ms, self._max_ptime_ms[leg])
+        if self.host_codec:
+            # library codecs aggregate frames until ptime (msopus.c /
+            # gsm.c / g729.c frame-append loops); each has valid sizes
+            allowed = {"opus": (10, 20, 40, 60),     # libopus frame sizes
+                       "gsm": (20, 40, 60, 80),      # 20 ms multiples
+                       "g729": tuple(range(10, 101, 10)),
+                       "bv16": tuple(range(10, 101, 10))}
+            if self.codec == "aac":
+                raise ValueError("aac framing is fixed at 1024 samples")
+            ok = allowed.get(self.codec, ())
+            while ptime_ms not in ok and ptime_ms > 10:
+                ptime_ms -= 10                   # clamp to nearest valid
+            self._host_frame_ticks[leg] = ptime_ms // 10
+            self._tx_accum[leg] = []             # restart packet framing
+            return
         self._ptime_ticks[leg] = ptime_ms // 10
 
     def set_max_ptime(self, leg: int, max_ptime_ms: int):
@@ -603,6 +623,8 @@ class AudioStreamBatch:
 
     def get_ptime(self, leg: int) -> int:
         """MS_AUDIO_ENCODER_GET_PTIME."""
+        if self.host_codec:
+            return self._host_frame_ticks[leg] * 10
         return self._ptime_ticks[leg] * 10
 
     batch_edge = False
@@ -733,38 +755,46 @@ class AudioStreamBatch:
         B, S = self.batch, self.S
         rx = np.zeros((B, S), np.float32)
         lost = np.zeros(B, bool)
-        # opus frame length argument counts per-channel samples
-        frame_samples = tick_samples(self.rate) * self.frame_ticks
         for i, sess in enumerate(self.sessions):
             fifo = self._rx_fifo[i]
+            # this leg's configured framing (sender side); receive adapts
+            # to whatever duration each packet actually decodes to
+            frame_samples = tick_samples(self.rate) \
+                * self._host_frame_ticks[i]
             if sess is not None and not fifo:
                 sess.poll()
                 payload = sess.jitter_buffer.get_tick()
                 if self.codec == "opus":
                     # one-packet lookahead: play P_{t-1}; if it was lost,
-                    # recover it from P_t's in-band FEC, else native PLC
+                    # recover it from P_t's in-band FEC, else native PLC.
+                    # Decode with the max opus frame budget and trust the
+                    # RETURNED length (the packet's TOC carries its real
+                    # duration, so a peer may change ptime freely)
+                    max_samples = self.rate * 120 // 1000
+                    lost_dur = self._rx_dur[i] or frame_samples
                     prev = self._opus_pending[i]
                     self._opus_pending[i] = payload
                     if not self._opus_primed[i]:
                         self._opus_primed[i] = True
                         pcm = np.zeros(0, np.float32)
                     elif prev is not None:
-                        pcm = self._host_dec[i].decode(prev, frame_samples)
+                        pcm = self._host_dec[i].decode(prev, max_samples)
+                        if len(pcm):
+                            self._rx_dur[i] = len(pcm) // self.channels
                     elif payload is not None:
-                        pcm = self._host_dec[i].decode(payload, frame_samples,
+                        # recover the LOST previous frame from this
+                        # packet's in-band FEC: request its exact duration
+                        pcm = self._host_dec[i].decode(payload, lost_dur,
                                                        fec=True)
                     else:
-                        pcm = self._host_dec[i].decode(None, frame_samples)
-                    want = frame_samples * self.channels
-                    if len(pcm) < want:
-                        pcm = np.pad(pcm, (0, want - len(pcm)))
+                        pcm = self._host_dec[i].decode(None, lost_dur)
                 elif payload is not None and len(payload) > 0:
                     pcm = self._host_dec[i].decode(payload)
                 else:
                     pcm = np.zeros(frame_samples, np.float32)
                     lost[i] = True
-                fifo.extend(pcm[k * S:(k + 1) * S]
-                            for k in range(self.frame_ticks))
+                for k in range(len(pcm) // S):
+                    fifo.append(pcm[k * S:(k + 1) * S])
             if fifo:
                 rx[i] = fifo.pop(0)
             elif sess is not None:
@@ -818,12 +848,13 @@ class AudioStreamBatch:
                                       ts_increment=AAC_FRAME_SAMPLES)
             return
         if self.host_codec:
-            frame_samples = self.S * self.frame_ticks
             for i, sess in enumerate(self.sessions):
                 if sess is None:
                     continue
+                ft = self._host_frame_ticks[i]
+                frame_samples = self.S * ft
                 self._tx_accum[i].append(tx[i])
-                if len(self._tx_accum[i]) < self.frame_ticks:
+                if len(self._tx_accum[i]) < ft:
                     continue
                 pcm = np.concatenate(self._tx_accum[i])
                 self._tx_accum[i] = []

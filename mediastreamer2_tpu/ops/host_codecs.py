@@ -228,20 +228,32 @@ class GsmCodec:
         self.dec_st = _gsm.gsm_create()
 
     def encode(self, pcm: np.ndarray) -> bytes:
+        """One or more 160-sample frames -> concatenated 33-byte frames
+        (ptime aggregation packs several, gsm.c frames-until-ptime)."""
         s16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
-        assert len(s16) == GSM_FRAME_SAMPLES
-        out = ctypes.create_string_buffer(GSM_FRAME_BYTES)
-        _gsm.gsm_encode(ctypes.c_void_p(self.enc_st),
-                        s16.ctypes.data_as(ctypes.c_void_p), out)
-        return out.raw
+        assert len(s16) % GSM_FRAME_SAMPLES == 0
+        out = b""
+        for k in range(0, len(s16), GSM_FRAME_SAMPLES):
+            frame = np.ascontiguousarray(s16[k:k + GSM_FRAME_SAMPLES])
+            buf = ctypes.create_string_buffer(GSM_FRAME_BYTES)
+            _gsm.gsm_encode(ctypes.c_void_p(self.enc_st),
+                            frame.ctypes.data_as(ctypes.c_void_p), buf)
+            out += buf.raw
+        return out
 
     def decode(self, payload: bytes) -> np.ndarray:
-        buf = np.zeros(GSM_FRAME_SAMPLES, np.int16)
-        r = _gsm.gsm_decode(ctypes.c_void_p(self.dec_st), payload,
-                            buf.ctypes.data_as(ctypes.c_void_p))
-        if r != 0:
-            raise RuntimeError("gsm_decode failed")
-        return buf.astype(np.float32) / 32768.0
+        chunks = []
+        for k in range(0, len(payload) - GSM_FRAME_BYTES + 1,
+                       GSM_FRAME_BYTES):
+            buf = np.zeros(GSM_FRAME_SAMPLES, np.int16)
+            r = _gsm.gsm_decode(ctypes.c_void_p(self.dec_st),
+                                payload[k:k + GSM_FRAME_BYTES],
+                                buf.ctypes.data_as(ctypes.c_void_p))
+            if r != 0:
+                raise RuntimeError("gsm_decode failed")
+            chunks.append(buf.astype(np.float32) / 32768.0)
+        return np.concatenate(chunks) if chunks else \
+            np.zeros(0, np.float32)
 
 
 # ---------------------------------------------------------------- g729
