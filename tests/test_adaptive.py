@@ -124,3 +124,55 @@ def test_upload_bandwidth_with_duplication():
         kbps = tx.up_bw.bps() / 1000.0
         expect = 50 * (160 + 12) * 8 * (1 + ratio) / 1000.0
         assert abs(kbps - expect) / expect < 0.1, (ratio, kbps, expect)
+
+
+def test_qos_ptime_ladder_drives_real_opus_leg(factory):
+    """The full loop the reference runs from media_stream_iterate: loss ->
+    analyzer action -> AudioBitrateDriver ptime ladder -> the leg really
+    packs more ms per packet (now that host codecs aggregate frames)."""
+    import pytest
+    from mediastreamer2_tpu.ops import host_codecs as hc
+    if not hc.opus_available():
+        pytest.skip("libopus missing")
+    from mediastreamer2_tpu.core.block import tick_samples
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.models import qos
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    from conftest import make_speechlike
+
+    rate, ticks = 48000, 180
+    S = tick_samples(rate)
+    sig = make_speechlike(S * (ticks + 40), rate, seed=12)
+    tx = AudioStreamBatch(factory, 1, codec="opus", rate=rate,
+                          mic_signal=sig)
+    rx = AudioStreamBatch(factory, 1, codec="opus", rate=rate,
+                          record_ticks=ticks + 40)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    drv = qos.AudioBitrateDriver(
+        set_bitrate=lambda bps: tx._host_enc[0].set_bitrate(bps),
+        set_ptime=lambda ms: tx.set_ptime(0, ms),
+        nominal_bps=64000)
+    ctl = qos.BitrateController(qos.SimpleQosAnalyzer(), drv)
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    sent_phase1 = sent_phase2 = 0
+    mark = None
+    for t in range(ticks + 30):
+        if t == 60:
+            sent_phase1 = tx.sessions[0].stats.sent_packets
+            # moderate sustained loss: the analyzer answers with
+            # DECREASE_PACKET_RATE -> the ptime ladder climbs
+            for _ in range(6):
+                ctl.update(qos.QosStats(loss_rate=0.05, rtt_ms=80,
+                                        jitter_ms=10))
+            mark = tx.get_ptime(0)
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    sent_phase2 = tx.sessions[0].stats.sent_packets - sent_phase1
+    assert mark is not None and mark >= 20        # the ladder climbed
+    # packet rate in phase 2 reflects the new ptime (ticks/packets ratio)
+    phase2_ticks = ticks + 30 - 60
+    assert sent_phase2 <= phase2_ticks // (mark // 10) + 3, \
+        (mark, sent_phase2)
