@@ -369,3 +369,33 @@ def test_media_player_loop_and_replay(factory, tmp_path):
         player.ticker.do_tick()
     replay = np.concatenate(got)[:n]
     assert np.abs(replay).max() > 0.2
+
+
+def test_player_playing_twice(factory, tmp_path):
+    """player tester 'Playing twice': one MediaPlayer instance opens,
+    plays, closes, then opens and plays ANOTHER file — state fully
+    recycled between uses."""
+    from mediastreamer2_tpu.io.wav import write_wav
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    rate = 8000
+    t = np.arange(rate) / rate
+    f1 = str(tmp_path / "one.wav")
+    f2 = str(tmp_path / "two.wav")
+    write_wav(f1, (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), rate)
+    write_wav(f2, (0.4 * np.sin(2 * np.pi * 880 * t)).astype(np.float32), rate)
+    mp = MediaPlayer(factory)
+    heard = []
+    for path, freq in ((f1, 440), (f2, 880)):
+        mp.open(path)
+        chunks = []
+        mp.set_output(lambda blk: chunks.append(blk))
+        mp.start()
+        mp.ticker.realtime = False
+        for _ in range(110):
+            mp.ticker.do_tick()
+        mp.close()
+        audio = np.concatenate([np.asarray(c).reshape(-1) for c in chunks])
+        spec = np.abs(np.fft.rfft(audio))
+        heard.append(np.argmax(spec) * rate / len(audio))
+    assert abs(heard[0] - 440) < 10, heard
+    assert abs(heard[1] - 880) < 10, heard
