@@ -38,7 +38,7 @@ from mediastreamer2_tpu.net.rtp import RtpSession, Transport
 # payload-type profile (RFC 3551 static types + our dynamic ones)
 PAYLOAD_TYPES = {"ulaw": 0, "alaw": 8, "l16": 11, "gsm": 3, "opus": 96,
                  "g722": 9, "g726_32": 97, "g729": 18, "aac": 98,
-                 "bv16": 107}
+                 "bv16": 107, "speex": 110}
 CN_PT = 13   # RFC 3389 comfort noise
 CODEC_BYTES_PER_SAMPLE = {"ulaw": 1, "alaw": 1, "l16": 2, "g722": 1}
 # RFC 3551 quirk: G.722 runs 16 kHz audio on an 8 kHz RTP clock (4.5.2);
@@ -47,6 +47,7 @@ RTP_CLOCK = {"g722": 8000}
 # host codecs run at the RTP boundary (cf. SURVEY.md §7: library codecs are
 # host filters, like the reference's hw codec backends); value = frame ms
 HOST_CODECS = {"opus": 10, "gsm": 20, "g729": 20, "bv16": 10,
+               "speex": 20,
                # AAC-LC over RFC 3640 (cf. aac-eld.c); its 1024-sample AU is
                # not a tick multiple, so it runs on sample-granular FIFOs
                "aac": 10}
@@ -320,6 +321,12 @@ class AudioStreamBatch:
                     from mediastreamer2_tpu.ops import aac as aac_mod
                     c = aac_mod.AacStreamCodec(rate=rate,
                                                channels=self.channels)
+                    self._host_enc[i] = c
+                    self._host_dec[i] = c
+                elif codec == "speex":
+                    if rate not in (8000, 16000, 32000):
+                        raise ValueError("speex requires 8/16/32 kHz")
+                    c = hc.SpeexCodec(rate=rate)
                     self._host_enc[i] = c
                     self._host_dec[i] = c
                 elif codec == "bv16":
@@ -599,6 +606,7 @@ class AudioStreamBatch:
             # gsm.c / g729.c frame-append loops); each has valid sizes
             allowed = {"opus": (10, 20, 40, 60),     # libopus frame sizes
                        "gsm": (20, 40, 60, 80),      # 20 ms multiples
+                       "speex": (20, 40, 60, 80, 100),
                        "g729": tuple(range(10, 101, 10)),
                        "bv16": tuple(range(10, 101, 10))}
             if self.codec == "aac":

@@ -175,29 +175,45 @@ class SpeexCodec:
         _speex.speex_bits_init(ctypes.byref(self.bits))
 
     def encode(self, pcm: np.ndarray) -> bytes:
+        """One or more 20 ms frames packed into ONE speex bits stream —
+        RFC 5574 §3's multiple-frames-per-packet (msspeex.c ptime loop)."""
         s16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
-        assert len(s16) == self.frame_samples
+        assert len(s16) % self.frame_samples == 0
         _speex.speex_bits_reset(ctypes.byref(self.bits))
-        _speex.speex_encode_int(ctypes.c_void_p(self.enc),
-                                s16.ctypes.data_as(ctypes.c_void_p),
-                                ctypes.byref(self.bits))
+        for k in range(0, len(s16), self.frame_samples):
+            frame = np.ascontiguousarray(s16[k:k + self.frame_samples])
+            _speex.speex_encode_int(ctypes.c_void_p(self.enc),
+                                    frame.ctypes.data_as(ctypes.c_void_p),
+                                    ctypes.byref(self.bits))
         n = _speex.speex_bits_nbytes(ctypes.byref(self.bits))
         out = ctypes.create_string_buffer(n + 8)
         n = _speex.speex_bits_write(ctypes.byref(self.bits), out, len(out))
         return out.raw[:n]
 
     def decode(self, payload: Optional[bytes]) -> np.ndarray:
-        buf = np.zeros(self.frame_samples, np.int16)
+        """Decode every frame in the payload's bits stream (or PLC one
+        frame for None)."""
         if payload is None:                          # PLC
+            buf = np.zeros(self.frame_samples, np.int16)
             _speex.speex_decode_int(ctypes.c_void_p(self.dec), None,
                                     buf.ctypes.data_as(ctypes.c_void_p))
-        else:
-            _speex.speex_bits_read_from(ctypes.byref(self.bits), payload,
-                                        len(payload))
-            _speex.speex_decode_int(ctypes.c_void_p(self.dec),
-                                    ctypes.byref(self.bits),
-                                    buf.ctypes.data_as(ctypes.c_void_p))
-        return buf.astype(np.float32) / 32768.0
+            return buf.astype(np.float32) / 32768.0
+        _speex.speex_bits_read_from(ctypes.byref(self.bits), payload,
+                                    len(payload))
+        chunks = []
+        while True:
+            buf = np.zeros(self.frame_samples, np.int16)
+            r = _speex.speex_decode_int(ctypes.c_void_p(self.dec),
+                                        ctypes.byref(self.bits),
+                                        buf.ctypes.data_as(ctypes.c_void_p))
+            if r != 0:                               # -1 end / -2 corrupt
+                break
+            chunks.append(buf.astype(np.float32) / 32768.0)
+            # stop when fewer bits than the smallest frame remain
+            if _speex.speex_bits_remaining(ctypes.byref(self.bits)) < 43:
+                break
+        return np.concatenate(chunks) if chunks else \
+            np.zeros(0, np.float32)
 
 
 # ---------------------------------------------------------------- gsm

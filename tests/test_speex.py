@@ -58,3 +58,46 @@ def test_g729_gated_like_reference():
     out = np.concatenate([c.decode(c.encode(sig[i * 160:(i + 1) * 160]))
                           for i in range(50)])
     assert snr_db(sig[160:], out[160:]) > 6     # ACELP: waveform-ish
+
+
+def test_speex_stream_over_rtp(factory):
+    """Speex session legs (msspeex.c wired like the adaptive tester's
+    'Upload bitrate [speex]' streams): NB call over RTP, then ptime 60
+    packs three 20 ms frames into one RFC 5574 bits stream."""
+    import numpy as np
+    from mediastreamer2_tpu.core.block import tick_samples
+    from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
+                                                        PAYLOAD_TYPES)
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    from conftest import make_speechlike
+    assert PAYLOAD_TYPES["speex"] == 110
+    ticks = 120
+    S = tick_samples(8000)
+    sig = make_speechlike(S * (ticks + 40), 8000, seed=6)
+    tx = AudioStreamBatch(factory, 1, codec="speex", mic_signal=sig)
+    rx = AudioStreamBatch(factory, 1, codec="speex",
+                          record_ticks=ticks + 50)
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.set_ptime(0, 60)
+    assert tx.get_ptime(0) == 60
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(ticks + 40):
+        tx.ticker.do_tick()
+        rx.ticker.do_tick()
+    sent = tx.sessions[0].stats.sent_packets
+    assert sent <= (ticks + 40) // 6 + 2, sent
+    rec = rx.get_recording()[0]
+    # speex NB on synthetic speech correlates ~0.55 offline; the stream
+    # must match the codec's own roundtrip, not lose more
+    from mediastreamer2_tpu.ops import host_codecs as hc
+    c = hc.SpeexCodec(rate=8000)
+    F = c.frame_samples * 3
+    ref = np.concatenate([c.decode(c.encode(sig[k*F:(k+1)*F]))
+                          for k in range(len(sig)//F)])
+    base, _ = audio_diff(sig[:len(ref)], ref)
+    sim, _ = audio_diff(sig, rec)
+    assert sim > base - 0.07, (sim, base)
