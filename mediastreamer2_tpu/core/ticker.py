@@ -151,8 +151,31 @@ class Ticker:
             tick, out, ev = self._inflight.pop(0)
             self._publish(tick, out, ev)
 
+    def _elevate_priority(self):
+        """Elevated real-time scheduling for the tick loop, parity with
+        ms_ticker_start's SCHED_RR/FIFO escalation (msticker.c:330-399):
+        the MS2TPU_TICKER_SCHEDPRIO env var (like MS_TICKER_SCHEDPRIO,
+        msticker.c:370) requests a priority; failures degrade gracefully
+        to normal scheduling with a log line, exactly like the reference
+        falling back when not privileged."""
+        import logging
+        import os
+        prio = os.environ.get("MS2TPU_TICKER_SCHEDPRIO")
+        if not prio or not self.realtime:
+            return
+        try:
+            want = min(int(prio), os.sched_get_priority_max(os.SCHED_RR))
+            os.sched_setscheduler(0, os.SCHED_RR, os.sched_param(want))
+            logging.getLogger(__name__).info(
+                "ticker %s: SCHED_RR priority %d", self.name, want)
+        except (OSError, PermissionError, ValueError) as e:
+            logging.getLogger(__name__).warning(
+                "ticker %s: cannot elevate scheduling (%s); continuing "
+                "with normal priority", self.name, e)
+
     def run(self, n_ticks: int):
         """Run n ticks; paced to the interval if realtime, else free-run."""
+        self._elevate_priority()
         next_edge = time.perf_counter()
         for _ in range(n_ticks):
             if self._stop.is_set():

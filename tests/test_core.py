@@ -277,3 +277,32 @@ def test_unsynchronized_inputs_fixed_with_resampler(factory):
     st = cg.init_state()
     st, out, _ = cg.step(st, cg.init_params(), {})
     assert np.asarray(out["out"]).shape == (1, 80)
+
+
+def test_ticker_schedprio_env(factory, monkeypatch):
+    """MS2TPU_TICKER_SCHEDPRIO elevates the tick loop to SCHED_RR
+    (msticker.c:330-399 / MS_TICKER_SCHEDPRIO:370); without privileges it
+    degrades gracefully — either way the ticks run."""
+    import os
+    import numpy as np
+    from mediastreamer2_tpu.core.graph import GraphBuilder
+    from mediastreamer2_tpu.core.block import Format
+    from mediastreamer2_tpu.core.ticker import Ticker
+    monkeypatch.setenv("MS2TPU_TICKER_SCHEDPRIO", "10")
+    g = GraphBuilder(factory, batch=1)
+    src = g.add("void_source", "vs", fmt=Format(rate=8000))
+    g.link(src, 0, g.add("ext_sink", "out"), 0)
+    tk = Ticker(g.build(), realtime=True)
+    tk.warm_up()
+    old_policy = os.sched_getscheduler(0)
+    try:
+        tk.run(5)
+        assert tk.stats.ticks == 5
+        # in this container (root) the elevation actually lands
+        if os.geteuid() == 0:
+            assert os.sched_getscheduler(0) in (os.SCHED_RR, old_policy)
+    finally:
+        try:                           # restore for the rest of the suite
+            os.sched_setscheduler(0, os.SCHED_OTHER, os.sched_param(0))
+        except OSError:
+            pass
