@@ -88,7 +88,7 @@ class AlsaSndCard(SndCard):
         self.captured_samples = 0     # cumulative, for TickerSynchronizer
         self.played_samples = 0
 
-    def pull(self, tick: int, batch: int) -> np.ndarray:
+    def _pull_raw(self, tick: int, batch: int) -> np.ndarray:
         out = np.zeros((batch, self.samples_per_tick), np.float32)
         buf = (ctypes.c_int16 * self.samples_per_tick)()
         n = _asound.snd_pcm_readi(self._cap, buf, self.samples_per_tick)
@@ -101,7 +101,7 @@ class AlsaSndCard(SndCard):
             out[0, : int(n)] = pcm.astype(np.float32) / 32768.0
         return out
 
-    def push(self, tick: int, block: np.ndarray):
+    def _push_raw(self, tick: int, block: np.ndarray):
         pcm = np.clip(block[0] * 32768.0, -32768, 32767).astype(np.int16)
         n = _asound.snd_pcm_writei(self._play, pcm.ctypes.data_as(
             ctypes.c_void_p), len(pcm))

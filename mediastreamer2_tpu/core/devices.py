@@ -37,18 +37,39 @@ class SndCard:
         self.capabilities = capabilities
         self.rate = rate
         self.channels = channels
+        # MS_AUDIO_CAPTURE/PLAYBACK_SET_VOLUME_GAIN (msinterfaces.h:255,
+        # audio_stream_set_sound_card_input/output_gain): linear factors
+        # applied at the device boundary
+        self.input_gain = 1.0
+        self.output_gain = 1.0
 
     def __repr__(self):
         return f"<SndCard {self.driver}:{self.name}>"
 
+    def set_input_gain(self, gain: float):
+        self.input_gain = float(gain)
+
+    def set_output_gain(self, gain: float):
+        self.output_gain = float(gain)
+
     # tick adapters — the TPU replacement for create_reader/create_writer:
     # pull(tick, batch) -> [batch, S] capture block;
-    # push(tick, block) consumes playback.
+    # push(tick, block) consumes playback. Subclasses implement _pull_raw/
+    # _push_raw; gains are applied here, uniformly.
     def pull(self, tick: int, batch: int) -> np.ndarray:
+        raw = np.asarray(self._pull_raw(tick, batch), np.float32)
+        return raw if self.input_gain == 1.0 else raw * self.input_gain
+
+    def push(self, tick: int, block: np.ndarray):
+        if self.output_gain != 1.0:
+            block = np.asarray(block, np.float32) * self.output_gain
+        self._push_raw(tick, block)
+
+    def _pull_raw(self, tick: int, batch: int) -> np.ndarray:
         S = tick_samples(self.rate) * self.channels
         return np.zeros((batch, S), np.float32)
 
-    def push(self, tick: int, block: np.ndarray):
+    def _push_raw(self, tick: int, block: np.ndarray):
         pass
 
 
@@ -61,7 +82,7 @@ class FileSndCard(SndCard):
         self.signal = signal
         self.played: List[np.ndarray] = []
 
-    def pull(self, tick, batch):
+    def _pull_raw(self, tick, batch):
         S = tick_samples(self.rate)
         if self.signal is None:
             return np.zeros((batch, S), np.float32)
@@ -70,7 +91,7 @@ class FileSndCard(SndCard):
             seg = np.pad(seg, (0, S - len(seg)))
         return np.broadcast_to(seg, (batch, S)).astype(np.float32)
 
-    def push(self, tick, block):
+    def _push_raw(self, tick, block):
         self.played.append(np.asarray(block))
 
 
@@ -82,10 +103,11 @@ class CallbackSndCard(SndCard):
                          rate)
         self._pull, self._push = pull_cb, push_cb
 
-    def pull(self, tick, batch):
-        return self._pull(tick, batch) if self._pull else super().pull(tick, batch)
+    def _pull_raw(self, tick, batch):
+        return self._pull(tick, batch) if self._pull \
+            else super()._pull_raw(tick, batch)
 
-    def push(self, tick, block):
+    def _push_raw(self, tick, block):
         if self._push:
             self._push(tick, block)
 

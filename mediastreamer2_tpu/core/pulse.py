@@ -77,7 +77,7 @@ class PulseSndCard(SndCard):
         self.captured_samples = 0     # cumulative, for TickerSynchronizer
         self.played_samples = 0
 
-    def pull(self, tick: int, batch: int) -> np.ndarray:
+    def _pull_raw(self, tick: int, batch: int) -> np.ndarray:
         out = np.zeros((batch, self.samples_per_tick), np.float32)
         buf = (ctypes.c_int16 * self.samples_per_tick)()
         err = ctypes.c_int(0)
@@ -89,7 +89,7 @@ class PulseSndCard(SndCard):
             out[0] = pcm.astype(np.float32) / 32768.0
         return out
 
-    def push(self, tick: int, block: np.ndarray):
+    def _push_raw(self, tick: int, block: np.ndarray):
         pcm = np.clip(block[0] * 32768.0, -32768, 32767).astype(np.int16)
         err = ctypes.c_int(0)
         r = _pas.pa_simple_write(ctypes.c_void_p(self._play),

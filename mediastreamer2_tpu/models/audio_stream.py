@@ -444,6 +444,24 @@ class AudioStreamBatch:
         (audio_stream_set_sound_card role; takes effect next tick)."""
         self.snd_card = card
 
+    def set_sound_card_input_gain(self, gain: float):
+        """audio_stream_set_sound_card_input_gain -> the card's
+        MS_AUDIO_CAPTURE_SET_VOLUME_GAIN (msinterfaces.h:255)."""
+        if self.snd_card is None:
+            raise RuntimeError("no sound card attached")
+        self.snd_card.set_input_gain(gain)
+
+    def set_sound_card_output_gain(self, gain: float):
+        if self.snd_card is None:
+            raise RuntimeError("no sound card attached")
+        self.snd_card.set_output_gain(gain)
+
+    def get_sound_card_input_gain(self) -> float:
+        return self.snd_card.input_gain if self.snd_card else -1.0
+
+    def get_sound_card_output_gain(self) -> float:
+        return self.snd_card.output_gain if self.snd_card else -1.0
+
     def enable_double_srtp(self, leg: int, inner: tuple, outer: tuple,
                            suite: str = None, ekt_key: bytes = None,
                            ekt_spi: int = 0):

@@ -105,3 +105,31 @@ def test_offer_answer_opus_fmtp():
 def test_offer_answer_no_match():
     offered = [PayloadTypeDesc("EVS", 16000, 1, 127)]
     assert negotiate(offered, local_capabilities()) == []
+
+
+def test_sound_card_volume_gains():
+    """MS_AUDIO_CAPTURE/PLAYBACK_SET_VOLUME_GAIN at the card boundary
+    (sound_card tester's gain surface; applied uniformly by the base)."""
+    import numpy as np
+    from mediastreamer2_tpu.core.devices import FileSndCard
+    sig = np.ones(800, np.float32) * 0.5
+    card = FileSndCard(signal=sig, rate=8000)
+    assert card.pull(0, 2).max() == np.float32(0.5)
+    card.set_input_gain(0.2)
+    assert abs(card.pull(0, 2).max() - 0.1) < 1e-6
+    card.set_output_gain(2.0)
+    card.push(0, np.ones((1, 80), np.float32) * 0.25)
+    assert abs(card.played[-1].max() - 0.5) < 1e-6
+
+
+def test_stream_sound_card_gain_surface(factory):
+    """audio_stream_set_sound_card_input/output_gain parity."""
+    import numpy as np
+    from mediastreamer2_tpu.core.devices import FileSndCard
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    card = FileSndCard(signal=np.ones(8000, np.float32) * 0.5, rate=8000)
+    st = AudioStreamBatch(factory, 1, snd_card=card)
+    st.set_sound_card_input_gain(0.5)
+    st.set_sound_card_output_gain(1.5)
+    assert st.get_sound_card_input_gain() == 0.5
+    assert st.get_sound_card_output_gain() == 1.5
