@@ -444,6 +444,41 @@ class AudioStreamBatch:
         (audio_stream_set_sound_card role; takes effect next tick)."""
         self.snd_card = card
 
+    def link_video(self, video_stream, leg: int = 0, video_leg: int = 0):
+        """audio_stream_link_video (audiostream.c:2616): route the video
+        stream's decoded frames into this call's A/V recording; save with
+        save_av_recording(). Requires record_ticks on this stream."""
+        self._av_frames: List[tuple] = []
+        self._av_wh = None
+        self._linked_video = (video_stream, video_leg)
+
+        def on_frame(ts_ms, frame):
+            f = np.asarray(frame)
+            h = f.shape[0] * 2 // 3
+            self._av_wh = (f.shape[1], h)
+            # bound memory: keep at most ~30 min at full rate
+            if len(self._av_frames) < 180_000:
+                self._av_frames.append((ts_ms, f))
+        video_stream.add_frame_listener(video_leg, on_frame)
+
+    def unlink_video(self):
+        """audio_stream_unlink_video."""
+        if getattr(self, "_linked_video", None):
+            vs, vleg = self._linked_video
+            vs.remove_frame_listeners(vleg)
+            self._linked_video = None
+
+    def save_av_recording(self, path: str, leg: int = 0):
+        """Write the linked A/V call recording (audio recording track +
+        the linked video stream's received frames) as an MKV."""
+        from mediastreamer2_tpu.models.media_player import write_av_mkv
+        rec = self.get_recording()
+        if rec is None:
+            raise RuntimeError("stream built without record_ticks")
+        write_av_mkv(path, rec[leg], self.rate,
+                     getattr(self, "_av_frames", []),
+                     getattr(self, "_av_wh", None))
+
     def set_sound_card_input_gain(self, gain: float):
         """audio_stream_set_sound_card_input_gain -> the card's
         MS_AUDIO_CAPTURE_SET_VOLUME_GAIN (msinterfaces.h:255)."""

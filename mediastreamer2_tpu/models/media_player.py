@@ -369,38 +369,8 @@ class MediaRecorder:
         from mediastreamer2_tpu.ops.fileio import recorder_get_audio
         audio = recorder_get_audio(self.ticker.state["rec"], n, self.S)[0]
         if path.lower().endswith((".mkv", ".webm")):
-            from mediastreamer2_tpu.io.mkv import (MkvWriter, MkvTrack,
-                                                   TRACK_TYPE_AUDIO)
-            from mediastreamer2_tpu.ops.host_codecs import OpusEncoder
-            if self.rate not in (8000, 12000, 16000, 24000, 48000):
-                raise ValueError("opus mkv needs an opus-compatible rate")
-            from mediastreamer2_tpu.io.mkv import TRACK_TYPE_VIDEO
-            enc = OpusEncoder(rate=self.rate)
-            tracks = [MkvTrack(1, TRACK_TYPE_AUDIO, "A_OPUS",
-                               sampling_rate=self.rate, channels=1)]
-            if self._video_wh and self._video_frames:
-                vw, vh = self._video_wh
-                tracks.append(MkvTrack(2, TRACK_TYPE_VIDEO, "V_VP8",
-                                       width=vw, height=vh))
-            w = MkvWriter(path, tracks)
-            F = self.rate // 100
-            for i in range(len(audio) // F):
-                w.write_frame(1, i * 10, enc.encode(audio[i * F:(i + 1) * F]))
-            if self._video_wh and self._video_frames:
-                from mediastreamer2_tpu.ops.vp8 import Vp8Encoder
-                vw, vh = self._video_wh
-                venc = Vp8Encoder(vw, vh, fps=max(
-                    1, len(self._video_frames) * 1000
-                    // max(self._video_frames[-1][0] + 10, 10)))
-                for k, (ts_ms, block) in enumerate(self._video_frames):
-                    arr = (np.clip(block, 0, 1) * 255).astype(np.uint8)
-                    y = arr[:vh]
-                    uv = arr[vh:].reshape(vh // 2, 2, vw // 2)
-                    data, key = venc.encode_planes(y, uv[:, 0], uv[:, 1],
-                                                   force_keyframe=(k == 0))
-                    if data:
-                        w.write_frame(2, ts_ms, data, keyframe=key)
-            w.close()
+            write_av_mkv(path, audio, self.rate, self._video_frames,
+                         self._video_wh)
         elif path.lower().endswith(".smff"):
             # the reference's 'Record .smff' case, in the wire-compatible
             # container (io/smff.py): pcm16 audio + optional VP8 video
@@ -433,3 +403,40 @@ class MediaRecorder:
         else:
             write_wav(path, audio, self.rate)
         return path
+
+
+def write_av_mkv(path: str, audio: np.ndarray, rate: int,
+                 frames, wh: Optional[tuple]):
+    """Shared A/V MKV writer: opus audio + optional VP8 video track from
+    (ts_ms, packed-I420 float block) frames. Used by MediaRecorder and by
+    the linked-video call recording (audio_stream_link_video role)."""
+    from mediastreamer2_tpu.io.mkv import (MkvWriter, MkvTrack,
+                                           TRACK_TYPE_AUDIO,
+                                           TRACK_TYPE_VIDEO)
+    from mediastreamer2_tpu.ops.host_codecs import OpusEncoder
+    if rate not in (8000, 12000, 16000, 24000, 48000):
+        raise ValueError("opus mkv needs an opus-compatible rate")
+    enc = OpusEncoder(rate=rate)
+    tracks = [MkvTrack(1, TRACK_TYPE_AUDIO, "A_OPUS",
+                       sampling_rate=rate, channels=1)]
+    if wh and frames:
+        tracks.append(MkvTrack(2, TRACK_TYPE_VIDEO, "V_VP8",
+                               width=wh[0], height=wh[1]))
+    w = MkvWriter(path, tracks)
+    F = rate // 100
+    for i in range(len(audio) // F):
+        w.write_frame(1, i * 10, enc.encode(audio[i * F:(i + 1) * F]))
+    if wh and frames:
+        from mediastreamer2_tpu.ops.vp8 import Vp8Encoder
+        vw, vh = wh
+        venc = Vp8Encoder(vw, vh, fps=max(
+            1, len(frames) * 1000 // max(frames[-1][0] + 10, 10)))
+        for k, (ts_ms, block) in enumerate(frames):
+            arr = (np.clip(block, 0, 1) * 255).astype(np.uint8)
+            y = arr[:vh]
+            uv = arr[vh:].reshape(vh // 2, 2, vw // 2)
+            data, key = venc.encode_planes(y, uv[:, 0], uv[:, 1],
+                                           force_keyframe=(k == 0))
+            if data:
+                w.write_frame(2, ts_ms, data, keyframe=key)
+    w.close()

@@ -450,6 +450,18 @@ class VideoStreamBatch:
         self._reorder[leg] = ReorderBuffer()
         self._nacked[leg] = set()
 
+    def add_frame_listener(self, leg: int, cb):
+        """Subscribe to this leg's decoded frames as (ts_ms, frame) — the
+        linked-video hookup audio_stream_link_video uses for A/V call
+        recording (audiostream.c:2616 ITC wiring)."""
+        if not hasattr(self, "_frame_listeners"):
+            self._frame_listeners = {}
+        self._frame_listeners.setdefault(leg, []).append(cb)
+
+    def remove_frame_listeners(self, leg: int):
+        if hasattr(self, "_frame_listeners"):
+            self._frame_listeners.pop(leg, None)
+
     def request_keyframe(self, leg: int):
         """cf. MS_VIDEO_ENCODER_REQ_VFU / FIR handling."""
         self._force_kf[leg] = True
@@ -605,6 +617,9 @@ class VideoStreamBatch:
                     self._last_rx[i] = f
                     self.stats[i].frames_received += 1
                     self.starters[i].on_frame_decoded()
+                    for cb in getattr(self, "_frame_listeners",
+                                      {}).get(i, ()):
+                        cb(self.ticker.stats.ticks * 10, f)
                 else:
                     # complete AU but nothing decodable (e.g. P-frames
                     # without parameter sets after loss) — the reference's

@@ -399,3 +399,67 @@ def test_player_playing_twice(factory, tmp_path):
         heard.append(np.argmax(spec) * rate / len(audio))
     assert abs(heard[0] - 440) < 10, heard
     assert abs(heard[1] - 880) < 10, heard
+
+
+def test_link_video_av_call_recording(factory, tmp_path):
+    """audio_stream_link_video (audiostream.c:2616): an audio call's
+    recording plus the linked video stream's received frames land in one
+    A/V MKV that MediaPlayer plays back."""
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    if not vp8_available():
+        import pytest
+        pytest.skip("libvpx missing")
+    from mediastreamer2_tpu.core.block import tick_samples
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.models.video_stream import VideoStreamBatch
+    from mediastreamer2_tpu.core.block import Format
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    from conftest import make_speechlike
+
+    ticks = 80
+    S = tick_samples(8000)
+    sig = make_speechlike(S * (ticks + 20), 8000, seed=17)
+    atx = AudioStreamBatch(factory, 1, mic_signal=sig)
+    arx = AudioStreamBatch(factory, 1, record_ticks=ticks + 30)
+    apair = LoopbackPair()
+    atx.set_transport(0, apair.endpoint(0))
+    arx.set_transport(0, apair.endpoint(1))
+
+    vfmt = Format(kind="yuv420", width=64, height=64, fps=25.0)
+    vtx = VideoStreamBatch(factory, 1, fmt=vfmt, fps=25.0, codec="vp8")
+    vrx = VideoStreamBatch(factory, 1, fmt=vfmt, fps=25.0, codec="vp8")
+    vpair = LoopbackPair()
+    vtx.set_transport(0, vpair.endpoint(0))
+    vrx.set_transport(0, vpair.endpoint(1))
+    vtx.bind_assemblers()
+    vrx.bind_assemblers()
+
+    arx.link_video(vrx)                        # the reference's ITC hookup
+    for s in (atx, arx, vtx, vrx):
+        s.ticker.realtime = False
+        s.ticker.warm_up()
+    for _ in range(ticks + 20):
+        atx.ticker.do_tick(); vtx.ticker.do_tick()
+        arx.ticker.do_tick(); vrx.ticker.do_tick()
+    path = str(tmp_path / "call_av.mkv")
+    arx.save_av_recording(path)
+    arx.unlink_video()
+    for s in (atx, arx, vtx, vrx):
+        s.stop()
+
+    # the file plays back with both tracks
+    from mediastreamer2_tpu.models.media_player import MediaPlayer
+    mp = MediaPlayer(factory)
+    mp.open(path)
+    frames = []
+    mp.on_video = lambda fr: frames.append(fr)
+    chunks = []
+    mp.set_output(lambda blk: chunks.append(blk))
+    mp.start()
+    mp.ticker.realtime = False
+    for _ in range(ticks + 20):
+        mp.ticker.do_tick()
+    mp.close()
+    audio = np.concatenate([np.asarray(c).reshape(-1) for c in chunks])
+    assert float(np.abs(audio).max()) > 0.05   # call audio present
+    assert frames                              # video frames present
