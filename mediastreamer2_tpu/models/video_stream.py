@@ -180,6 +180,33 @@ class GenericPacketizer:
         return self.asm.dropped_incomplete
 
 
+class H263SessionPacketizer:
+    """RFC 4629 H.263 payloads behind the session packetizer interface
+    (pack / push / pop) — the legacy family's transport (videoenc.c's
+    RFC payload glue)."""
+
+    name = "h263"
+
+    def __init__(self, mtu: int):
+        from mediastreamer2_tpu.net.h26x import H263Depacketizer
+        self.mtu = mtu
+        self._de = H263Depacketizer()
+
+    def pack(self, frame: bytes) -> List[bytes]:
+        from mediastreamer2_tpu.net.h26x import h263_packetize
+        return h263_packetize(frame, self.mtu)
+
+    def push(self, pkt):
+        self._de.push(pkt.payload, pkt.marker)
+
+    def pop(self):
+        return self._de.pop()
+
+    @property
+    def dropped_incomplete(self):
+        return self._de.errors
+
+
 class H264Packetizer:
     """RFC 6184 payloads (single NAL / STAP-A / FU-A) with SPS/PPS store;
     an access unit closes on the marker bit; seq gaps drop the AU (the
@@ -382,6 +409,31 @@ class VideoStreamBatch:
             w, h = self.out_fmt.width, self.out_fmt.height
             codec_factory = lambda: Vp8FrameCodec(w, h)            # noqa: E731
             packetizer_factory = None
+        elif codec in ("h263", "h263p", "mpeg4", "mjpeg"):
+            # legacy ffmpeg family (videoenc.c/videodec.c) — H.263 rides
+            # RFC 4629 payloads, the others plain fragmentation
+            from mediastreamer2_tpu.ops.h264 import make_legacy_codec
+            w, h = self.out_fmt.width, self.out_fmt.height
+            Enc, Dec = make_legacy_codec(codec)
+            name = codec
+
+            class _LegacyFrameCodec(FrameCodec):
+                def __init__(self):
+                    self.enc = Enc(w, h, 400_000, int(fps))
+                    self.dec = Dec()
+
+                def encode(self, frame: bytes, keyframe: bool) -> bytes:
+                    return self.enc.encode(frame, keyframe=keyframe)
+
+                def decode(self, data: bytes):
+                    frames_ = self.dec.decode(data)
+                    return frames_[-1] if frames_ else None
+            _LegacyFrameCodec.name = name
+            codec_factory = _LegacyFrameCodec
+            if codec in ("h263", "h263p"):
+                packetizer_factory = lambda: H263SessionPacketizer(mtu)  # noqa: E731
+            else:
+                packetizer_factory = None
         else:
             packetizer_factory = None
         if codec_factory is not None:

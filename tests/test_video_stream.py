@@ -228,3 +228,30 @@ def test_video_stats_getters(factory):
     assert rx.get_received_framerate(0) > 5.0
     assert tx.get_sent_video_size() == (64, 48)
     assert rx.get_received_video_size(0) == (64, 48)
+
+
+def test_legacy_codec_calls_h263_mpeg4(factory):
+    """Legacy ffmpeg family as full CALLS (videoenc.c/videodec.c +
+    RFC 4629 for H.263): mire -> encode -> RTP -> decode -> display."""
+    import pytest
+    from mediastreamer2_tpu.ops.h264 import legacy_codec_available
+    for name in ("h263", "mpeg4"):
+        if not legacy_codec_available(name):
+            pytest.skip(f"{name} missing from avcodec")
+        # H.263 baseline only takes specific sizes; QCIF works for both
+        fmt = Format(kind="yuv420", width=176, height=144, fps=10.0)
+        tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0, codec=name)
+        rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=10.0, codec=name)
+        pair = LoopbackPair()
+        tx.set_transport(0, pair.endpoint(0))
+        rx.set_transport(0, pair.endpoint(1))
+        tx.bind_assemblers()
+        rx.bind_assemblers()
+        tx.ticker.realtime = rx.ticker.realtime = False
+        tx.ticker.warm_up(); rx.ticker.warm_up()
+        for _ in range(80):
+            tx.ticker.do_tick()
+            rx.ticker.do_tick()
+        assert tx.stats[0].frames_sent >= 5, name
+        assert rx.stats[0].frames_received >= 3, name
+        assert np.abs(rx._last_rx[0]).mean() > 0.05, name
