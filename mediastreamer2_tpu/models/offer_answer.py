@@ -162,6 +162,12 @@ def local_capabilities() -> List[PayloadTypeDesc]:
         caps.append(PayloadTypeDesc("G729", 8000, 1, 18))
     if hc.bv16_available():
         caps.append(PayloadTypeDesc("BV16", 8000, 1, 107))   # RFC 4298
+    from mediastreamer2_tpu.ops.h264 import legacy_codec_available
+    if legacy_codec_available("h263"):
+        caps.append(PayloadTypeDesc("H263", 90000, 1, 34))     # RFC 3551
+        caps.append(PayloadTypeDesc("H263-1998", 90000, 1, 109))
+    if legacy_codec_available("mpeg4"):
+        caps.append(PayloadTypeDesc("MP4V-ES", 90000, 1, 111))
     from mediastreamer2_tpu.ops.aac import (aac_available,
                                             make_audio_specific_config)
     if aac_available():
