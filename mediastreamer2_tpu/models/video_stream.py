@@ -207,6 +207,32 @@ class H263SessionPacketizer:
         return self._de.errors
 
 
+class JpegSessionPacketizer:
+    """RFC 2435 JPEG/RTP behind the session packetizer interface — the
+    MJPEG transport (static PT 26; net/jpeg_rtp.py)."""
+
+    name = "jpeg"
+
+    def __init__(self, mtu: int):
+        from mediastreamer2_tpu.net.jpeg_rtp import JpegDepacketizer
+        self.mtu = mtu
+        self._de = JpegDepacketizer()
+
+    def pack(self, frame: bytes) -> List[bytes]:
+        from mediastreamer2_tpu.net.jpeg_rtp import jpeg_packetize
+        return jpeg_packetize(frame, self.mtu)
+
+    def push(self, pkt):
+        self._de.push(pkt.payload, pkt.marker)
+
+    def pop(self):
+        return self._de.pop()
+
+    @property
+    def dropped_incomplete(self):
+        return self._de.errors
+
+
 class H264Packetizer:
     """RFC 6184 payloads (single NAL / STAP-A / FU-A) with SPS/PPS store;
     an access unit closes on the marker bit; seq gaps drop the AU (the
@@ -432,6 +458,8 @@ class VideoStreamBatch:
             codec_factory = _LegacyFrameCodec
             if codec in ("h263", "h263p"):
                 packetizer_factory = lambda: H263SessionPacketizer(mtu)  # noqa: E731
+            elif codec == "mjpeg":
+                packetizer_factory = lambda: JpegSessionPacketizer(mtu)  # noqa: E731
             else:
                 packetizer_factory = None
         else:

@@ -163,6 +163,11 @@ class H264Encoder:
             # MJPEG wants full-range YUVJ420P (or strict=unofficial)
             _w32(ctx, off_pix, 12)          # AV_PIX_FMT_YUVJ420P
             _avu.av_opt_set(ctypes.c_void_p(ctx), b"strict", b"-2", 0)
+            # RFC 2435 receivers rebuild frames with the STANDARD Huffman
+            # tables; ffmpeg's optimal-tables default would corrupt the
+            # reconstructed entropy stream
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"huffman", b"default",
+                            AV_OPT_SEARCH_CHILDREN)
         else:
             _w32(ctx, off_pix, AV_PIX_FMT_YUV420P)
         if self.CODEC_NAME == b"libx264":
