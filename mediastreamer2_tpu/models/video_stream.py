@@ -160,7 +160,11 @@ class Av1Packetizer:
 
 class GenericPacketizer:
     """Timestamp fragmentation + marker reassembly (MSDummyEnc-style
-    payloads; the generic half of vp8rtpfmt/h26x packers)."""
+    payloads; the generic half of vp8rtpfmt/h26x packers).
+
+    For MPEG-4 visual this is exactly RFC 3016 §3.3 on the wire: MP4V-ES
+    payloads are raw VOP fragments with NO extra header and the marker on
+    the VOP's last packet — so `codec="mpeg4"` legs are wire-true."""
 
     def __init__(self, mtu: int):
         self.mtu = mtu
