@@ -194,3 +194,18 @@ def test_several_delays_reconverge(factory):
     assert erle(third - 3 * rate, third) > 10.0
     assert erle(2 * third - 3 * rate, 2 * third) > 8.0
     assert erle(end - 3 * rate, end) > 8.0
+
+
+def test_convergence_speed(factory):
+    """Regression guard for the round-2 normalization fix: on a clean
+    3-tap room path the canceller must reach 10 dB ERLE within the first
+    4 s (it took 10-15 s when the EWMA step normalization let the shadow
+    diverge and reseed-thrash)."""
+    from mediastreamer2_tpu.io.wav import read_wav
+    far, rate = read_wav(f"{FIX}/farend_double_talk.wav")
+    echo = _room_echo(far, rate)
+    out, n = _run_ec(echo, far, rate, factory)
+    a, b = 3 * rate, 4 * rate
+    erle = 10 * np.log10((echo[a:b] ** 2).mean()
+                         / max((out[a:b] ** 2).mean(), 1e-12))
+    assert erle > 10.0, f"ERLE at 3-4 s only {erle:.1f} dB"
