@@ -379,6 +379,19 @@ class AudioStreamBatch:
         self.ticker.event_queue.set_handler("baudot_det.mark_env", on_mark)
         self.ticker.event_queue.set_handler("baudot_det.space_env", on_space)
 
+    def set_baudot_mode(self, leg: int, mode: str):
+        """audio_stream_set_baudot_sending_mode: 'us' (45.45 baud) or
+        'europe' (50 baud) — per-leg runtime param, both chain positions."""
+        baud = {"us": 45.45, "europe": 50.0}[mode]
+
+        def fn(tk, leg=leg, baud=baud):
+            p = tk.params["baudot_gen"]
+            p["baud"] = p["baud"].at[leg].set(baud)
+        self.ticker.mutate(fn)
+        if hasattr(self, "_baudot_framers"):
+            from mediastreamer2_tpu.ops.baudot import BaudotFramer
+            self._baudot_framers[leg] = BaudotFramer(baud=baud)
+
     def send_baudot_string(self, leg: int, text: str):
         """audio_stream_send_baudot_string: queue TTY FSK for this leg's
         send path (baudot_generator_filter.cpp role)."""

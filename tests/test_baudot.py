@@ -107,3 +107,28 @@ def test_baudot_over_audio_stream(factory):
         rx.ticker.do_tick()
         rx.iterate()                      # pumps detector events
     assert rx.get_baudot_text(0) == "SOS 911"
+
+
+def test_baudot_europe_mode_50_baud(factory):
+    """The reference's EUROPE mode (50 baud vs US 45.45,
+    baudot_generator_filter.cpp mode switch): the baud is a per-leg
+    runtime param; gen and framer at 50 baud round-trip."""
+    import jax.numpy as jnp
+    B = 1
+    g = GraphBuilder(factory, batch=B)
+    src = g.add("void_source", "vs", fmt=Format(rate=8000))
+    gen = g.add("baudot_gen", "gen")
+    det = g.add("baudot_det", "det")
+    g.chain(src, gen, det)
+    g.link(det, 0, g.add("ext_sink", "out"), 0)
+    cg = g.build()
+    st, params = cg.init_state(), cg.init_params()
+    params["gen"]["baud"] = jnp.full((B,), 50.0, jnp.float32)
+    st["gen"] = load_text(st["gen"], {0: "EURO 50"}, B)
+    framer = BaudotFramer(baud=50.0)
+    step = jax.jit(cg.step)
+    for i in range(300):
+        st, out, ev = step(st, params, {})
+        framer.push_envelopes(np.asarray(ev["det.mark_env"])[0],
+                              np.asarray(ev["det.space_env"])[0])
+    assert framer.text() == "EURO 50"
