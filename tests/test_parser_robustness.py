@@ -145,3 +145,31 @@ def test_gcm_srtp_unprotect_survives_garbage():
     for blob in _rand_blobs(10):
         rx.unprotect(blob)
         rc.unprotect(blob)
+
+
+def test_jpeg_rtp_parsers_survive_garbage():
+    """RFC 2435 surfaces: the depacketizer eats arbitrary payloads; the
+    packetizer rejects non-JPEG input with ValueError, never crashes."""
+    from mediastreamer2_tpu.net.jpeg_rtp import (JpegDepacketizer,
+                                                 jpeg_packetize)
+    de = JpegDepacketizer()
+    for i, blob in enumerate(_rand_blobs(101)):
+        de.push(blob, marker=(i % 3 == 0))
+        de.pop()
+    for blob in _rand_blobs(102, n=100):
+        try:
+            jpeg_packetize(blob)
+        except (ValueError, AssertionError, *struct_error_types()):
+            pass
+
+
+def test_h263_and_aac_assemblers_survive_garbage():
+    from mediastreamer2_tpu.net.h26x import H263Depacketizer
+    from mediastreamer2_tpu.ops.aac import AacRtpAssembler, rfc3640_unpack
+    de = H263Depacketizer()
+    asm = AacRtpAssembler()
+    for i, blob in enumerate(_rand_blobs(103)):
+        de.push(blob, marker=(i % 4 == 0))
+        de.pop()
+        asm.push(blob)
+        rfc3640_unpack(blob)
