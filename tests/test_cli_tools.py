@@ -112,3 +112,45 @@ def test_mkvstream_vp8(tmp_path, factory, capsys):
     th.join()
     assert got[1] >= 10                           # one packet per frame min
     assert "streamed" in capsys.readouterr().out
+
+
+def test_cli_two_process_call(tmp_path):
+    """The softphone story end to end: two `mediastream.py call` PROCESSES
+    exchange G.711 over real localhost UDP; each records what the peer
+    sent (tools/mediastream.c's basic usage)."""
+    import subprocess
+    import sys as _sys
+    from mediastreamer2_tpu.io.wav import write_wav, read_wav
+    from mediastreamer2_tpu.utils.audiodiff import audio_diff
+    from conftest import make_speechlike
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    tool = os.path.join(repo, "tools", "mediastream.py")
+    sig_a = make_speechlike(8000 * 4, 8000, seed=71)
+    sig_b = make_speechlike(8000 * 4, 8000, seed=72)
+    in_a, in_b = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    out_a, out_b = str(tmp_path / "ra.wav"), str(tmp_path / "rb.wav")
+    write_wav(in_a, sig_a, 8000)
+    write_wav(in_b, sig_b, 8000)
+    pa, pb = 7510, 7512
+    cmd = [_sys.executable, tool, "call", "--seconds", "5"]
+    procs = [
+        subprocess.Popen(cmd + ["--local-port", str(pa),
+                                "--remote", f"127.0.0.1:{pb}",
+                                "--infile", in_a, "--outfile", out_a],
+                         cwd=repo, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT),
+        subprocess.Popen(cmd + ["--local-port", str(pb),
+                                "--remote", f"127.0.0.1:{pa}",
+                                "--infile", in_b, "--outfile", out_b],
+                         cwd=repo, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT),
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0, out.decode()[-800:]
+    ra, _ = read_wav(out_a)
+    rb, _ = read_wav(out_b)
+    sim_a, _ = audio_diff(sig_b, ra)           # A recorded B's speech
+    sim_b, _ = audio_diff(sig_a, rb)
+    assert sim_a > 0.8, sim_a
+    assert sim_b > 0.8, sim_b
