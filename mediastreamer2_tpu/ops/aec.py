@@ -319,6 +319,18 @@ def _aec_process(state, ins, params, ctx):
     # echo estimate — otherwise near-end speech sharing bins with the echo is
     # destroyed during double-talk. `leak` = residual/echo power ratio,
     # tracked as a slow minimum so near speech never inflates it.
+    if ctx.params.get("no_suppress"):
+        # build-time suppressor bypass (static; also the perf-probe knob —
+        # the runtime `suppress` param only masks the OUTPUT, XLA still
+        # computes the stage)
+        new_state = {"Wm_r": Wm_r, "Wm_i": Wm_i, "Ws_r": Ws_r,
+                     "Ws_i": Ws_i, "Xh_r": Xh_r, "Xh_i": Xh_i,
+                     "far_prev": far, "Hp": Hp, "Em": Em, "Es": Es,
+                     "Dn": Dn, "Nf": Nf, "leak": state["leak"],
+                     "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt,
+                     "diverge_cnt": diverge_cnt, "cpos": (cpos + 1) % P}
+        return new_state, (e,), {}
+
     Ey = (y * y).mean(axis=1)
     inst_leak = (e * e).mean(axis=1) / (Ey + 1e-9)
     # creep up only while the mic is echo-dominated (Dn ~ Ey); during near
