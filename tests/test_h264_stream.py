@@ -111,29 +111,36 @@ def test_h264_real_capture_interop():
         assert pkts, f"{fname}: no RTP parsed"
         pk = H264Packetizer(mtu=1400)
         dec = H264Decoder()
-        frames = 0
+        frames = aus = 0
         for p in pkts:
             pk.push(p)
             while True:
                 au = pk.pop()
                 if au is None:
                     break
+                aus += 1
                 frames += len(dec.decode(au))
         # flush the last AU (no trailing packet to close it)
         pk._close_au()
         au = pk.pop()
         if au:
+            aus += 1
             frames += len(dec.decode(au))
-        return frames, dec
+        return frames, dec, aus
 
     # clean stream: one NAL per frame over IPv6, no marker bits
-    frames, dec = run("h264_one_nalu_per_frame.pcap")
+    frames, dec, _ = run("h264_one_nalu_per_frame.pcap")
     assert frames >= 5, frames
     assert dec.width > 0 and dec.height > 0
     # pathological: second I-frame missing its PPS — decoder survives and
     # still produces the earlier frames
-    frames2, _ = run("h264_missing_pps_in_second_i_frame.pcap")
+    frames2, _, _ = run("h264_missing_pps_in_second_i_frame.pcap")
     assert frames2 >= 1, frames2
+    # pathological: corrupted IDR — the whole stream is undecodable (the
+    # IDR is the only keyframe and it is broken), so the property is
+    # survival: the depacketizer still yields access units, nothing raises
+    frames3, _, aus3 = run("h264_one_nalu_per_frame_with_corrupted_idr.pcap")
+    assert aus3 >= 1, aus3
 
 
 @pytest.mark.parametrize("name,size", [("h263", (176, 144)),
