@@ -558,3 +558,44 @@ def test_ekt_survives_relay_discard():
     plains = [ctx.unprotect(w) for w in wires]
     assert all(p is not None for p in plains)
     assert len(plains) == 14 - dropped
+
+
+def test_ekt_bundled_multi_ssrc_sources():
+    """'Double Encrypted relayed data with bundled source and ekt': several
+    senders share one (relayed/bundled) path; the receiver learns each
+    SSRC's OWN inner key from that stream's full tag and decrypts both."""
+    import os
+    from mediastreamer2_tpu.net.srtp import EktTransport
+    ekt_key = bytes(range(16))
+    salt = bytes(range(14))
+    keys = {0x1111: os.urandom(16), 0x2222: os.urandom(16)}
+    pair = LoopbackPair()
+    # two bundled senders multiplexed onto ONE wire
+    txs = {ssrc: (EktTransport(pair.endpoint(0), ekt_key=ekt_key, spi=5,
+                               send_master_key=k),
+                  SrtpContext(k, salt))
+           for ssrc, k in keys.items()}
+    learned = {}
+    ctxs = {}
+
+    def on_key(ssrc, mkey, roc):
+        learned[ssrc] = mkey
+        ctxs[ssrc] = SrtpContext(mkey, salt)
+    rx = EktTransport(pair.endpoint(1), recv_keys={5: ekt_key},
+                      on_key=on_key)
+    sent = {s: [] for s in keys}
+    for i in range(5):
+        for ssrc, (ekt_tx, ctx) in txs.items():
+            pkt = RtpPacket(0, i, i * 160, ssrc, bytes([i]) * 24).pack()
+            sent[ssrc].append(pkt)
+            ekt_tx.send(ctx.protect(pkt))
+    wires = rx.recv_all()
+    assert learned == keys                     # both inner keys learned
+    got = {s: [] for s in keys}
+    for w in wires:
+        import struct as _s
+        ssrc = _s.unpack("!I", w[8:12])[0]
+        plain = ctxs[ssrc].unprotect(w)
+        assert plain is not None
+        got[ssrc].append(plain)
+    assert got == sent
