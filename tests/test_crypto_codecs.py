@@ -599,3 +599,37 @@ def test_ekt_bundled_multi_ssrc_sources():
         assert plain is not None
         got[ssrc].append(plain)
     assert got == sent
+
+
+def test_double_encryption_relay_reads_volumes():
+    """'Double Encrypted relayed audio stream with participants volumes':
+    the RFC 6464 audio-level extension lives in the RTP header, which is
+    NOT part of the encrypted portion (RFC 3711 §3.1) — so a relay holding
+    only the OUTER key can rank speakers while the payload stays
+    inner-encrypted end to end."""
+    import os
+    inner_key, outer_key = os.urandom(16), os.urandom(16)
+    salt_i, salt_o = bytes(range(14)), bytes(range(10, 24))
+    inner_tx = SrtpContext(inner_key, salt_i)
+    outer_tx = SrtpContext(outer_key, salt_o)
+    # sender: payload inner-encrypted, then whole packet outer-encrypted
+    pkt = RtpPacket(0, 7, 1120, 0xAAAA, b"\x42" * 40,
+                    extensions={1: bytes([0x80 | 23])})   # -23 dBov, voice
+    wire = outer_tx.protect(inner_tx.protect(pkt.pack()))
+
+    # relay: outer key only
+    relay_rx = SrtpContext(outer_key, salt_o)
+    mid = relay_rx.unprotect(wire)
+    assert mid is not None
+    mid_pkt = RtpPacket.unpack(mid)
+    assert mid_pkt.extensions and mid_pkt.extensions[1][0] & 0x7F == 23
+    # ...but the payload is still ciphertext to the relay
+    assert mid_pkt.payload[: 8] != b"\x42" * 8
+
+    # receiver: both keys -> plaintext + extension intact
+    inner_rx = SrtpContext(inner_key, salt_i)
+    plain = inner_rx.unprotect(mid)
+    assert plain is not None
+    final = RtpPacket.unpack(plain)
+    assert final.payload == b"\x42" * 40
+    assert final.extensions[1][0] & 0x7F == 23
