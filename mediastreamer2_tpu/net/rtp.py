@@ -320,13 +320,30 @@ class RtpBundle:
     def __init__(self, transport: Transport):
         self.transport = transport
         self.by_ssrc: Dict[int, "RtpSession"] = {}
+        self.by_mid: Dict[str, "RtpSession"] = {}
+        self.mid_ext_id: Optional[int] = None
         self.on_unknown_ssrc: Optional[Callable[[RtpPacket], None]] = None
         self.unknown_dropped = 0
 
-    def attach(self, session: "RtpSession", recv_ssrc: Optional[int] = None):
+    def set_mid_extension_id(self, ext_id: int):
+        """cf. rtp_bundle_set_mid_extension_id: enable RFC 8843 MID-based
+        demultiplexing — streams sharing a MID (or whose SSRC the receiver
+        has never seen, e.g. behind a relay) route by the MID header
+        extension; SSRC association is learned from it."""
+        self.mid_ext_id = ext_id
+        for s in self.by_mid.values():
+            s._mid_ext_id = ext_id
+
+    def attach(self, session: "RtpSession", recv_ssrc: Optional[int] = None,
+               mid: Optional[str] = None):
         session.transport = _BundleSendProxy(self)
         if recv_ssrc is not None:
             self.by_ssrc[recv_ssrc] = session
+        if mid is not None:
+            self.by_mid[mid] = session
+            session._bundle_mid = mid
+            if self.mid_ext_id is not None:
+                session._mid_ext_id = self.mid_ext_id
 
     def poll(self):
         for data in self.transport.recv_all():
@@ -335,6 +352,14 @@ class RtpBundle:
             except ValueError:
                 continue
             sess = self.by_ssrc.get(pkt.ssrc)
+            if sess is None and self.mid_ext_id is not None \
+                    and pkt.extensions:
+                raw = pkt.extensions.get(self.mid_ext_id)
+                if raw:
+                    sess = self.by_mid.get(raw.decode("ascii", "ignore"))
+                    if sess is not None:
+                        # learn the SSRC for extension-less packets later
+                        self.by_ssrc[pkt.ssrc] = sess
             if sess is None:
                 if self.on_unknown_ssrc:
                     self.on_unknown_ssrc(pkt)
@@ -565,6 +590,12 @@ class RtpSession:
             ext = dict(ext or {})
             ext[self._fm_ext_id] = bytes([self._fm_byte])
             self._fm_byte = None
+        if getattr(self, "_mid_ext_id", None) is not None \
+                and getattr(self, "_bundle_mid", None):
+            # RFC 8843: stamp the MID so bundle receivers/relays can route
+            # without prior SSRC knowledge
+            ext = dict(ext or {})
+            ext[self._mid_ext_id] = self._bundle_mid.encode("ascii")
         pkt = RtpPacket(self.payload_type, self.seq, self.ts, self.ssrc,
                         payload, marker, extensions=ext, csrcs=csrcs)
         wire = pkt.pack()

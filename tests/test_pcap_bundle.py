@@ -112,3 +112,43 @@ def test_stream_alive_watchdog():
     tx.send_payload(b"x", 80)
     rx.poll()
     assert rx.alive(timeout_s=5.0)
+
+
+def test_bundle_mid_extension_routing():
+    """RFC 8843 MID demux (rtp_bundle_set_mid_extension_id parity, the
+    double-encryption tester's 'shared MID in bundle' transport layer):
+    a receiver with NO SSRC knowledge routes by the MID header extension
+    and learns the SSRC binding from it."""
+    from mediastreamer2_tpu.net.rtp import (LoopbackPair, RtpBundle,
+                                            RtpSession)
+    pair = LoopbackPair()
+    # sender side: two sessions bundled with MIDs, no pre-shared SSRCs
+    tx_bundle = RtpBundle(pair.endpoint(0))
+    tx_bundle.set_mid_extension_id(10)
+    tx_a = RtpSession(pair.endpoint(0), payload_type=0)
+    tx_v = RtpSession(pair.endpoint(0), payload_type=96)
+    tx_bundle.attach(tx_a, mid="a")
+    tx_bundle.attach(tx_v, mid="v")
+
+    rx_bundle = RtpBundle(pair.endpoint(1))
+    rx_bundle.set_mid_extension_id(10)
+    rx_a = RtpSession(pair.endpoint(1), payload_type=0)
+    rx_v = RtpSession(pair.endpoint(1), payload_type=96)
+    rx_a.jitter_buffer = None
+    got_a, got_v = [], []
+    rx_a.on_packet = got_a.append
+    rx_v.on_packet = got_v.append
+    rx_bundle.attach(rx_a, mid="a")      # MIDs only — SSRCs unknown
+    rx_bundle.attach(rx_v, mid="v")
+
+    for i in range(5):
+        tx_a.send_payload(b"\x01" * 20, ts_increment=80)
+        tx_v.send_payload(b"\x02" * 20, ts_increment=3000)
+    rx_bundle.poll()
+    assert len(got_a) == 5 and len(got_v) == 5
+    assert all(p.payload == b"\x01" * 20 for p in got_a)
+    assert all(p.payload == b"\x02" * 20 for p in got_v)
+    # the SSRC binding was learned from the MID extension
+    assert rx_bundle.by_ssrc[tx_a.ssrc] is rx_a
+    assert rx_bundle.by_ssrc[tx_v.ssrc] is rx_v
+    assert rx_bundle.unknown_dropped == 0
