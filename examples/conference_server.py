@@ -25,10 +25,12 @@ def main():
     ap.add_argument("--conf-size", type=int, default=4)
     ap.add_argument("--ssrc-base", type=lambda v: int(v, 0), default=0x5000)
     ap.add_argument("--seconds", type=int, default=30)
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (default on tunnels)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the graph on the accelerator (default: CPU — "
+                         "per-tick dispatch over a remote tunnel misses the "
+                         "10 ms deadline; use on host-attached chips)")
     args = ap.parse_args()
-    if args.cpu:
+    if not args.tpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 

@@ -17,9 +17,12 @@ def main():
     ap.add_argument("--in-port", type=int, default=5004)
     ap.add_argument("--out", default="127.0.0.1:5008")
     ap.add_argument("--seconds", type=int, default=30)
-    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the graph on the accelerator (default: CPU — "
+                         "per-tick dispatch over a remote tunnel misses the "
+                         "10 ms deadline; use on host-attached chips)")
     args = ap.parse_args()
-    if args.cpu:
+    if not args.tpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
