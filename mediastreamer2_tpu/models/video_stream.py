@@ -408,6 +408,7 @@ class VideoStreamStats:
     frames_received: int = 0
     fir_sent: int = 0
     camera_fallbacks: int = 0
+    bitrate_cap: int = 0      # last applied TMMBR/REMB (bps)
 
 
 class VideoStreamBatch:
@@ -533,6 +534,38 @@ class VideoStreamBatch:
         sess.enable_retransmission(history)
         self._reorder[leg] = ReorderBuffer()
         self._nacked[leg] = set()
+
+    def iterate(self):
+        """media_stream_iterate for the video stream: pump events, emit
+        RTCP, and apply inbound TMMBR/REMB to the encoder (the
+        MSVideoQualityController reaction, mediastream.c:983-1078 +
+        msvideoqualitycontroller.c). FIR/PLI/NACK are handled on the tick
+        path; bitrate caps belong on the app-thread pump."""
+        n = self.ticker.event_queue.pump()
+        for leg, sess in enumerate(self.sessions):
+            if sess is None or sess.rtcp is None:
+                continue
+            sess.rtcp.maybe_emit(sess.transport)
+            kept = []
+            for fb in sess.rtcp.feedback_in:
+                if fb.kind in ("tmmbr", "remb"):
+                    codec = self.codecs[leg]
+                    target = getattr(self, "_vqc", None)
+                    if target is not None:
+                        target.on_bandwidth_estimate(int(fb.value))
+                    enc = getattr(codec, "enc", codec)
+                    if hasattr(enc, "set_bitrate"):
+                        enc.set_bitrate(int(fb.value))
+                        self.stats[leg].bitrate_cap = int(fb.value)
+                else:
+                    kept.append(fb)           # FIR/PLI/NACK: tick path
+            sess.rtcp.feedback_in = kept
+        return n
+
+    def attach_quality_controller(self, vqc):
+        """Attach a VideoQualityController: TMMBR/REMB also drive its
+        config ladder (resolution/fps choices)."""
+        self._vqc = vqc
 
     def add_frame_listener(self, leg: int, cb):
         """Subscribe to this leg's decoded frames as (ts_ms, frame) — the
@@ -709,7 +742,9 @@ class VideoStreamBatch:
                     # without parameter sets after loss) — the reference's
                     # decoder-error -> PLI path
                     decode_failed = True
-            # inbound FIR/PLI -> force a keyframe; NACK -> retransmit
+            # inbound FIR/PLI -> force a keyframe; NACK -> retransmit.
+            # Other feedback (TMMBR/REMB) stays queued for iterate() —
+            # bitrate reaction is the app-thread pump's job
             if sess.rtcp is not None and sess.rtcp.feedback_in:
                 fbs, sess.rtcp.feedback_in = sess.rtcp.feedback_in, []
                 for fb in fbs:
@@ -717,6 +752,8 @@ class VideoStreamBatch:
                         self._force_kf[i] = True
                     elif fb.kind == "nack":
                         sess.retransmit(fb.value)
+                    else:
+                        sess.rtcp.feedback_in.append(fb)
             # freeze-on-error + FIR policy (cf. videostream decoder error cb
             # + msiframerequestslimiter rate limiting): request a keyframe
             # when nothing decodable arrived (starter) or an access unit

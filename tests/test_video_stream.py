@@ -255,3 +255,41 @@ def test_legacy_codec_calls_h263_mpeg4(factory):
         assert tx.stats[0].frames_sent >= 5, name
         assert rx.stats[0].frames_received >= 3, name
         assert np.abs(rx._last_rx[0]).mean() > 0.05, name
+
+
+def test_video_iterate_applies_tmmbr(factory):
+    """media_stream_iterate for video: an inbound TMMBR re-targets the
+    VP8 encoder and walks the VideoQualityController ladder
+    (mediastream.c:983-1078 + msvideoqualitycontroller.c)."""
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    if not vp8_available():
+        import pytest
+        pytest.skip("libvpx missing")
+    from mediastreamer2_tpu.net.rtcp import Feedback
+    from mediastreamer2_tpu.models.video_presets import VideoQualityController
+    fmt = Format(kind="yuv420", width=64, height=48, fps=25.0)
+    tx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="vp8")
+    rx = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="vp8")
+    pair = LoopbackPair()
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.sessions[0].attach_rtcp()
+    rx.sessions[0].attach_rtcp()
+    applied = []
+    tx.attach_quality_controller(VideoQualityController(applied.append))
+    tx.bind_assemblers(); rx.bind_assemblers()
+    tx.ticker.realtime = rx.ticker.realtime = False
+    tx.ticker.warm_up(); rx.ticker.warm_up()
+    for _ in range(20):
+        tx.ticker.do_tick(); rx.ticker.do_tick()
+    # receiver signals congestion: cap the sender at 150 kb/s
+    fb = Feedback("tmmbr", rx.sessions[0].ssrc, tx.sessions[0].ssrc, 150_000)
+    pair.endpoint(1).send(fb.pack())
+    tx.ticker.do_tick()
+    tx.iterate()
+    assert tx.stats[0].bitrate_cap == 150_000
+    assert applied and applied[-1].bitrate_bps <= 150_000
+    # the call keeps running at the lower rate
+    for _ in range(20):
+        tx.ticker.do_tick(); rx.ticker.do_tick()
+    assert rx.stats[0].frames_received > 0
