@@ -1067,11 +1067,31 @@ class AudioStreamBatch:
     def attach_quality_indicator(self, leg: int, qi):
         self._qi[leg] = qi
 
+    def attach_bandwidth_controller(self, leg: int, bc):
+        """ms_bandwidth_controller_add_stream parity: this leg's
+        packet-cluster bandwidth estimator feeds the controller each
+        iterate(); the controller emits TMMBR at 0.7x/0.9x of the
+        measured available bandwidth (bandwidthcontroller.c:30-160)."""
+        if not hasattr(self, "_bwc"):
+            self._bwc: Dict[int, object] = {}
+        self._bwc[leg] = bc
+        sess = self.sessions[leg]
+        if sess is not None and sess.abe is None:
+            sess.enable_audio_bandwidth_estimator()
+
     def iterate(self):
         """cf. media_stream_iterate (src/voip/mediastream.c:542) —
         app-thread pump: events, RTCP emission, QoS reaction."""
         from mediastreamer2_tpu.models.qos import QosStats
         n = self.ticker.event_queue.pump()
+        for leg, bc in getattr(self, "_bwc", {}).items():
+            sess = self.sessions[leg]
+            if sess is None:
+                continue
+            if sess.abe is not None and sess.abe.measurements:
+                bc.update_estimate(sess.abe.available_bw_bps(), kind="audio")
+            if sess.vbe is not None and sess.vbe.measurements:
+                bc.update_estimate(sess.vbe.available_bw_bps(), kind="video")
         for leg, sess in enumerate(self.sessions):
             if sess is None or sess.rtcp is None:
                 continue

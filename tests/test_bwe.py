@@ -125,3 +125,45 @@ def test_controller_uses_estimate():
     bc.on_interval(10_000, 1.0, jitter_rising=False, loss_rate=0.0)
     assert not bc.congested
     assert sent[-1] == 90_000
+
+
+def test_stream_bandwidth_controller_wiring(factory):
+    """ms_bandwidth_controller_add_stream parity: the leg's estimator
+    feeds the controller through iterate(); congestion then caps at
+    0.7x the MEASURED bandwidth (bandwidthcontroller.c arithmetic)."""
+    from mediastreamer2_tpu.core.block import tick_samples
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    from mediastreamer2_tpu.models.qos import BandwidthController
+    from mediastreamer2_tpu.net.rtp import LoopbackPair
+    from mediastreamer2_tpu.net.netsim import NetSimParams, NetworkSimulator
+    from conftest import make_speechlike
+    import time as _time
+
+    bw = 64_000.0
+    ticks = 60
+    sig = make_speechlike(80 * (ticks + 20), 8000, seed=41)
+    tx = AudioStreamBatch(factory, 1, mic_signal=sig)
+    rx = AudioStreamBatch(factory, 1, record_ticks=ticks + 20)
+    pair = LoopbackPair(netsim=NetworkSimulator(NetSimParams(
+        max_bandwidth_bps=bw, max_buffer_size_bytes=1 << 20)))
+    tx.set_transport(0, pair.endpoint(0))
+    rx.set_transport(0, pair.endpoint(1))
+    tx.sessions[0].enable_audio_bandwidth_estimator()
+    tx.sessions[0].set_abe_duplicates(True)
+    sent = []
+    bc = BandwidthController(lambda bps: sent.append(bps))
+    rx.attach_bandwidth_controller(0, bc)
+    tx.ticker.realtime = rx.ticker.realtime = True   # real pacing: the
+    tx.ticker.warm_up(); rx.ticker.warm_up()         # estimator measures
+    rx.start(ticks + 20)                             # wall-clock spacing
+    tx.run(ticks)
+    _time.sleep(0.2)
+    rx.iterate()
+    tx.stop(); rx.stop()
+    est = bc.download_audio_bandwidth_available_estimated
+    assert est > 0, "estimator never fed the controller"
+    assert 0.4 * bw < est < 2.5 * bw, est
+    # congestion onset -> TMMBR at 0.7x the measured figure
+    for _ in range(6):
+        bc.on_interval(800, 1.0, jitter_rising=True, loss_rate=0.06)
+    assert sent and abs(sent[-1] - 0.7 * est) < 1, (sent[-1], est)
