@@ -79,6 +79,8 @@ class E2EResult:
     loss_rate: float            # jitter-buffer misses after warmup
     fidelity: float             # audio_diff(sent, received) on probe legs
     mouth_to_ear_ms: float      # added pipeline latency (K*(D+1) + prefill)
+    srtp: bool = False          # per-leg AES_CM_128_HMAC_SHA1_80 on the edge
+    auth_failures: int = 0      # SRTP auth failures across all legs
 
     @property
     def realtime_ok(self) -> bool:
@@ -90,7 +92,7 @@ class E2EConferenceBench:
 
     def __init__(self, factory, n_legs: int, k_block: int = 16,
                  pipeline_depth: int = 2, conf_size: int = 4,
-                 rate: int = 48000, seed: int = 0):
+                 rate: int = 48000, seed: int = 0, srtp: bool = False):
         import jax
         import jax.numpy as jnp
         from mediastreamer2_tpu.ops.g711 import (ulaw_decode, ulaw_encode,
@@ -152,10 +154,20 @@ class E2EConferenceBench:
         self.tx = BatchRtpTx(tx_sock, n_legs, self.S8)
         self.rx = BatchRtpRx(n_legs, self.S8, ring_depth=depth)
         self.rx.add_socket(rx_sock, gro=True)
+        # Per-leg SRTP (AES_CM_128_HMAC_SHA1_80): protect on the batched tx,
+        # auth+decrypt before the jitter-ring insert on rx — the encrypted
+        # operating point the reference runs by default (ms_srtp.cpp inline
+        # protection). Self-loop => leg i's tx and rx share key material.
+        self.srtp = srtp
+        key_rng = np.random.default_rng(seed + 1)
         for i in range(n_legs):
             self.tx.config(i, "127.0.0.1", port, ssrc=i, pt=0)
             self.rx.map_ssrc(i, i)
             self.rx.set_prefill(i, self.prefill)
+            if srtp:
+                mk, ms = key_rng.bytes(16), key_rng.bytes(14)
+                self.tx.set_srtp(i, mk, ms)
+                self.rx.set_srtp(i, mk, ms)
         self.tx.enable_gso(("127.0.0.1", port))
         self._socks = (tx_sock, rx_sock)
         self._sent_probe: list = []
@@ -250,13 +262,17 @@ class E2EConferenceBench:
         uploader.shutdown(wait=True)
         reader.shutdown(wait=True)
         ticks_timed = (n_blocks - warmup_blocks) * K
+        auth_fail = 0
+        if self.srtp:
+            auth_fail = sum(self.rx.auth_failures(i) for i in range(N))
         return E2EResult(
             n_legs=N, ticks=ticks_timed, k_block=K, pipeline_depth=D,
             ms_per_tick=total_s * 1e3 / max(ticks_timed, 1),
             late_ticks=late_ticks,
             loss_rate=flags_missing / max(flags_total, 1),
             fidelity=self.fidelity(),
-            mouth_to_ear_ms=(K * (D + 1) + self.prefill) * 10.0)
+            mouth_to_ear_ms=(K * (D + 1) + self.prefill) * 10.0,
+            srtp=self.srtp, auth_failures=auth_fail)
 
     def fidelity(self) -> float:
         """audio_diff between what probe legs sent and what they received

@@ -28,7 +28,7 @@ def _build_so(src: str, so: str) -> Optional[ctypes.CDLL]:
         try:
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-pthread", src, "-o",
-                 so + ".tmp"],
+                 so + ".tmp", "-ldl"],
                 check=True, capture_output=True, timeout=120)
             os.replace(so + ".tmp", so)
         except (subprocess.SubprocessError, OSError):
@@ -157,8 +157,30 @@ def _ensure_rtp_built() -> Optional[ctypes.CDLL]:
                                             ctypes.c_void_p]
         lib.ms2_rtprx_stats.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         u64p, u64p, u64p, u64p]
+        srtp_args = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+                     ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+                     ctypes.c_int]
+        lib.ms2_rtptx_set_srtp.argtypes = srtp_args
+        lib.ms2_rtprx_set_srtp.argtypes = srtp_args
+        lib.ms2_rtprx_auth_failures.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ms2_rtprx_auth_failures.restype = ctypes.c_uint64
         _rtp_lib = lib
         return _rtp_lib
+
+
+def _srtp_session_keys(master_key: bytes, master_salt: bytes, suite: str):
+    """Derive (k_e, k_s, k_a, tag_len) with the KAT-validated RFC 3711 KDF
+    (tests/test_srtp_kat.py pins derive_key byte-exactly)."""
+    from mediastreamer2_tpu.net.srtp import (SUITES, derive_key,
+                                             LABEL_RTP_ENCRYPTION,
+                                             LABEL_RTP_AUTH, LABEL_RTP_SALT)
+    kind, klen, slen, tag = SUITES[suite]
+    if kind != "ctr":
+        raise ValueError(f"native edge supports AES-CM suites only, not {suite}")
+    k_e = derive_key(master_key, master_salt, LABEL_RTP_ENCRYPTION, klen)
+    k_a = derive_key(master_key, master_salt, LABEL_RTP_AUTH, 20)
+    k_s = derive_key(master_key, master_salt, LABEL_RTP_SALT, 14)
+    return k_e, k_s, k_a, tag
 
 
 def rtp_edge_available() -> bool:
@@ -184,6 +206,16 @@ class BatchRtpTx:
                seq0: int = 0, ts0: int = 0, pt: int = 0):
         self._lib.ms2_rtptx_config(self._h, leg, ip.encode(), port,
                                    ssrc, seq0, ts0, pt)
+
+    def set_srtp(self, leg: int, master_key: bytes, master_salt: bytes,
+                 suite: str = "AES_CM_128_HMAC_SHA1_80"):
+        """Enable inline SRTP protection for one leg (AES-CM suites).
+        Parity: ms_srtp.cpp:475 media_stream_set_srtp_send_key — per-packet
+        protect inline on the send edge, here batched across legs."""
+        k_e, k_s, k_a, tag = _srtp_session_keys(master_key, master_salt, suite)
+        if not self._lib.ms2_rtptx_set_srtp(self._h, leg, k_e, len(k_e),
+                                            k_s, k_a, tag):
+            raise RuntimeError("native SRTP init failed (libcrypto missing?)")
 
     def enable_gso(self, remote):
         """Single-destination fast path: connect() the socket and let the
@@ -250,6 +282,19 @@ class BatchRtpRx:
 
     def set_prefill(self, leg: int, packets: int):
         self._lib.ms2_rtprx_set_prefill(self._h, leg, packets)
+
+    def set_srtp(self, leg: int, master_key: bytes, master_salt: bytes,
+                 suite: str = "AES_CM_128_HMAC_SHA1_80"):
+        """Enable inline SRTP unprotection (auth + decrypt before the
+        jitter-ring insert) for one leg. Parity: ms_srtp.cpp:672
+        media_stream_set_srtp_recv_key."""
+        k_e, k_s, k_a, tag = _srtp_session_keys(master_key, master_salt, suite)
+        if not self._lib.ms2_rtprx_set_srtp(self._h, leg, k_e, len(k_e),
+                                            k_s, k_a, tag):
+            raise RuntimeError("native SRTP init failed (libcrypto missing?)")
+
+    def auth_failures(self, leg: int) -> int:
+        return self._lib.ms2_rtprx_auth_failures(self._h, leg)
 
     def poll(self) -> int:
         return self._lib.ms2_rtprx_poll(self._h)

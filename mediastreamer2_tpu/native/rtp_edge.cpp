@@ -25,6 +25,7 @@
 #include <vector>
 
 #include <arpa/inet.h>
+#include <dlfcn.h>
 #include <errno.h>
 #include <netinet/in.h>
 #include <netinet/udp.h>
@@ -43,6 +44,167 @@ namespace {
 constexpr int kHdr = 12;
 constexpr int kMmsgChunk = 512;
 
+// ---------------------------------------------------------------------------
+// SRTP AES-CM + HMAC-SHA1 via libcrypto (dlopen'd — no OpenSSL headers on
+// this image). Role parity: the reference protects every packet inline in C
+// through libsrtp2 RtpTransportModifier hooks (src/crypto/ms_srtp.cpp:475,
+// 672,706,874); here protection rides the same batched tx/rx calls so N
+// encrypted legs still cost three C calls per tick.
+//
+// Per-leg hot path (keys fixed per session):
+//  * AES-CTR keystream = AES-ECB over counter blocks on a pre-keyed EVP ctx
+//    (one EVP_EncryptUpdate per packet, no per-packet key schedule).
+//  * HMAC-SHA1 from precomputed ipad/opad SHA1 midstates (two block
+//    compressions saved per packet; sha_ni makes the rest ~250 ns).
+// Session keys are derived in Python by the RFC-3711-KAT-validated KDF
+// (net/srtp.py derive_key) and passed down — C never sees master keys.
+// ---------------------------------------------------------------------------
+
+struct EVP_CIPHER_CTX_;  // opaque
+struct EVP_CIPHER_;      // opaque
+// legacy SHA_CTX layout — frozen ABI since OpenSSL 0.9 (h0..h4,Nl,Nh,data,num)
+struct Sha1Ctx {
+  uint32_t h[5];
+  uint32_t Nl, Nh;
+  uint32_t data[16];
+  unsigned num;
+};
+
+struct CryptoApi {
+  EVP_CIPHER_CTX_* (*ctx_new)();
+  void (*ctx_free)(EVP_CIPHER_CTX_*);
+  const EVP_CIPHER_* (*aes128ecb)();
+  const EVP_CIPHER_* (*aes256ecb)();
+  int (*enc_init)(EVP_CIPHER_CTX_*, const EVP_CIPHER_*, void*, const uint8_t*,
+                  const uint8_t*);
+  int (*set_padding)(EVP_CIPHER_CTX_*, int);
+  int (*enc_update)(EVP_CIPHER_CTX_*, uint8_t*, int*, const uint8_t*, int);
+  int (*sha1_init)(Sha1Ctx*);
+  int (*sha1_update)(Sha1Ctx*, const void*, size_t);
+  int (*sha1_final)(uint8_t*, Sha1Ctx*);
+  bool ok = false;
+};
+
+const CryptoApi& crypto_api() {
+  static CryptoApi api = [] {
+    CryptoApi a{};
+    void* h = dlopen("libcrypto.so.3", RTLD_NOW | RTLD_GLOBAL);
+    if (!h) h = dlopen("libcrypto.so", RTLD_NOW | RTLD_GLOBAL);
+    if (!h) h = dlopen("libcrypto.so.1.1", RTLD_NOW | RTLD_GLOBAL);
+    if (!h) return a;
+    auto sym = [&](const char* n) { return dlsym(h, n); };
+    a.ctx_new = (EVP_CIPHER_CTX_ * (*)()) sym("EVP_CIPHER_CTX_new");
+    a.ctx_free = (void (*)(EVP_CIPHER_CTX_*))sym("EVP_CIPHER_CTX_free");
+    a.aes128ecb = (const EVP_CIPHER_* (*)()) sym("EVP_aes_128_ecb");
+    a.aes256ecb = (const EVP_CIPHER_* (*)()) sym("EVP_aes_256_ecb");
+    a.enc_init = (int (*)(EVP_CIPHER_CTX_*, const EVP_CIPHER_*, void*,
+                          const uint8_t*, const uint8_t*))
+        sym("EVP_EncryptInit_ex");
+    a.set_padding =
+        (int (*)(EVP_CIPHER_CTX_*, int))sym("EVP_CIPHER_CTX_set_padding");
+    a.enc_update = (int (*)(EVP_CIPHER_CTX_*, uint8_t*, int*, const uint8_t*,
+                            int))sym("EVP_EncryptUpdate");
+    a.sha1_init = (int (*)(Sha1Ctx*))sym("SHA1_Init");
+    a.sha1_update = (int (*)(Sha1Ctx*, const void*, size_t))sym("SHA1_Update");
+    a.sha1_final = (int (*)(uint8_t*, Sha1Ctx*))sym("SHA1_Final");
+    a.ok = a.ctx_new && a.ctx_free && a.aes128ecb && a.aes256ecb &&
+           a.enc_init && a.set_padding && a.enc_update && a.sha1_init &&
+           a.sha1_update && a.sha1_final;
+    return a;
+  }();
+  return api;
+}
+
+constexpr int kMaxTag = 10;              // HMAC-SHA1_80
+
+// One direction of one leg's SRTP session (AES_CM_{128,256}_HMAC_SHA1_{80,32})
+struct SrtpLeg {
+  EVP_CIPHER_CTX_* ecb = nullptr;        // pre-keyed AES-ECB (k_e)
+  uint8_t salt[14];                      // k_s
+  Sha1Ctx inner, outer;                  // HMAC-SHA1(k_a) midstates
+  uint8_t tag_len = 0;                   // 10 or 4; 0 = leg not encrypted
+  uint32_t roc = 0;
+  uint16_t last_seq = 0;
+  uint8_t have_seq = 0;
+
+  bool init(const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
+            const uint8_t* k_a, int tlen) {
+    const CryptoApi& c = crypto_api();
+    if (!c.ok || (k_e_len != 16 && k_e_len != 32) || tlen > kMaxTag)
+      return false;
+    if (!ecb) ecb = c.ctx_new();
+    if (!ecb) return false;
+    const EVP_CIPHER_* ciph = k_e_len == 16 ? c.aes128ecb() : c.aes256ecb();
+    if (c.enc_init(ecb, ciph, nullptr, k_e, nullptr) != 1) return false;
+    c.set_padding(ecb, 0);
+    memcpy(salt, k_s, 14);
+    uint8_t pad[64];
+    for (int i = 0; i < 64; i++) pad[i] = (i < 20 ? k_a[i] : 0) ^ 0x36;
+    c.sha1_init(&inner);
+    c.sha1_update(&inner, pad, 64);
+    for (int i = 0; i < 64; i++) pad[i] = (i < 20 ? k_a[i] : 0) ^ 0x5c;
+    c.sha1_init(&outer);
+    c.sha1_update(&outer, pad, 64);
+    tag_len = uint8_t(tlen);
+    roc = 0;
+    have_seq = 0;
+    return true;
+  }
+
+  void release() {
+    if (ecb) crypto_api().ctx_free(ecb), ecb = nullptr;
+    tag_len = 0;
+  }
+
+  // RFC 3711 §4.1.1 IV, as counter blocks: salt||0x0000 ^ ssrc<<64 ^ index<<16
+  void build_counters(uint32_t ssrc, uint64_t index, uint8_t* ctr,
+                      int nblocks) const {
+    uint8_t base[16];
+    memcpy(base, salt, 14);
+    base[14] = base[15] = 0;
+    base[4] ^= uint8_t(ssrc >> 24);
+    base[5] ^= uint8_t(ssrc >> 16);
+    base[6] ^= uint8_t(ssrc >> 8);
+    base[7] ^= uint8_t(ssrc);
+    for (int i = 0; i < 6; i++)          // 48-bit index into bytes 8..13
+      base[8 + i] ^= uint8_t(index >> (40 - 8 * i));
+    for (int b = 0; b < nblocks; b++) {
+      memcpy(ctr + 16 * b, base, 14);
+      ctr[16 * b + 14] = uint8_t(b >> 8);
+      ctr[16 * b + 15] = uint8_t(b);
+    }
+  }
+
+  // XOR keystream for `len` payload bytes into buf (in place).
+  bool ctr_xor(uint32_t ssrc, uint64_t index, uint8_t* buf, int len) {
+    const CryptoApi& c = crypto_api();
+    int nblocks = (len + 15) / 16;
+    uint8_t ctr[64 * 16], ks[64 * 16];
+    if (nblocks > 64) return false;      // payloads are tick-sized
+    build_counters(ssrc, index, ctr, nblocks);
+    int outl = 0;
+    if (c.enc_update(ecb, ks, &outl, ctr, nblocks * 16) != 1) return false;
+    for (int i = 0; i < len; i++) buf[i] ^= ks[i];
+    return true;
+  }
+
+  // HMAC-SHA1(data || ROC)[:tag_len] from the midstates.
+  void auth_tag(const uint8_t* data, int len, uint32_t roc_val, uint8_t* tag) {
+    const CryptoApi& c = crypto_api();
+    uint8_t rocb[4] = {uint8_t(roc_val >> 24), uint8_t(roc_val >> 16),
+                       uint8_t(roc_val >> 8), uint8_t(roc_val)};
+    uint8_t digest[20];
+    Sha1Ctx s = inner;
+    c.sha1_update(&s, data, size_t(len));
+    c.sha1_update(&s, rocb, 4);
+    c.sha1_final(digest, &s);
+    Sha1Ctx o = outer;
+    c.sha1_update(&o, digest, 20);
+    c.sha1_final(digest, &o);
+    memcpy(tag, digest, tag_len);
+  }
+};
+
 struct TxLeg {
   sockaddr_in dest{};
   uint32_t ssrc = 0;
@@ -50,13 +212,23 @@ struct TxLeg {
   uint16_t seq = 0;
   uint8_t pt = 0;
   uint8_t enabled = 0;
+  SrtpLeg srtp;
 };
 
 class RtpTx {
  public:
   RtpTx(int fd, int n, int psz)
-      : fd_(fd), n_(n), psz_(psz), frames_(size_t(n) * (kHdr + psz)),
+      : fd_(fd), n_(n), psz_(psz), frames_(size_t(n) * (kHdr + psz + kMaxTag)),
         legs_(n), iov_(kMmsgChunk), msgs_(kMmsgChunk) {}
+
+  ~RtpTx() {
+    for (TxLeg& l : legs_) l.srtp.release();
+  }
+
+  int set_srtp(int leg, const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
+               const uint8_t* k_a, int tag_len) {
+    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len) ? 1 : 0;
+  }
 
   void config(int leg, const char* ip, int port, uint32_t ssrc, uint16_t seq0,
               uint32_t ts0, uint8_t pt) {
@@ -77,7 +249,7 @@ class RtpTx {
   void set_gso(int on) {
     gso_ = on != 0;
     if (gso_ && gso_buf_.empty())
-      gso_buf_.resize(size_t(kMaxSegs) * (kHdr + psz_));
+      gso_buf_.resize(size_t(kMaxSegs) * (kHdr + psz_ + kMaxTag));
   }
 
   // payloads: [n, psz] row-major; mask: per-leg send flag (nullptr = all).
@@ -93,7 +265,7 @@ class RtpTx {
         l.ts += ts_inc;
         continue;
       }
-      uint8_t* f = frames_.data() + size_t(i) * (kHdr + psz_);
+      uint8_t* f = frames_.data() + size_t(i) * (kHdr + psz_ + kMaxTag);
       f[0] = 0x80;                       // V=2, no P/X/CC
       f[1] = l.pt & 0x7F;
       f[2] = uint8_t(l.seq >> 8);
@@ -107,10 +279,12 @@ class RtpTx {
       f[10] = uint8_t(l.ssrc >> 8);
       f[11] = uint8_t(l.ssrc);
       memcpy(f + kHdr, payloads + size_t(i) * psz_, psz_);
+      int flen = protect(l, f);
       l.seq++;
+      if (l.seq == 0) l.srtp.roc++;      // tx ROC on wrap (RFC 3711 §3.3.1)
       l.ts += ts_inc;
 
-      iov_[pending] = {f, size_t(kHdr + psz_)};
+      iov_[pending] = {f, size_t(flen)};
       mmsghdr& m = msgs_[pending];
       memset(&m, 0, sizeof m);
       m.msg_hdr.msg_name = &l.dest;
@@ -129,10 +303,21 @@ class RtpTx {
  private:
   static constexpr int kMaxSegs = 64;    // kernel UDP_MAX_SEGMENTS
 
+  // Encrypt payload in place + append auth tag; returns wire frame length.
+  int protect(TxLeg& l, uint8_t* f) {
+    int flen = kHdr + psz_;
+    if (!l.srtp.tag_len) return flen;
+    uint64_t index = (uint64_t(l.srtp.roc) << 16) | l.seq;
+    l.srtp.ctr_xor(l.ssrc, index, f + kHdr, psz_);
+    l.srtp.auth_tag(f, flen, l.srtp.roc, f + flen);
+    return flen + l.srtp.tag_len;
+  }
+
   int send_gso(const uint8_t* payloads, const uint8_t* mask,
                uint32_t ts_inc) {
-    const int frame = kHdr + psz_;
-    int in_buf = 0, sent_total = 0;
+    // GSO requires uniform segment size: all enabled legs must share one
+    // tag_len (the batched-bench case); a mid-batch change flushes first.
+    int in_buf = 0, sent_total = 0, frame = 0;
     for (int i = 0; i < n_; i++) {
       TxLeg& l = legs_[i];
       if (!l.enabled) continue;
@@ -140,6 +325,12 @@ class RtpTx {
         l.ts += ts_inc;
         continue;
       }
+      int flen_i = kHdr + psz_ + l.srtp.tag_len;
+      if (in_buf && flen_i != frame) {
+        sent_total += gso_flush(in_buf, frame);
+        in_buf = 0;
+      }
+      frame = flen_i;
       uint8_t* f = gso_buf_.data() + size_t(in_buf) * frame;
       f[0] = 0x80;
       f[1] = l.pt & 0x7F;
@@ -154,19 +345,20 @@ class RtpTx {
       f[10] = uint8_t(l.ssrc >> 8);
       f[11] = uint8_t(l.ssrc);
       memcpy(f + kHdr, payloads + size_t(i) * psz_, psz_);
+      protect(l, f);
       l.seq++;
+      if (l.seq == 0) l.srtp.roc++;
       l.ts += ts_inc;
       if (++in_buf == kMaxSegs) {
-        sent_total += gso_flush(in_buf);
+        sent_total += gso_flush(in_buf, frame);
         in_buf = 0;
       }
     }
-    if (in_buf) sent_total += gso_flush(in_buf);
+    if (in_buf) sent_total += gso_flush(in_buf, frame);
     return sent_total;
   }
 
-  int gso_flush(int nseg) {
-    const int frame = kHdr + psz_;
+  int gso_flush(int nseg, int frame) {
     iovec iov{gso_buf_.data(), size_t(nseg) * frame};
     char ctrl[CMSG_SPACE(sizeof(uint16_t))] = {};
     msghdr m{};
@@ -217,7 +409,8 @@ struct RxLeg {
   uint8_t primed = 0;
   uint8_t prefill = 2;                   // packets buffered before playout
   uint8_t warmup_left = 0;
-  uint64_t got = 0, lost = 0, late = 0, recv = 0;
+  uint64_t got = 0, lost = 0, late = 0, recv = 0, auth_fail = 0;
+  SrtpLeg srtp;
 };
 
 class RtpRx {
@@ -243,9 +436,20 @@ class RtpRx {
     }
   }
 
+  ~RtpRx() {
+    for (RxLeg& l : legs_) l.srtp.release();
+  }
+
   void add_fd(int fd) { fds_.push_back(fd); }
 
   void map_ssrc(uint32_t ssrc, int leg) { ssrc_to_leg_[ssrc] = leg; }
+
+  int set_srtp(int leg, const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
+               const uint8_t* k_a, int tag_len) {
+    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len) ? 1 : 0;
+  }
+
+  uint64_t auth_failures(int leg) const { return legs_[leg].auth_fail; }
 
   void set_prefill(int leg, int k) {
     legs_[leg].prefill = uint8_t(k);
@@ -340,6 +544,29 @@ class RtpRx {
     int leg = it->second;
     RxLeg& l = legs_[leg];
     uint16_t seq = uint16_t((p[2] << 8) | p[3]);
+    uint32_t roc = 0;
+    if (l.srtp.tag_len) {                // verify before touching any state
+      if (len < kHdr + psz_ + l.srtp.tag_len) return;
+      int alen = len - l.srtp.tag_len;
+      roc = est_roc(l.srtp, seq);
+      uint8_t tag[kMaxTag];
+      l.srtp.auth_tag(p, alen, roc, tag);
+      if (memcmp(tag, p + alen, l.srtp.tag_len) != 0) {
+        bool ok = false;                 // resync after long loss: ROC ±1
+        for (uint32_t r : {roc + 1, roc ? roc - 1 : 0}) {
+          l.srtp.auth_tag(p, alen, r, tag);
+          if (memcmp(tag, p + alen, l.srtp.tag_len) == 0) {
+            roc = r;
+            ok = true;
+            break;
+          }
+        }
+        if (!ok) {
+          l.auth_fail++;
+          return;
+        }
+      }
+    }
     l.recv++;
     if (!l.primed) {
       l.primed = 1;
@@ -352,7 +579,27 @@ class RtpRx {
     size_t s = size_t(leg) * depth_ + (seq & (depth_ - 1));
     slot_seq_[s] = seq;
     slot_valid_[s] = 1;
-    memcpy(slot_data_.data() + s * psz_, p + kHdr, psz_);
+    uint8_t* dst = slot_data_.data() + s * psz_;
+    memcpy(dst, p + kHdr, psz_);
+    if (l.srtp.tag_len) {                // decrypt in the ring slot
+      uint64_t index = (uint64_t(roc) << 16) | seq;
+      l.srtp.ctr_xor(ssrc, index, dst, psz_);
+      // advance the index-estimation anchor (RFC 3711 §3.3.1 update rule)
+      if (!l.srtp.have_seq || int16_t(seq - l.srtp.last_seq) > 0 ||
+          roc > l.srtp.roc) {
+        l.srtp.last_seq = seq;
+        l.srtp.roc = roc;
+        l.srtp.have_seq = 1;
+      }
+    }
+  }
+
+  static uint32_t est_roc(const SrtpLeg& s, uint16_t seq) {
+    if (!s.have_seq) return s.roc;
+    int s_l = s.last_seq, sq = seq;
+    if (s_l < 32768)
+      return (sq - s_l > 32768 && s.roc) ? s.roc - 1 : s.roc;
+    return (s_l - sq > 32768) ? s.roc + 1 : s.roc;
   }
 
   int n_, psz_, depth_;
@@ -387,6 +634,11 @@ int ms2_rtptx_send(void* p, const uint8_t* payloads, const uint8_t* mask,
 void ms2_rtptx_set_gso(void* p, int on) {
   static_cast<RtpTx*>(p)->set_gso(on);
 }
+int ms2_rtptx_set_srtp(void* p, int leg, const uint8_t* k_e, int k_e_len,
+                       const uint8_t* k_s, const uint8_t* k_a, int tag_len) {
+  return static_cast<RtpTx*>(p)->set_srtp(leg, k_e, k_e_len, k_s, k_a,
+                                          tag_len);
+}
 
 void* ms2_rtprx_create(int n_legs, int payload_size, int ring_depth) {
   return new RtpRx(n_legs, payload_size, ring_depth);
@@ -406,6 +658,14 @@ void ms2_rtprx_read_tick(void* p, uint8_t* out, uint8_t* flags) {
 void ms2_rtprx_stats(void* p, int leg, uint64_t* got, uint64_t* lost,
                      uint64_t* late, uint64_t* recv) {
   static_cast<RtpRx*>(p)->stats(leg, got, lost, late, recv);
+}
+int ms2_rtprx_set_srtp(void* p, int leg, const uint8_t* k_e, int k_e_len,
+                       const uint8_t* k_s, const uint8_t* k_a, int tag_len) {
+  return static_cast<RtpRx*>(p)->set_srtp(leg, k_e, k_e_len, k_s, k_a,
+                                          tag_len);
+}
+uint64_t ms2_rtprx_auth_failures(void* p, int leg) {
+  return static_cast<RtpRx*>(p)->auth_failures(leg);
 }
 
 }  // extern "C"

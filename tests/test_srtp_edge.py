@@ -1,0 +1,194 @@
+"""Native batched SRTP edge vs the KAT-pinned Python SrtpContext.
+
+The C implementation (native/rtp_edge.cpp SrtpLeg) must interoperate
+byte-exactly with net/srtp.py, whose KDF/CTR-IV/HMAC layout is pinned to
+the RFC vectors by tests/test_srtp_kat.py — so agreement here certifies
+the native edge against the RFCs transitively.  Parity target:
+src/crypto/ms_srtp.cpp:475,672 (inline per-packet protection on the edge).
+"""
+import os
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from mediastreamer2_tpu.native import (rtp_edge_available, BatchRtpTx,
+                                       BatchRtpRx)
+from mediastreamer2_tpu.net.srtp import (
+    AES_CM_128_HMAC_SHA1_32, AES_CM_128_HMAC_SHA1_80,
+    AES_256_CM_HMAC_SHA1_80, SUITES, SrtpContext)
+
+pytestmark = pytest.mark.skipif(not rtp_edge_available(),
+                                reason="g++ build failed")
+
+PSZ = 80
+
+
+def _keys(suite, seed=7):
+    rng = np.random.default_rng(seed)
+    _, klen, slen, _ = SUITES[suite]
+    return rng.bytes(klen), rng.bytes(slen)
+
+
+def _mk_tx(n, port, suite, key, salt, seq0=100):
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    tx = BatchRtpTx(sock, n, PSZ)
+    for i in range(n):
+        tx.config(i, "127.0.0.1", port, ssrc=0x2000 + i, seq0=seq0, pt=0)
+        tx.set_srtp(i, key, salt, suite)
+    return tx, sock
+
+
+@pytest.mark.parametrize("suite", [AES_CM_128_HMAC_SHA1_80,
+                                   AES_CM_128_HMAC_SHA1_32,
+                                   AES_256_CM_HMAC_SHA1_80])
+def test_native_tx_python_unprotect(suite):
+    """Packets protected by the C edge decrypt+authenticate in Python."""
+    key, salt = _keys(suite)
+    cap = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cap.bind(("127.0.0.1", 0))
+    cap.settimeout(2.0)
+    n = 3
+    tx, tx_sock = _mk_tx(n, cap.getsockname()[1], suite, key, salt)
+    rx_ctx = {i: SrtpContext(key, salt, suite) for i in range(n)}
+    pay = np.arange(n * PSZ, dtype=np.uint8).reshape(n, PSZ)
+    for tick in range(4):
+        assert tx.send(pay, ts_inc=PSZ) == n
+        for _ in range(n):
+            pkt = cap.recv(2048)
+            assert len(pkt) == 12 + PSZ + SUITES[suite][3]
+            ssrc = int.from_bytes(pkt[8:12], "big")
+            leg = ssrc - 0x2000
+            plain = rx_ctx[leg].unprotect(pkt)
+            assert plain is not None, "auth failed: C/Python mismatch"
+            np.testing.assert_array_equal(
+                np.frombuffer(plain[12:], np.uint8), pay[leg])
+    tx.close(); tx_sock.close(); cap.close()
+
+
+def test_python_tx_native_unprotect():
+    """Packets protected by Python land decrypted in the jitter ring."""
+    suite = AES_CM_128_HMAC_SHA1_80
+    key, salt = _keys(suite, seed=11)
+    rx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx_sock.bind(("127.0.0.1", 0))
+    rx_sock.setblocking(False)
+    port = rx_sock.getsockname()[1]
+    n = 4
+    rx = BatchRtpRx(n, PSZ, ring_depth=64)
+    rx.add_socket(rx_sock)
+    tx_ctx = {}
+    for i in range(n):
+        rx.map_ssrc(0x3000 + i, i)
+        rx.set_prefill(i, 0)
+        rx.set_srtp(i, key, salt, suite)
+        tx_ctx[i] = SrtpContext(key, salt, suite)
+    out_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rng = np.random.default_rng(5)
+    sent = []
+    for tick in range(5):
+        pay = rng.integers(0, 255, (n, PSZ), dtype=np.uint8)
+        sent.append(pay)
+        for i in range(n):
+            hdr = bytes([0x80, 0]) + (200 + tick).to_bytes(2, "big") \
+                + (tick * PSZ).to_bytes(4, "big") \
+                + (0x3000 + i).to_bytes(4, "big")
+            out_sock.sendto(tx_ctx[i].protect(hdr + pay[i].tobytes()),
+                            ("127.0.0.1", port))
+    time.sleep(0.02)
+    rx.poll()
+    for tick in range(5):
+        out, flags = rx.read_tick()
+        assert flags.all(), f"tick {tick}: missing packets"
+        np.testing.assert_array_equal(out, sent[tick])
+    assert all(rx.auth_failures(i) == 0 for i in range(n))
+    rx.close(); rx_sock.close(); out_sock.close()
+
+
+def test_native_rx_rejects_tampering_and_wrong_key():
+    suite = AES_CM_128_HMAC_SHA1_80
+    key, salt = _keys(suite, seed=13)
+    rx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx_sock.bind(("127.0.0.1", 0))
+    rx_sock.setblocking(False)
+    port = rx_sock.getsockname()[1]
+    rx = BatchRtpRx(1, PSZ, ring_depth=64)
+    rx.add_socket(rx_sock)
+    rx.map_ssrc(0x4000, 0)
+    rx.set_prefill(0, 0)
+    rx.set_srtp(0, key, salt, suite)
+    ctx = SrtpContext(key, salt, suite)
+    wrong = SrtpContext(os.urandom(16), os.urandom(14), suite)
+    out_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    hdr = bytes([0x80, 0]) + (500).to_bytes(2, "big") + bytes(4) \
+        + (0x4000).to_bytes(4, "big")
+    good = ctx.protect(hdr + bytes(range(PSZ // 2)) * 2)
+    tampered = bytearray(good)
+    tampered[20] ^= 1
+    out_sock.sendto(bytes(tampered), ("127.0.0.1", port))
+    hdr2 = bytes([0x80, 0]) + (500).to_bytes(2, "big") + bytes(4) \
+        + (0x4000).to_bytes(4, "big")
+    out_sock.sendto(wrong.protect(hdr2 + bytes(PSZ)), ("127.0.0.1", port))
+    time.sleep(0.02)
+    rx.poll()
+    _, flags = rx.read_tick()
+    assert rx.auth_failures(0) == 2
+    assert not flags.any()               # nothing authenticated -> nothing out
+    rx.close(); rx_sock.close(); out_sock.close()
+
+
+def test_roc_rollover_native_tx():
+    """tx seq wraps 0xFFFF->0: the C edge must bump ROC or every packet
+    after the wrap fails auth at a compliant receiver."""
+    suite = AES_CM_128_HMAC_SHA1_80
+    key, salt = _keys(suite, seed=17)
+    cap = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cap.bind(("127.0.0.1", 0))
+    cap.settimeout(2.0)
+    tx, tx_sock = _mk_tx(1, cap.getsockname()[1], suite, key, salt,
+                         seq0=0xFFFE)
+    rx_ctx = SrtpContext(key, salt, suite)
+    pay = np.full((1, PSZ), 0x5A, np.uint8)
+    for tick in range(6):                # crosses the 16-bit boundary
+        tx.send(pay, ts_inc=PSZ)
+        pkt = cap.recv(2048)
+        plain = rx_ctx.unprotect(pkt)
+        assert plain is not None, f"auth failed after rollover (tick {tick})"
+    assert rx_ctx.roc[0x2000] == 1       # receiver tracked the wrap
+    tx.close(); tx_sock.close(); cap.close()
+
+
+def test_gso_srtp_path():
+    """GSO batching with uniform tags: segments carry valid SRTP packets."""
+    suite = AES_CM_128_HMAC_SHA1_80
+    key, salt = _keys(suite, seed=19)
+    cap = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cap.bind(("127.0.0.1", 0))
+    cap.settimeout(2.0)
+    port = cap.getsockname()[1]
+    n = 150                              # > kMaxSegs: multiple GSO flushes
+    tx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx_sock.bind(("127.0.0.1", 0))
+    tx = BatchRtpTx(tx_sock, n, PSZ)
+    ctxs = {}
+    for i in range(n):
+        tx.config(i, "127.0.0.1", port, ssrc=0x5000 + i, seq0=1, pt=0)
+        tx.set_srtp(i, key, salt, suite)
+        ctxs[i] = SrtpContext(key, salt, suite)
+    tx.enable_gso(("127.0.0.1", port))
+    pay = np.random.default_rng(3).integers(0, 255, (n, PSZ), np.uint8)
+    assert tx.send(pay, ts_inc=PSZ) == n
+    seen = 0
+    for _ in range(n):
+        pkt = cap.recv(2048)
+        ssrc = int.from_bytes(pkt[8:12], "big")
+        leg = ssrc - 0x5000
+        plain = ctxs[leg].unprotect(pkt)
+        assert plain is not None
+        np.testing.assert_array_equal(
+            np.frombuffer(plain[12:], np.uint8), pay[leg])
+        seen += 1
+    assert seen == n
+    tx.close(); tx_sock.close(); cap.close()
