@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from mediastreamer2_tpu.core.filter import FilterDef, register_filter
-from mediastreamer2_tpu.ops.rfft import rfft, irfft, cmul, cmul_conj, cabs2
+from mediastreamer2_tpu.ops.rfft import (rfft, irfft, rfft_tail, irfft_tail,
+                                         apply_constraint, cmul, cmul_conj,
+                                         cabs2)
 
 DEFAULT_TAIL_MS = 80
 MU = 0.6               # shadow NLMS step
@@ -146,8 +148,8 @@ def _aec_process(state, ins, params, ctx):
             Wm_r_f, Wm_i_f, state["Ws_r"], state["Ws_i"],
             state["Xh_r"].astype(jnp.float32),
             state["Xh_i"].astype(jnp.float32), Xr_q, Xi_q)
-        y_m = irfft(Ym_r[:, :F_nat], Ym_i[:, :F_nat], two_s)[:, S:]
-        y_s = irfft(Ys_r[:, :F_nat], Ys_i[:, :F_nat], two_s)[:, S:]
+        y_m = irfft_tail(Ym_r[:, :F_nat], Ym_i[:, :F_nat], two_s)
+        y_s = irfft_tail(Ys_r[:, :F_nat], Ys_i[:, :F_nat], two_s)
     else:
         # history shift in the storage dtype (bf16 traffic), upcast per use
         Xh_r = jnp.concatenate([Xr[:, None, :].astype(state["Xh_r"].dtype),
@@ -160,7 +162,9 @@ def _aec_process(state, ins, params, ctx):
                          - Wi * Xh_i.astype(jnp.float32), axis=1)
             Yi = jnp.sum(Wr * Xh_i.astype(jnp.float32)
                          + Wi * Xh_r.astype(jnp.float32), axis=1)
-            return irfft(Yr[:, :F_nat], Yi[:, :F_nat], two_s)[:, S:]
+            # overlap-save keeps only the block's second half: matmul on
+            # the needed basis columns (half the MACs, identical values)
+            return irfft_tail(Yr[:, :F_nat], Yi[:, :F_nat], two_s)
 
         y_m = apply(Wm_r_f, Wm_i_f)
         y_s = apply(state["Ws_r"], state["Ws_i"])
@@ -168,7 +172,8 @@ def _aec_process(state, ins, params, ctx):
     e_s = near - y_s
 
     # --- shadow adaptation inputs ------------------------------------------
-    Er, Ei = rfft(jnp.concatenate([jnp.zeros_like(e_s), e_s], axis=1), two_s)
+    # E = rfft([0, e_s]): the zero half never enters the contraction
+    Er, Ei = rfft_tail(e_s, two_s)
     if F_pad:
         Er = jnp.pad(Er, ((0, 0), (0, F_pad)))
         Ei = jnp.pad(Ei, ((0, 0), (0, F_pad)))
@@ -202,9 +207,10 @@ def _aec_process(state, ins, params, ctx):
     gp_r, gp_i = cmul_conj(hp_r, hp_i, Er, Ei)
     gp_r = (gp_r * inv_norm)[:, :F_nat]
     gp_i = (gp_i * inv_norm)[:, :F_nat]
-    g_t = irfft(gp_r, gp_i, two_s)
-    g_t = g_t.at[:, S:].set(0.0)
-    gc_r, gc_i = rfft(g_t, two_s)
+    # causality projection irfft -> zero tail -> rfft as one constant
+    # [F,F] operator (ops/rfft.py apply_constraint): 2x fewer MACs and no
+    # [B, 2S] time-domain intermediate
+    gc_r, gc_i = apply_constraint(gp_r, gp_i, two_s)
     if F_pad:
         gc_r = jnp.pad(gc_r, ((0, 0), (0, F_pad)))
         gc_i = jnp.pad(gc_i, ((0, 0), (0, F_pad)))

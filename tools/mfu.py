@@ -1,0 +1,299 @@
+"""Roofline / MFU accounting for the flagship AEC+resample+mix leg.
+
+VERDICT r2 item 2: no FLOP/MFU accounting existed — "the chip is very
+likely <10% utilized; nothing in the repo can tell."  This harness can
+tell.  It computes an analytic per-tick FLOP and HBM-byte model of the
+flagship graph (the EC core dominates: 9 DFT matmuls + the [B,P,F]
+MDF elementwise chain), measures each piece on the attached chip with the
+scan-amortized scalar-readback timing bench.py uses, and reports achieved
+TFLOP/s / GB/s against the chip's peaks -> MFU and bandwidth utilization.
+
+Run on TPU:  python tools/mfu.py [batch]
+Outputs one JSON line per piece + a summary JSON (consumed by bench.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+S = 480            # 10 ms @ 48 kHz
+N2 = 960           # overlap-save block
+F = 481            # rfft bins of N2
+P = 8              # 80 ms tail partitions
+FS = 241           # rfft bins of S (suppressor)
+K_TICKS = 50
+
+# peak throughput per chip generation (dense, per chip):
+#   (bf16 FLOP/s, f32 FLOP/s ~= bf16/4, HBM B/s)
+CHIP_PEAKS = {
+    "v5 lite": (197e12, 49e12, 819e9),
+    "v5e": (197e12, 49e12, 819e9),
+    "v6 lite": (918e12, 229e12, 1640e9),
+    "v6e": (918e12, 229e12, 1640e9),
+    "v4": (275e12, 69e12, 1228e9),
+    "v5p": (459e12, 115e12, 2765e9),
+}
+
+
+def chip_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in CHIP_PEAKS.items():
+        if key in kind:
+            return kind, peaks
+    return kind, CHIP_PEAKS["v5e"]          # conservative default
+
+
+# --------------------------------------------------------------- analytic model
+def flagship_flops_per_leg_tick() -> dict:
+    """FLOPs per leg per tick, by stage (2 FLOP per MAC).
+
+    DFT-as-matmul costs are exact matrix sizes (ops/rfft.py bases);
+    MDF elementwise counts the [P,F] complex ops of apply+update."""
+    d = {}
+    # EC DFTs (ops/aec.py): rfft(far,960), 2x irfft(y,960), rfft(err,960),
+    # irfft(g,960)+rfft(g_t,960)  [the gradient constraint pair]
+    one_960 = 2 * N2 * F * 2                # cos+sin matmuls, 2 FLOP/MAC
+    d["ec_dft_960"] = 6 * one_960
+    # suppressor: rfft(e,480), rfft(y,480), irfft(480)
+    d["ec_dft_480"] = 3 * (2 * S * FS * 2)
+    # MDF: apply 2 filters (complex mul-sum over P*F), grad (cmul_conj),
+    # NLMS update, history power, transfer wheres — ~6 complex ops over P*F
+    d["ec_mdf_elem"] = 6 * 6 * P * F
+    # resample 48k->16k polyphase (ops/resample.py: ~32 taps per output)
+    d["resample"] = 2 * 32 * (S // 3)
+    # volume + mixer + misc [B,S] elementwise
+    d["misc"] = 20 * S
+    d["total"] = sum(d.values())
+    return d
+
+
+def flagship_bytes_per_leg_tick() -> dict:
+    """HBM bytes per leg per tick (state read+write; activations that XLA
+    cannot keep in registers across ops)."""
+    f32, bf16 = 4, 2
+    d = {}
+    d["taps_main_read"] = 2 * P * F * bf16              # Wm r/i, read
+    d["taps_shadow_rw"] = 2 * 2 * P * F * f32           # Ws r/i, read+write
+    d["far_hist_rw"] = 2 * 2 * P * F * bf16             # Xh r/i, read+write
+    d["grad_intermediate"] = 2 * P * F * f32            # G r/i materialized
+    d["bins_vectors"] = 8 * F * f32                     # Hp, inv_norm, E, X...
+    d["audio_blocks"] = 10 * S * f32                    # mic/far/e/y/out...
+    d["total"] = sum(d.values())
+    return d
+
+
+# ------------------------------------------------------------------ measurement
+def _rtt_ms():
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda a: a.sum())
+    x = jnp.ones((8, 8), jnp.float32)
+    float(f(x))
+    return min((lambda t0: (float(f(x)), (time.perf_counter() - t0) * 1e3))(
+        time.perf_counter())[1] for _ in range(8))
+
+
+def _time_scan(fn, state, rtt_ms, repeats=3):
+    """ms per iteration of fn scanned K_TICKS times (net of tunnel RTT)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(st):
+        st, outs = jax.lax.scan(lambda s, _: (fn(s), 0.0), st, None,
+                                length=K_TICKS)
+        return st, jax.tree.reduce(
+            lambda a, b: a + b, jax.tree.map(lambda x: x.sum(), st))
+
+    state, chk = run(state)
+    float(chk)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, chk = run(state)
+        float(chk)
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return max(0.0, best - rtt_ms) / K_TICKS
+
+
+def measure(batch: int, rtt: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from mediastreamer2_tpu.ops.rfft import _fwd_mats, _inv_mats
+
+    res = {}
+    key = jax.random.key(0)
+
+    # --- piece 1: the 9 EC DFT matmuls, f32 and bf16 basis ---------------
+    c960, s960 = _fwd_mats(N2)
+    cw960, sw960 = _inv_mats(N2)
+    c480, s480 = _fwd_mats(S)
+    cw480, sw480 = _inv_mats(S)
+
+    def dft_set(dtype):
+        mats = [jnp.asarray(m, dtype) for m in
+                (c960, s960, cw960.T, sw960.T)]
+        m480 = [jnp.asarray(m, dtype) for m in (c480, s480, cw480.T, sw480.T)]
+
+        def step(st):
+            x, = st
+            xc = x.astype(dtype)
+            acc = 0.0
+            # 6 x 960-point (each = 2 matmuls [B,960]@[960,481] or inverse)
+            for _ in range(3):
+                re = jnp.matmul(xc, mats[0], preferred_element_type=jnp.float32)
+                im = jnp.matmul(xc, mats[1], preferred_element_type=jnp.float32)
+                t = (jnp.matmul(re.astype(dtype), mats[2].T,
+                                preferred_element_type=jnp.float32)
+                     + jnp.matmul(im.astype(dtype), mats[3].T,
+                                  preferred_element_type=jnp.float32))
+                acc = acc + t
+            # 3 x 480-point
+            h = x[:, :S].astype(dtype)
+            hr = jnp.matmul(h, m480[0], preferred_element_type=jnp.float32)
+            hi = jnp.matmul(h, m480[1], preferred_element_type=jnp.float32)
+            t2 = (jnp.matmul(hr.astype(dtype), m480[2].T,
+                             preferred_element_type=jnp.float32)
+                  + jnp.matmul(hi.astype(dtype), m480[3].T,
+                               preferred_element_type=jnp.float32))
+            y = acc * 1e-6 + jnp.pad(t2, ((0, 0), (0, S))) * 1e-6 + x
+            return (y,)
+        return step
+
+    x0 = 0.1 * jax.random.normal(key, (batch, N2), jnp.float32)
+    res["dft9_f32_ms"] = _time_scan(dft_set(jnp.float32), (x0,), rtt)
+    res["dft9_bf16_ms"] = _time_scan(dft_set(jnp.bfloat16), (x0,), rtt)
+
+    # --- piece 2: MDF elementwise chain over [B,P,F] ----------------------
+    def mdf_elem(st):
+        Wm_r, Wm_i, Ws_r, Ws_i, Xh_r, Xh_i, Er, Ei, inv_norm = st
+        Xh_r2 = jnp.concatenate([Er[:, None, :].astype(jnp.bfloat16),
+                                 Xh_r[:, :-1]], axis=1)
+        Xh_i2 = jnp.concatenate([Ei[:, None, :].astype(jnp.bfloat16),
+                                 Xh_i[:, :-1]], axis=1)
+        xr = Xh_r2.astype(jnp.float32)
+        xi = Xh_i2.astype(jnp.float32)
+        Ym_r = jnp.sum(Wm_r.astype(jnp.float32) * xr
+                       - Wm_i.astype(jnp.float32) * xi, axis=1)
+        Ys_r = jnp.sum(Ws_r * xr - Ws_i * xi, axis=1)
+        Gr = (xr * Er[:, None, :] + xi * Ei[:, None, :]) * inv_norm[:, None, :]
+        Gi = (xr * Ei[:, None, :] - xi * Er[:, None, :]) * inv_norm[:, None, :]
+        Ws_r2 = Ws_r + 0.5 * Gr
+        Ws_i2 = Ws_i + 0.5 * Gi
+        return (Wm_r, Wm_i, Ws_r2, Ws_i2, Xh_r2, Xh_i2,
+                Ym_r * 1e-6 + Er, Ys_r * 1e-6 + Ei, inv_norm)
+
+    zb = lambda: jnp.zeros((batch, P, F), jnp.bfloat16)
+    zf = lambda: jnp.zeros((batch, P, F), jnp.float32)
+    vf = lambda k: 0.01 * jax.random.normal(jax.random.key(k), (batch, F),
+                                            jnp.float32)
+    st0 = (zb(), zb(), zf(), zf(), zb(), zb(), vf(1), vf(2),
+           jnp.ones((batch, F), jnp.float32))
+    res["mdf_elem_ms"] = _time_scan(mdf_elem, st0, rtt)
+
+    # --- piece 3: pure HBM stream over the same state footprint ----------
+    def stream(st):
+        return tuple(x * 1.0001 for x in st)
+    res["hbm_stream_ms"] = _time_scan(stream, st0, rtt)
+
+    # --- piece 4: full flagship + no_suppress variant ---------------------
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.core.graph import GraphBuilder
+    from mediastreamer2_tpu.core.block import Format
+    from mediastreamer2_tpu.models.flagship import build_flagship
+
+    def time_graph(cg, params):
+        state = cg.init_state()
+        mic0 = 0.1 * jax.random.normal(key, (batch, S), jnp.float32)
+
+        def step(carry):
+            st, t = carry
+            ext = {"mic": jnp.roll(mic0, t, axis=1),
+                   "spk_ref": jnp.roll(mic0, t + 7, axis=1)}
+            st, out, _ = cg.step(st, params, ext)
+            return (st, t + 1)
+        return _time_scan(step, (state, jnp.asarray(0, jnp.int32)), rtt)
+
+    cg, params = build_flagship(Factory(), batch=batch)
+    res["flagship_ms"] = time_graph(cg, params)
+
+    def build_nosup():
+        g = GraphBuilder(Factory(), batch=batch)
+        mic = g.add("ext_source", "mic", fmt=Format(rate=48000))
+        spk = g.add("ext_source", "spk_ref", fmt=Format(rate=48000))
+        ec = g.add("echo_canceller", "ec", tail_ms=80, no_suppress=True)
+        agc = g.add("volume", "agc")
+        rs = g.add("resample", "rs", out_rate=16000)
+        mix = g.add("conf_mixer", "conf", sorted_groups=True,
+                    uniform_group_size=4)
+        out = g.add("ext_sink", "out")
+        g.link(mic, 0, ec, 0)
+        g.link(spk, 0, ec, 1)
+        g.chain(ec, agc, rs, mix, out)
+        cg2 = g.build()
+        pr = cg2.init_params()
+        pr["conf"]["group_id"] = jnp.asarray(
+            np.arange(batch, dtype=np.int32) // 4)
+        return cg2, pr
+    res["flagship_nosup_ms"] = time_graph(*build_nosup())
+    return res
+
+
+def summarize(batch: int, res: dict) -> dict:
+    kind, (peak_bf16, peak_f32, peak_hbm) = chip_peaks()
+    fl = flagship_flops_per_leg_tick()
+    by = flagship_bytes_per_leg_tick()
+    dft_flops = (fl["ec_dft_960"] + fl["ec_dft_480"]) * batch
+    mdf_bytes = by["total"] * batch
+    out = {
+        "chip": kind, "batch": batch,
+        "flops_per_leg_tick": fl, "bytes_per_leg_tick": by,
+        "pieces": {k: round(v, 3) for k, v in res.items()},
+    }
+
+    def rate(flops, ms):
+        return flops / (ms * 1e-3) if ms and ms > 0 else 0.0
+    out["dft9_f32_tflops"] = round(rate(dft_flops, res["dft9_f32_ms"]) / 1e12, 1)
+    out["dft9_bf16_tflops"] = round(rate(dft_flops, res["dft9_bf16_ms"]) / 1e12, 1)
+    out["dft9_f32_util"] = round(rate(dft_flops, res["dft9_f32_ms"]) / peak_f32, 3)
+    out["dft9_bf16_util"] = round(rate(dft_flops, res["dft9_bf16_ms"]) / peak_bf16, 3)
+    out["mdf_elem_GBps"] = round(rate(mdf_bytes, res["mdf_elem_ms"]) / 1e9, 1)
+    out["mdf_elem_bw_util"] = round(rate(mdf_bytes, res["mdf_elem_ms"]) / peak_hbm, 3)
+    # stream footprint: 4 bf16 + 2 f32 [B,P,F] tensors + 3 f32 [B,F], r+w
+    stream_bytes = batch * 2 * (P * F * (4 * 2 + 2 * 4) + 3 * F * 4)
+    out["hbm_stream_GBps"] = round(
+        rate(stream_bytes, res["hbm_stream_ms"]) / 1e9, 1)
+    out["hbm_stream_util"] = round(
+        rate(stream_bytes, res["hbm_stream_ms"]) / peak_hbm, 3)
+    # whole-flagship MFU: analytic FLOPs over measured time vs f32 peak
+    # (the DFT basis is f32 today) and bandwidth utilization
+    t = res["flagship_ms"]
+    out["flagship_analytic_gflops_per_tick"] = round(fl["total"] * batch / 1e9, 1)
+    out["flagship_tflops"] = round(rate(fl["total"] * batch, t) / 1e12, 2)
+    out["flagship_mfu_f32"] = round(rate(fl["total"] * batch, t) / peak_f32, 3)
+    out["flagship_mfu_bf16"] = round(rate(fl["total"] * batch, t) / peak_bf16, 4)
+    out["flagship_hbm_util"] = round(rate(by["total"] * batch, t) / peak_hbm, 3)
+    return out
+
+
+def main():
+    import jax
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    rtt = _rtt_ms()
+    print(f"# backend={jax.default_backend()} rtt={rtt:.1f}ms batch={batch}",
+          file=sys.stderr)
+    res = measure(batch, rtt)
+    for k, v in res.items():
+        print(f"# {k}: {v:.3f} ms/tick", file=sys.stderr)
+    print(json.dumps(summarize(batch, res)))
+
+
+if __name__ == "__main__":
+    main()
