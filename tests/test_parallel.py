@@ -32,21 +32,27 @@ def test_sharded_flagship_matches_unsharded(factory):
 
 
 def test_cross_shard_conference_mixing(factory):
-    """Groups of 4 with 2 legs per shard: every conference spans 2 devices."""
+    """Groups of 4 with 2 legs per shard: every conference spans 2 devices,
+    and the cross-device segment-sum must produce exact mix-minus — leg i
+    hears its groupmates' (distinct) DC levels, never its own."""
     B = 16
     cg, params = build_flagship(factory, batch=B, conf_size=4)
+    params["agc"]["agc_enabled"] = jnp.zeros((B,), bool)   # deterministic gain
     mesh = make_mesh(8)
     state = shard_tree(cg.init_state(), mesh, B)
     params = shard_tree(params, mesh, B)
-    ext = example_inputs(B, seed=3)
-    # distinctive per-leg DC levels to verify mix-minus arithmetic
-    ext["mic"] = np.zeros_like(ext["mic"])
-    ext["spk_ref"] = np.zeros_like(ext["spk_ref"])
+    dc = 0.01 * (1.0 + np.arange(B, dtype=np.float32))     # distinct per leg
+    ext = {"mic": np.broadcast_to(dc[:, None], (B, 480)).copy(),
+           "spk_ref": np.zeros((B, 480), np.float32)}
     ext = shard_tree(ext, mesh, B)
-    st, out, _ = jax.jit(cg.step)(state, params, ext)
-    out = np.asarray(out["out"])
-    assert out.shape == (B, 160)
-    assert np.isfinite(out).all()
+    step = jax.jit(cg.step)
+    out = None
+    for _ in range(4):                   # let the resampler FIR settle on DC
+        state, out, _ = step(state, params, ext)
+    got = np.asarray(out["out"])[:, -40:].mean(axis=1)     # steady-state tail
+    group = dc.reshape(-1, 4).sum(axis=1)
+    want = np.repeat(group, 4) - dc                        # sum minus self
+    np.testing.assert_allclose(got, want, rtol=0.05)
 
 
 def test_graft_entry_contract():
