@@ -168,6 +168,8 @@ def local_capabilities() -> List[PayloadTypeDesc]:
         caps.append(PayloadTypeDesc("H263-1998", 90000, 1, 109))
     if legacy_codec_available("mpeg4"):
         caps.append(PayloadTypeDesc("MP4V-ES", 90000, 1, 111))
+    if legacy_codec_available("theora"):
+        caps.append(PayloadTypeDesc("theora", 90000, 1, 112))  # RFC 5215
     from mediastreamer2_tpu.ops.aac import (aac_available,
                                             make_audio_specific_config)
     if aac_available():

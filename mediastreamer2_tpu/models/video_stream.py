@@ -440,7 +440,7 @@ class VideoStreamBatch:
             w, h = self.out_fmt.width, self.out_fmt.height
             codec_factory = lambda: Vp8FrameCodec(w, h)            # noqa: E731
             packetizer_factory = None
-        elif codec in ("h263", "h263p", "mpeg4", "mjpeg"):
+        elif codec in ("h263", "h263p", "mpeg4", "mjpeg", "theora"):
             # legacy ffmpeg family (videoenc.c/videodec.c) — H.263 rides
             # RFC 4629 payloads, the others plain fragmentation
             from mediastreamer2_tpu.ops.h264 import make_legacy_codec
@@ -449,14 +449,42 @@ class VideoStreamBatch:
             name = codec
 
             class _LegacyFrameCodec(FrameCodec):
+                # Theora decoders need the encoder's stream headers before
+                # the first frame; ship them in-band on every keyframe
+                # (RFC 5215's packed-configuration idea; parity
+                # src/videofilters/theora.c config packets)
+                _CFG_MAGIC = b"THcf"
+
                 def __init__(self):
                     self.enc = Enc(w, h, 400_000, int(fps))
-                    self.dec = Dec()
+                    if name == "theora":
+                        from mediastreamer2_tpu.ops.h264 import \
+                            encoder_extradata
+                        self._cfg = encoder_extradata(self.enc)
+                        self.dec = None          # opens on first config
+                    else:
+                        self._cfg = b""
+                        self.dec = Dec()
 
                 def encode(self, frame: bytes, keyframe: bool) -> bytes:
-                    return self.enc.encode(frame, keyframe=keyframe)
+                    data = self.enc.encode(frame, keyframe=keyframe)
+                    if self._cfg and keyframe and data:
+                        import struct as _st
+                        return (self._CFG_MAGIC
+                                + _st.pack("!I", len(self._cfg))
+                                + self._cfg + data)
+                    return data
 
                 def decode(self, data: bytes):
+                    if data.startswith(self._CFG_MAGIC) and len(data) > 8:
+                        import struct as _st
+                        n = _st.unpack("!I", data[4:8])[0]
+                        if len(data) >= 8 + n:
+                            if self.dec is None:
+                                self.dec = Dec(extradata=data[8:8 + n])
+                            data = data[8 + n:]
+                    if self.dec is None:         # no config seen yet
+                        return None
                     frames_ = self.dec.decode(data)
                     return frames_[-1] if frames_ else None
             _LegacyFrameCodec.name = name

@@ -191,6 +191,12 @@ class H264Encoder:
         if self.CODEC_NAME == b"h263":
             # H.263 baseline allows only specific sizes; callers use CIF/QCIF
             pass
+        if self.CODEC_NAME == b"libtheora":
+            # Theora's stream headers (info/comment/setup) land in ctx
+            # extradata with global_header; receivers need them before
+            # decoding (delivered in-band on keyframes, RFC 5215 style)
+            _avu.av_opt_set(ctypes.c_void_p(ctx), b"flags",
+                            b"+global_header", 0)
         if _av.avcodec_open2(ctypes.c_void_p(ctx), ctypes.c_void_p(codec),
                              None) != 0:
             raise RuntimeError(f"avcodec_open2({self.CODEC_NAME}) failed")
@@ -246,20 +252,54 @@ class H264Encoder:
         return out
 
 
+def _extradata_offsets(off) -> Tuple[int, int]:
+    """(ptr_off, size_off) of AVCodecContext extradata/extradata_size.
+
+    lavc 57-60 keep [uint8_t *extradata; int extradata_size;
+    AVRational time_base] adjacent; the probe locates time_base (off_w =
+    time_base + 16), so extradata sits 12 bytes before it.  Every use
+    self-checks the content, so a layout drift degrades to 'unavailable',
+    never to a wild pointer."""
+    off_tb = off[1] - 16
+    return off_tb - 12, off_tb - 4
+
+
+def encoder_extradata(enc) -> bytes:
+    """Read the opened encoder's global headers (b'' if none/implausible)."""
+    p_off, s_off = _extradata_offsets(_probe_ctx_offsets())
+    ptr = _rptr(enc.ctx, p_off)
+    size = _r32(enc.ctx, s_off)
+    if not ptr or not (0 < size <= 1 << 16):
+        return b""
+    return ctypes.string_at(ptr, size)
+
+
 class H264Decoder:
     """avcodec h264: Annex-B access units -> I420 frames."""
 
     CODEC_NAME = b"h264"
 
-    def __init__(self):
+    def __init__(self, extradata: bytes = b""):
         off = _probe_ctx_offsets()
         if _av is None or off is None:
             raise RuntimeError("libavcodec unavailable")
         codec = _av.avcodec_find_decoder_by_name(self.CODEC_NAME)
         ctx = _av.avcodec_alloc_context3(ctypes.c_void_p(codec))
+        if extradata:
+            # out-of-band codec config (Theora headers etc.): install an
+            # av_malloc'd copy before open2 at the probed offsets
+            p_off, s_off = _extradata_offsets(off)
+            _avu.av_malloc.restype = ctypes.c_void_p
+            buf = _avu.av_malloc(len(extradata) + 64)
+            ctypes.memmove(buf, extradata, len(extradata))
+            ctypes.memset(buf + len(extradata), 0, 64)
+            ctypes.cast(ctx + p_off,
+                        ctypes.POINTER(ctypes.c_void_p))[0] = buf
+            _w32(ctx, s_off, len(extradata))
         if _av.avcodec_open2(ctypes.c_void_p(ctx), ctypes.c_void_p(codec),
                              None) != 0:
-            raise RuntimeError("avcodec_open2(h264) failed")
+            raise RuntimeError(
+                f"avcodec_open2({self.CODEC_NAME.decode()}) failed")
         self.ctx = ctx
         self.frame = _avu.av_frame_alloc()
         self.pkt = _av.av_packet_alloc()
@@ -376,16 +416,26 @@ def h265_available() -> bool:
     return _h265_ok
 
 
+# avcodec names differ from ours where the encoder is an external lib
+# wrapper (libtheora) or a shared decoder (h263p decodes as h263)
+_LEGACY_NAMES = {
+    "h263p": (b"h263p", b"h263"),
+    "theora": (b"libtheora", b"theora"),   # reference: videofilters/theora.c
+}
+
+
 def make_legacy_codec(name: str):
     """Returns (EncoderCls, DecoderCls) for 'h263' | 'h263p' | 'mpeg4' |
-    'mjpeg'. Availability follows the same probed-offset layer as H.264."""
-    ename = name.encode()
+    'mjpeg' | 'theora'. Availability follows the same probed-offset layer
+    as H.264.  Theora parity: src/videofilters/theora.c (MSTheoraEnc/Dec,
+    554 LoC) — here via avcodec's libtheora wrapper."""
+    ename, dname = _LEGACY_NAMES.get(name, (name.encode(), name.encode()))
 
     class _Enc(H264Encoder):
         CODEC_NAME = ename
 
     class _Dec(H264Decoder):
-        CODEC_NAME = ename if name != "h263p" else b"h263"
+        CODEC_NAME = dname
 
     _Enc.__name__ = f"{name.upper()}Encoder"
     _Dec.__name__ = f"{name.upper()}Decoder"
@@ -395,6 +445,6 @@ def make_legacy_codec(name: str):
 def legacy_codec_available(name: str) -> bool:
     if _av is None or _probe_ctx_offsets() is None:
         return False
-    return bool(_av.avcodec_find_encoder_by_name(name.encode())) and \
-        bool(_av.avcodec_find_decoder_by_name(
-            name.encode() if name != "h263p" else b"h263"))
+    ename, dname = _LEGACY_NAMES.get(name, (name.encode(), name.encode()))
+    return bool(_av.avcodec_find_encoder_by_name(ename)) and \
+        bool(_av.avcodec_find_decoder_by_name(dname))

@@ -145,7 +145,8 @@ def test_h264_real_capture_interop():
 
 @pytest.mark.parametrize("name,size", [("h263", (176, 144)),
                                        ("mpeg4", (128, 96)),
-                                       ("mjpeg", (128, 96))])
+                                       ("mjpeg", (128, 96)),
+                                       ("theora", (128, 96))])
 def test_legacy_ffmpeg_codecs(name, size):
     """The reference's legacy ffmpeg codec family (videoenc.c:916-1032):
     encode->decode roundtrip per codec through the probed avcodec layer."""
@@ -156,7 +157,11 @@ def test_legacy_ffmpeg_codecs(name, size):
     w, h = size
     Enc, Dec = make_legacy_codec(name)
     enc = Enc(w, h, bitrate_bps=800_000, fps=10, gop=5)
-    dec = Dec()
+    if name == "theora":                 # out-of-band stream headers
+        from mediastreamer2_tpu.ops.h264 import encoder_extradata
+        dec = Dec(extradata=encoder_extradata(enc))
+    else:
+        dec = Dec()
     rng = np.random.default_rng(3)
     base = (rng.random((h, w)) * 255).astype(np.uint8)
     got = None

@@ -232,10 +232,11 @@ def test_video_stats_getters(factory):
 
 def test_legacy_codec_calls_h263_mpeg4(factory):
     """Legacy ffmpeg family as full CALLS (videoenc.c/videodec.c +
-    RFC 4629 for H.263): mire -> encode -> RTP -> decode -> display."""
+    RFC 4629 for H.263; theora.c with RFC 5215-style in-band config):
+    mire -> encode -> RTP -> decode -> display."""
     import pytest
     from mediastreamer2_tpu.ops.h264 import legacy_codec_available
-    for name in ("h263", "mpeg4"):
+    for name in ("h263", "mpeg4", "theora"):
         if not legacy_codec_available(name):
             pytest.skip(f"{name} missing from avcodec")
         # H.263 baseline only takes specific sizes; QCIF works for both
