@@ -93,6 +93,7 @@ def test_call_dtx_stops_packets(factory):
     assert sent > 40
 
 
+@pytest.mark.slow
 def test_mixed_call_recording(factory):
     """record_mixed: the recording contains BOTH the local mic and the
     received far-end audio (parity: audiostream.c:1068-1088 mixed-call
@@ -268,6 +269,7 @@ def test_symmetric_rtp_wrong_address(factory):
     a_t.close(); b_t.close()
 
 
+@pytest.mark.slow
 def test_codec_change_over_reclaimed_sessions(factory):
     """'Codec change for audio stream' tester case: tear the streams down,
     reclaim the RtpSessions (media_stream_reclaim_sessions), and restart
@@ -379,6 +381,7 @@ def test_mic_mute_gains_and_rtp_mute(factory):
     assert tx2.sessions[1].stats.sent_packets > 20
 
 
+@pytest.mark.slow
 def test_stream_direction_one_way(factory):
     """'Basic one-way stream' + media_stream_set_direction: a sendonly leg
     discards inbound media; a recvonly leg emits no RTP."""

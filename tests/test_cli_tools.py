@@ -68,6 +68,7 @@ def test_record_wav(tmp_path):
     assert float(np.abs(audio).max()) > 0.1       # the tone is there
 
 
+@pytest.mark.slow
 def test_mkvstream_vp8(tmp_path, factory, capsys):
     from mediastreamer2_tpu.ops.vp8 import vp8_available
     if not vp8_available():
@@ -114,6 +115,7 @@ def test_mkvstream_vp8(tmp_path, factory, capsys):
     assert "streamed" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_cli_two_process_call(tmp_path):
     """The softphone story end to end: two `mediastream.py call` PROCESSES
     exchange G.711 over real localhost UDP; each records what the peer

@@ -34,6 +34,7 @@ def test_roundtrip_snr(bits, min_snr):
     assert c.max() >= (1 << bits) - 2          # full range exercised
 
 
+@pytest.mark.slow
 def test_tickwise_equals_oneshot():
     """Streaming 80-sample ticks == one-shot (state carries exactly)."""
     pcm = _speech(800)

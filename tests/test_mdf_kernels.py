@@ -39,6 +39,7 @@ def _run_ec(factory, disable_pallas, ticks=20, B=2, seed=0):
         os.environ["PALLAS_MDF"] = "0"
 
 
+@pytest.mark.slow
 def test_mdf_pallas_matches_jnp(factory):
     out_p, st_p = _run_ec(factory, disable_pallas=False)
     out_j, st_j = _run_ec(factory, disable_pallas=True)

@@ -2,6 +2,7 @@
 equals unsharded step; conference groups spanning shards mix correctly
 (cross-device segment-sum collectives)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -13,6 +14,7 @@ def test_eight_device_mesh_available():
     assert len(jax.devices()) >= 8
 
 
+@pytest.mark.slow
 def test_sharded_flagship_matches_unsharded(factory):
     B = 16
     cg, params = build_flagship(factory, batch=B, conf_size=4)
@@ -55,6 +57,7 @@ def test_cross_shard_conference_mixing(factory):
     np.testing.assert_allclose(got, want, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(

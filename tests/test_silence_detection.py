@@ -84,6 +84,7 @@ def test_silence_detection(rate):
             f"{want} ms span not found in {durations}"
 
 
+@pytest.mark.slow
 def test_silence_detection_consistent_across_rates():
     """Same recording at 5 sample rates -> the same silence story (the
     reference encodes this by running one test per rate file)."""

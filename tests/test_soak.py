@@ -2,6 +2,7 @@
 unbounded growth (replay windows, event queues, jitter maps, FEC pending)
 and state sanity over time (the reference gets this from long CI calls)."""
 import numpy as np
+import pytest
 
 from mediastreamer2_tpu.core.block import tick_samples
 from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
@@ -12,6 +13,7 @@ from conftest import make_speechlike
 S = tick_samples(8000)
 
 
+@pytest.mark.slow
 def test_soak_2000_ticks_features_toggling(factory):
     ticks = 2000
     sig = make_speechlike(S * 200, 8000, seed=55)

@@ -138,31 +138,34 @@ def measure(batch: int, rtt: float) -> dict:
     cw480, sw480 = _inv_mats(S)
 
     def dft_set(dtype):
+        # CSE/composition guards: every matmul round gets a DIFFERENT input
+        # (roll) and a nonlinearity (abs) sits between forward and inverse
+        # transforms — otherwise XLA folds dot(dot(x,A),B) into dot(x,A@B)
+        # with constant A@B and CSEs identical rounds, and the "9 DFTs"
+        # measure one matmul (first run of this harness did exactly that).
         mats = [jnp.asarray(m, dtype) for m in
                 (c960, s960, cw960.T, sw960.T)]
         m480 = [jnp.asarray(m, dtype) for m in (c480, s480, cw480.T, sw480.T)]
+        mm = lambda a, b: jnp.matmul(a, b,
+                                     preferred_element_type=jnp.float32)
 
         def step(st):
             x, = st
-            xc = x.astype(dtype)
             acc = 0.0
             # 6 x 960-point (each = 2 matmuls [B,960]@[960,481] or inverse)
-            for _ in range(3):
-                re = jnp.matmul(xc, mats[0], preferred_element_type=jnp.float32)
-                im = jnp.matmul(xc, mats[1], preferred_element_type=jnp.float32)
-                t = (jnp.matmul(re.astype(dtype), mats[2].T,
-                                preferred_element_type=jnp.float32)
-                     + jnp.matmul(im.astype(dtype), mats[3].T,
-                                  preferred_element_type=jnp.float32))
+            for r in range(3):
+                xr = jnp.roll(x, r + 1, axis=1).astype(dtype)
+                re = jnp.abs(mm(xr, mats[0]))
+                im = jnp.abs(mm(xr, mats[1]))
+                t = (mm(re.astype(dtype), mats[2].T)
+                     + mm(im.astype(dtype), mats[3].T))
                 acc = acc + t
             # 3 x 480-point
             h = x[:, :S].astype(dtype)
-            hr = jnp.matmul(h, m480[0], preferred_element_type=jnp.float32)
-            hi = jnp.matmul(h, m480[1], preferred_element_type=jnp.float32)
-            t2 = (jnp.matmul(hr.astype(dtype), m480[2].T,
-                             preferred_element_type=jnp.float32)
-                  + jnp.matmul(hi.astype(dtype), m480[3].T,
-                               preferred_element_type=jnp.float32))
+            hr = jnp.abs(mm(h, m480[0]))
+            hi = jnp.abs(mm(h, m480[1]))
+            t2 = mm(hr.astype(dtype), m480[2].T) + mm(hi.astype(dtype),
+                                                      m480[3].T)
             y = acc * 1e-6 + jnp.pad(t2, ((0, 0), (0, S))) * 1e-6 + x
             return (y,)
         return step
@@ -199,8 +202,10 @@ def measure(batch: int, rtt: float) -> dict:
     res["mdf_elem_ms"] = _time_scan(mdf_elem, st0, rtt)
 
     # --- piece 3: pure HBM stream over the same state footprint ----------
+    # factor must be exact in bf16 (1.0001 rounds to 1.0 and XLA deletes
+    # the whole op — first run of this harness measured exactly that)
     def stream(st):
-        return tuple(x * 1.0001 for x in st)
+        return tuple(x * 1.0625 for x in st)
     res["hbm_stream_ms"] = _time_scan(stream, st0, rtt)
 
     # --- piece 4: full flagship + no_suppress variant ---------------------
