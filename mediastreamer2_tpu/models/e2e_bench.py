@@ -153,8 +153,10 @@ class E2EConferenceBench:
         # packets arrive paced (one per leg per tick), so the ring only
         # needs slack for scheduling hiccups at block boundaries — NOT the
         # whole pipeline depth (the self-loop's latency shows up as stream
-        # offset, which seq-keyed playout absorbs for free)
-        self.prefill = max(8, self.K // 2)
+        # offset, which seq-keyed playout absorbs for free). Small-K
+        # (low-latency) configs pace per tick and need less priming.
+        self.prefill = max(3, self.K // 2) if self.K <= 8 \
+            else max(8, self.K // 2)
         depth = 1 << max(6, (self.prefill * 4 - 1).bit_length())
         self.tx = BatchRtpTx(tx_sock, n_legs, self.S8)
         self.rx = BatchRtpRx(n_legs, self.S8, ring_depth=depth)

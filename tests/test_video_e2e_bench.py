@@ -1,0 +1,34 @@
+"""Video e2e bench harness: N self-looped VP8 legs over real localhost UDP
+with full pixel path + host codec + RTP, plus the loss-recovery phase.
+Parity: tester/mediastreamer2_video_stream_tester.c:735-1349 graphs at
+tools/bench.c scale."""
+import numpy as np
+import pytest
+
+from mediastreamer2_tpu.models.video_e2e_bench import VideoE2EBench
+
+
+def _vp8_or_skip():
+    from mediastreamer2_tpu.ops.vp8 import vp8_available
+    if not vp8_available():
+        pytest.skip("libvpx missing")
+
+
+def test_video_e2e_paced_small(factory):
+    _vp8_or_skip()
+    b = VideoE2EBench(factory, 3, codec="vp8", width=128, height=96,
+                      fps=15.0)
+    res = b.run(seconds=1.5, paced=True)
+    b.close()
+    assert res.passes(), res
+    # paced: received rate tracks nominal fps, not the free-run rate
+    assert res.fps_received_mean <= res.fps_nominal * 1.5, res
+
+
+def test_video_e2e_loss_recovery(factory):
+    _vp8_or_skip()
+    b = VideoE2EBench(factory, 2, codec="vp8", width=128, height=96,
+                      fps=15.0)
+    b.run(seconds=0.8, paced=False)          # converge first
+    assert b.run_loss_recovery(seconds=1.0)
+    b.close()
