@@ -275,17 +275,24 @@ def _aec_process(state, ins, params, ctx):
         Wm_r = Wm_r.astype(STORE_DTYPE)
         Wm_i = Wm_i.astype(STORE_DTYPE)
     else:
+        # Unconstrained NLMS step for ALL partitions in one fused pass (no
+        # [B,P,F] gradient tensor is materialized — the old
+        # dynamic_update_slice-into-G form forced XLA to write G to HBM,
+        # ~18% of the MDF chain's traffic), then overwrite the round-robin
+        # partition with its causality-constrained step computed at [B,F].
         Gr, Gi = cmul_conj(Xh_r.astype(jnp.float32),
                            Xh_i.astype(jnp.float32),
                            Er[:, None, :], Ei[:, None, :])
-        Gr = Gr * inv_norm[:, None, :]
-        Gi = Gi * inv_norm[:, None, :]
-        Gr = jax.lax.dynamic_update_slice_in_dim(Gr, gc_r[:, None, :],
-                                                 cpos, axis=1)
-        Gi = jax.lax.dynamic_update_slice_in_dim(Gi, gc_i[:, None, :],
-                                                 cpos, axis=1)
-        Ws_r = state["Ws_r"] + mu[:, None, None] * Gr
-        Ws_i = state["Ws_i"] + mu[:, None, None] * Gi
+        Ws_r = state["Ws_r"] + (mu[:, None, None] * inv_norm[:, None, :]) * Gr
+        Ws_i = state["Ws_i"] + (mu[:, None, None] * inv_norm[:, None, :]) * Gi
+        ws_p_r = jax.lax.dynamic_slice_in_dim(state["Ws_r"], cpos, 1,
+                                              axis=1)[:, 0]
+        ws_p_i = jax.lax.dynamic_slice_in_dim(state["Ws_i"], cpos, 1,
+                                              axis=1)[:, 0]
+        Ws_r = jax.lax.dynamic_update_slice_in_dim(
+            Ws_r, (ws_p_r + mu[:, None] * gc_r)[:, None], cpos, axis=1)
+        Ws_i = jax.lax.dynamic_update_slice_in_dim(
+            Ws_i, (ws_p_i + mu[:, None] * gc_i)[:, None], cpos, axis=1)
         p3 = promote[:, None, None]
         r3 = reseed[:, None, None]
         Wm_r = jnp.where(p3, Ws_r.astype(STORE_DTYPE), state["Wm_r"])
