@@ -76,10 +76,24 @@ class CallSetup:
         return self.ice.local_ufrag, self.ice.local_pwd
 
     def set_remote(self, ufrag: str, pwd: str,
-                   candidates: List[Tuple[str, int]]):
+                   candidates: List[Tuple[str, int]],
+                   trickle: bool = False):
+        """Classic ICE: the SDP carried the full candidate set -> mark
+        end-of-candidates so an exhausted list can fail.  trickle=True
+        (RFC 8838) keeps the list open; feed more via add_candidate() and
+        finish with end_of_candidates()."""
         self.ice.set_remote_credentials(ufrag, pwd)
         for host, port in candidates:
             self.check_list.add_remote_candidate(Candidate.make(host, port))
+        if not trickle:
+            self.check_list.set_end_of_candidates()
+
+    def add_candidate(self, host: str, port: int, typ: str = "host"):
+        """Trickled remote candidate (RFC 8838 §10)."""
+        self.check_list.add_remote_candidate(Candidate.make(host, port, typ))
+
+    def end_of_candidates(self):
+        self.check_list.set_end_of_candidates()
 
     def local_fingerprint(self) -> Optional[str]:
         """SHA-256 cert fingerprint for our SDP ``a=fingerprint`` line."""

@@ -49,14 +49,16 @@ class Candidate:
     host: str
     port: int
     typ: str                    # host/srflx/prflx/relay
+    base: Optional[Tuple[str, int]] = None   # srflx/relay: local base addr
 
     @classmethod
     def make(cls, host: str, port: int, typ: str = "host",
-             component: int = 1, local_pref: int = 65535):
+             component: int = 1, local_pref: int = 65535,
+             base: Optional[Tuple[str, int]] = None):
         prio = (TYPE_PREF[typ] << 24) | (local_pref << 8) | (256 - component)
         return cls(foundation=f"{typ}:{host}", component=component,
                    transport="udp", priority=prio, host=host, port=port,
-                   typ=typ)
+                   typ=typ, base=base)
 
     def sdp(self) -> str:
         return (f"candidate:{self.foundation} {self.component} "
@@ -95,6 +97,10 @@ class IceCheckList:
         self.state = IS_RUNNING
         self.selected: Optional[CandidatePair] = None
         self._last_keepalive = time.monotonic()
+        # Trickle ICE (RFC 8838): remote candidates may keep arriving
+        # after connectivity checks started; the list must not be declared
+        # FAILED until the peer signals a=end-of-candidates.
+        self.remote_end_of_candidates = False
 
     # -- candidate intake -------------------------------------------------
     def start_srflx_gather(self, stun_server: Tuple[str, int]):
@@ -110,12 +116,22 @@ class IceCheckList:
         self._form_pairs()
 
     def add_remote_candidate(self, cand: Candidate):
+        """Also the trickle entry point (RFC 8838 §10): candidates arriving
+        mid-checks pair up immediately and join the Ta-paced schedule."""
         self.remote_candidates.append(cand)
         self._form_pairs()
+
+    def set_end_of_candidates(self):
+        """Peer signalled a=end-of-candidates (RFC 8838 §14): exhausting
+        the current pairs is now final."""
+        self.remote_end_of_candidates = True
+        self._update_state()
 
     @staticmethod
     def _pair_foundation(p: CandidatePair) -> str:
         return f"{p.local.foundation}|{p.remote.foundation}"
+
+    MAX_PAIRS = 100                       # RFC 8445 §6.1.2.5 cap
 
     def _form_pairs(self):
         existing = {(p.local, p.remote) for p in self.pairs}
@@ -126,7 +142,31 @@ class IceCheckList:
                     p.compute_priority(self.session.controlling)
                     self.pairs.append(p)
         self.pairs.sort(key=lambda p: -p.priority)
+        self._prune_pairs()
         self._unfreeze_initial()
+
+    def _prune_pairs(self):
+        """RFC 8445 §6.1.2.4 redundancy pruning: a pair whose local
+        candidate is server-reflexive checks FROM ITS BASE anyway, so it
+        duplicates the (base, remote) host pair — keep only the
+        highest-priority pair per (local base addr, remote addr), and cap
+        the list (§6.1.2.5), dropping lowest-priority frozen pairs."""
+        seen = {}
+        kept = []
+        for p in self.pairs:              # already sorted by priority desc
+            lb = getattr(p.local, "base", None) or (p.local.host,
+                                                    p.local.port)
+            key = (lb, p.remote.host, p.remote.port, p.local.component)
+            if key in seen:
+                continue                  # redundant lower-priority pair
+            seen[key] = p
+            kept.append(p)
+        if len(kept) > self.MAX_PAIRS:
+            overflow = [p for p in kept[self.MAX_PAIRS:]
+                        if p.state == "frozen"]
+            kept = [p for p in kept if p not in overflow][:self.MAX_PAIRS] \
+                + [p for p in kept[self.MAX_PAIRS:] if p.state != "frozen"]
+        self.pairs = kept
 
     def _unfreeze_initial(self):
         """RFC 8445 §6.1.2.6: per foundation, the highest-priority pair of
@@ -214,7 +254,10 @@ class IceCheckList:
         if set(self.selected_pairs) == components:
             self.selected = self.selected_pairs[min(components)]
             self.state = IS_COMPLETED
-        elif self.pairs and all(p.state == "failed" for p in self.pairs):
+        elif self.pairs and all(p.state == "failed" for p in self.pairs) \
+                and self.remote_end_of_candidates:
+            # trickle (RFC 8838): more remote candidates may still arrive;
+            # only an exhausted list AFTER end-of-candidates is final
             self.state = IS_FAILED
 
     def _keepalive(self, now):
@@ -266,8 +309,10 @@ class IceCheckList:
                 self._gather_tx = None
                 mapped = msg.get_xor_mapped_address()
                 if mapped:
+                    host = self.local_candidates[0]
                     self.add_local_candidate(Candidate.make(
-                        mapped[0], mapped[1], "srflx"))
+                        mapped[0], mapped[1], "srflx",
+                        base=(host.host, host.port)))
                 return
             for p in self.pairs:
                 if p._tx_id == msg.transaction_id:

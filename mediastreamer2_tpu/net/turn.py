@@ -82,6 +82,8 @@ class TurnClient:
         self.channels: Dict[Tuple[str, int], int] = {}
         self._next_channel = 0x4000
         self._pending: Dict[bytes, int] = {}      # txid -> method
+        self._permission_peers: Dict[Tuple[str, int], float] = {}
+        self._allocated_at = 0.0
 
     # -- auth key (long-term credential, RFC 5389 §15.4) -------------------
     def _key(self) -> Optional[str]:
@@ -118,6 +120,39 @@ class TurnClient:
     def create_permission(self, peer: Tuple[str, int]):
         self._send_req(METHOD_CREATE_PERMISSION,
                        {ATTR_XOR_PEER_ADDRESS: _pack_xor_addr(*peer)})
+        self._permission_peers[peer] = self._now()
+
+    # -- keepalive lifecycle (RFC 5766 §7/§9: allocations expire at
+    # `lifetime`, permissions at 300 s; churned legs keep adding peers so
+    # both must refresh continuously — ice.c's TURN refresh timers) -------
+    PERMISSION_LIFETIME_S = 300.0
+
+    @staticmethod
+    def _now() -> float:
+        import time as _t
+        return _t.monotonic()
+
+    def maintain(self, now: Optional[float] = None):
+        """Call periodically (the check-list process cadence is fine):
+        re-REFRESH the allocation at 80% of its lifetime and re-send
+        CreatePermission at 80% of the 5-minute permission lifetime for
+        every active peer."""
+        now = self._now() if now is None else now
+        if self.state == "allocated" and self.lifetime:
+            if now - self._allocated_at >= 0.8 * self.lifetime:
+                self.refresh(self.lifetime)
+                self._allocated_at = now
+        for peer, t0 in list(self._permission_peers.items()):
+            if now - t0 >= 0.8 * self.PERMISSION_LIFETIME_S:
+                self._send_req(METHOD_CREATE_PERMISSION,
+                               {ATTR_XOR_PEER_ADDRESS: _pack_xor_addr(*peer)})
+                self._permission_peers[peer] = now
+
+    def drop_peer(self, peer: Tuple[str, int]):
+        """Leg churned away: stop refreshing its permission (it lapses on
+        the server after the 5-minute lifetime)."""
+        self._permission_peers.pop(peer, None)
+        self.channels.pop(peer, None)
 
     def channel_bind(self, peer: Tuple[str, int]) -> int:
         ch = self._next_channel
@@ -170,6 +205,7 @@ class TurnClient:
             lt = msg.attrs.get(ATTR_LIFETIME)
             self.lifetime = struct.unpack("!I", lt)[0] if lt else 600
             self.state = "allocated"
+            self._allocated_at = self._now()
             if self.on_allocated and self.relayed_addr:
                 self.on_allocated(self.relayed_addr)
         elif (msg.msg_type & ~0x0110) == _method_type(METHOD_DATA, 0) \

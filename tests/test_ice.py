@@ -174,3 +174,85 @@ def test_multi_component_completion():
     assert cl.state == IS_COMPLETED
     assert cl.selected_pairs[1] is p1 and cl.selected_pairs[2] is p2
     assert cl.selected is p1
+
+
+# ---------------------------------------------------------------- trickle ICE
+def test_trickle_candidates_arrive_mid_checks():
+    """RFC 8838: checks start with ONE (wrong) remote candidate; the right
+    one trickles in later and the session still completes. An exhausted
+    list must NOT fail before end-of-candidates."""
+    net = FakeNet()
+    a = IceSession(controlling=True)
+    b = IceSession(controlling=False)
+    a.set_remote_credentials(b.local_ufrag, b.local_pwd)
+    b.set_remote_credentials(a.local_ufrag, a.local_pwd)
+    addr_a, addr_b = ("10.0.0.1", 7000), ("10.0.0.2", 7002)
+    cla = a.add_check_list(net.sender(0), addr_a)
+    clb = b.add_check_list(net.sender(1), addr_b)
+    # phase 1: A knows only a dead candidate; B stays silent (no remote
+    # candidates yet, as in real trickling) and the network black-holes
+    cla.add_remote_candidate(Candidate.make("10.9.9.9", 9999))
+    t = 0.0
+    for _ in range(40):                    # burn through retransmits
+        t += 0.6
+        cla.process(now=t)
+        net.inboxes[0].clear()
+        net.inboxes[1].clear()
+    assert all(p.state == "failed" for p in cla.pairs)
+    assert cla.state == IS_RUNNING        # trickle: not failed yet
+    # phase 2: the real candidates trickle in on both sides
+    cla.add_remote_candidate(Candidate.make(*addr_b))
+    clb.add_remote_candidate(Candidate.make(*addr_a))
+    for _ in range(30):
+        t += 0.6
+        cla.process(now=t)
+        clb.process(now=t)
+        net.deliver(cla, clb, addr_a, addr_b)
+        net.deliver(cla, clb, addr_a, addr_b)
+        if a.state == IS_COMPLETED and b.state == IS_COMPLETED:
+            break
+    assert a.state == IS_COMPLETED and b.state == IS_COMPLETED
+
+
+def test_end_of_candidates_makes_exhaustion_final():
+    from mediastreamer2_tpu.net.ice import IS_FAILED
+    net = FakeNet()
+    a = IceSession(controlling=True)
+    a.set_remote_credentials("u", "p")
+    cla = a.add_check_list(net.sender(0), ("10.0.0.1", 7000))
+    cla.add_remote_candidate(Candidate.make("10.9.9.9", 9999))
+    t = 0.0
+    for _ in range(40):
+        t += 0.6
+        cla.process(now=t)
+        net.inboxes[1] = []
+    assert cla.state == IS_RUNNING
+    cla.set_end_of_candidates()
+    assert cla.state == IS_FAILED
+
+
+def test_pair_pruning_srflx_base():
+    """RFC 8445 §6.1.2.4: an srflx local candidate checks from its base,
+    so its pairs are redundant with the host candidate's pairs."""
+    net = FakeNet()
+    a = IceSession(controlling=True)
+    a.set_remote_credentials("u", "p")
+    cla = a.add_check_list(net.sender(0), ("10.0.0.1", 7000))
+    cla.add_remote_candidate(Candidate.make("10.0.0.2", 2000))
+    n_before = len(cla.pairs)
+    cla.add_local_candidate(Candidate.make("198.51.100.7", 31000, "srflx",
+                                           base=("10.0.0.1", 7000)))
+    assert len(cla.pairs) == n_before      # pruned: same base, same remote
+    # a DIFFERENT base (second interface) is not redundant
+    cla.add_local_candidate(Candidate.make("10.0.1.1", 7100))
+    assert len(cla.pairs) == n_before + 1
+
+
+def test_pair_list_capped():
+    cla = IceSession(controlling=True).add_check_list(
+        lambda a, d: None, ("10.0.0.1", 7000))
+    for i in range(30):
+        cla.add_local_candidate(Candidate.make(f"10.0.{i}.1", 7000 + i))
+    for i in range(10):
+        cla.add_remote_candidate(Candidate.make(f"10.1.{i}.1", 9000 + i))
+    assert len(cla.pairs) <= cla.MAX_PAIRS

@@ -155,3 +155,42 @@ def test_ice_through_turn_relay():
     # the nominated path really is the relay
     assert (a_cl.selected.local.host, a_cl.selected.local.port) == relay_addr
     assert b_cl.selected.remote.typ in ("relay", "prflx")
+
+
+def test_permission_and_allocation_refresh_lifecycle():
+    """RFC 5766 §7/§9 keepalive under churn: maintain() re-REFRESHes the
+    allocation at 80% of its lifetime and re-sends CreatePermission at 80%
+    of the 5-min permission lifetime; dropped peers stop refreshing
+    (ice.c's TURN refresh timers)."""
+    srv = MiniTurnServer()
+    client, pump = _wire(None, srv)
+    client.allocate(); pump()
+    t0 = client._allocated_at
+    peer_a, peer_b = ("203.0.113.9", 7000), ("203.0.113.10", 7001)
+    client.create_permission(peer_a); pump()
+    client.create_permission(peer_b); pump()
+    sent = []
+    real_send = client.send_fn
+    client.send_fn = lambda d: (sent.append(d), real_send(d))
+    # inside the window: nothing to do
+    client.maintain(now=t0 + 10.0)
+    assert sent == []
+    # past 80% of the permission lifetime: both peers re-permissioned
+    client.maintain(now=t0 + 0.85 * client.PERMISSION_LIFETIME_S)
+    assert len(sent) == 2
+    pump()
+    # a churned-away leg stops being refreshed
+    client.drop_peer(peer_b)
+    sent.clear()
+    client.maintain(now=t0 + 2 * 0.85 * client.PERMISSION_LIFETIME_S)
+    perms = [d for d in sent if d[:2] == b"\x00\x08"]   # CreatePermission
+    assert len(perms) == 1                # peer_a only (b dropped)
+    pump()
+    # allocation refresh at 80% of lifetime (600 s), measured from the
+    # last refresh (the t0+510 maintain already rolled the allocation)
+    sent.clear()
+    client.maintain(now=client._allocated_at + 0.85 * client.lifetime)
+    refreshes = [d for d in sent if d[:2] == b"\x00\x04"]   # REFRESH
+    assert len(refreshes) == 1
+    pump()
+    assert client.state == "allocated"
