@@ -372,6 +372,16 @@ def main():
     import jax
     backend = jax.default_backend()
     skip = set(os.environ.get("BENCH_SKIP", "").split(","))
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
+    t_start = time.perf_counter()
+
+    def over_budget(section):
+        if time.perf_counter() - t_start > budget_s:
+            print(f"# skipping {section}: over time budget", file=sys.stderr)
+            skip.add(section)
+            return True
+        return section in skip
+
     rtt = _rtt_ms()
     print(f"# null-op RTT {rtt:.2f} ms", file=sys.stderr)
 
@@ -379,14 +389,15 @@ def main():
     link = tunnel_mbps(rtt)
     print(f"# measured tunnel bandwidth {link:.1f} MB/s", file=sys.stderr)
     n_e2e, res = e2e_legs(link_mbps=link)
-    n_srtp, res_s = (0, None) if "srtp" in skip else srtp_e2e(n_e2e or 1024)
-    curve = [] if "latency" in skip else latency_curve(n_e2e or 1024)
-    if "video" in skip:
+    n_srtp, res_s = (0, None) if over_budget("srtp") \
+        else srtp_e2e(n_e2e or 1024)
+    curve = [] if over_budget("latency") else latency_curve(n_e2e or 1024)
+    if over_budget("video"):
         n_vid, res_v, rec = 0, None, False
     else:
         n_vid, res_v, rec = video_e2e()
-    mfu = {} if "mfu" in skip else mfu_summary()
-    corr = {} if "corr" in skip else tpu_correctness()
+    mfu = {} if over_budget("mfu") else mfu_summary()
+    corr = {} if over_budget("corr") else tpu_correctness()
 
     result = {
         "metric": ("end-to-end 48kHz AEC+resample+mix G.711 legs per chip "
