@@ -78,6 +78,14 @@ class Ticker:
         self._mutations: list = []
         self._mut_lock = threading.Lock()
         self._inflight: list = []    # [(tick, ext_out_futures, ev_futures)]
+        # async_publish=True moves the forced device->host readback AND the
+        # io_push callback (host codec work, for video legs) onto one
+        # worker thread, so the paced tick loop never blocks on transfers
+        # — the Ticker-level version of e2e_bench's reader thread. Only
+        # meaningful with pipeline_depth > 0; ordering is preserved (single
+        # worker). Opt-in: io_push must be thread-compatible.
+        self.async_publish = False
+        self._publish_pool = None
 
     # host I/O callbacks: pull(tick)->ext_in dict, push(tick, ext_out)
     def set_io(self, pull: Optional[Callable] = None, push: Optional[Callable] = None):
@@ -127,7 +135,14 @@ class Ticker:
             self._inflight.append((self.stats.ticks, ext_out, events))
             if len(self._inflight) > self.pipeline_depth:
                 tick, out, ev = self._inflight.pop(0)
-                ext_out = self._publish(tick, out, ev)
+                if self.async_publish:
+                    if self._publish_pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+                        self._publish_pool = ThreadPoolExecutor(max_workers=1)
+                    self._publish_pool.submit(self._publish, tick, out, ev)
+                    ext_out = {}
+                else:
+                    ext_out = self._publish(tick, out, ev)
             else:
                 ext_out = {}
         else:
@@ -150,6 +165,9 @@ class Ticker:
         while self._inflight:
             tick, out, ev = self._inflight.pop(0)
             self._publish(tick, out, ev)
+        if self._publish_pool is not None:       # flush async publishes
+            self._publish_pool.shutdown(wait=True)
+            self._publish_pool = None
 
     def _elevate_priority(self):
         """Elevated real-time scheduling for the tick loop, parity with

@@ -66,8 +66,11 @@ class VideoE2EBench:
         self.vs.bind_assemblers()
         if pipeline_depth:
             # overlap device dispatch with the next ticks (tunnel RTT >
-            # tick interval; a PCIe host runs depth 0)
+            # tick interval; a PCIe host runs depth 0), and move readback
+            # + host codec work off the paced loop (single worker keeps
+            # frame order)
             self.vs.ticker.pipeline_depth = pipeline_depth
+            self.vs.ticker.async_publish = True
 
     def run(self, seconds: float = 3.0, paced: bool = True) -> VideoE2EResult:
         tk = self.vs.ticker
@@ -79,6 +82,7 @@ class VideoE2EBench:
         n_ticks = int(seconds * 100)
         t0 = time.perf_counter()
         tk.run(n_ticks)
+        tk.drain()                       # land in-flight async publishes
         wall = time.perf_counter() - t0
         ticks = tk.stats.ticks - base_ticks
         rx = np.array([s.frames_received - b
@@ -122,10 +126,12 @@ class VideoE2EBench:
         tk = self.vs.ticker
         tk.realtime = False
         tk.run(int(seconds * 50))                 # blackout
+        tk.drain()
         black.drop = False                        # link heals
         before = self.vs.stats[leg].frames_received
         self.vs.request_keyframe(leg)             # receiver-side PLI path
         tk.run(int(seconds * 50))
+        tk.drain()
         return self.vs.stats[leg].frames_received > before
 
     def close(self):
