@@ -321,7 +321,7 @@ def video_e2e() -> tuple:
     while n <= 256:
         try:
             b = VideoE2EBench(Factory(), n, codec="vp8", fps=15.0,
-                              pipeline_depth=4)
+                              pipeline_depth=2, frame_tick=True)
             res = b.run(seconds=2.5, paced=True)
             ok = res.passes()
             print(f"# video-e2e n={n}: {res.ms_per_tick:.2f} ms/tick "

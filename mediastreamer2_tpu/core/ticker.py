@@ -52,7 +52,7 @@ class TickerStats:
 class Ticker:
     def __init__(self, graph, name: str = "ticker", interval_ms: int = TICK_MS,
                  realtime: bool = True, event_queue: Optional[EventQueue] = None,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0, step_fn=None):
         """pipeline_depth > 0 enables double-buffered async dispatch: tick
         t's device step is launched and tick (t - depth)'s outputs are read
         back in the same iteration, so device compute and device<->host
@@ -70,7 +70,14 @@ class Ticker:
         self.time_ms = 0             # virtual stream clock, cf. ticker->time
         self.state = graph.init_state()
         self.params = graph.init_params()
-        self._step = jax.jit(graph.step)
+        # step_fn overrides the jitted program (e.g. a wrapper that casts
+        # the ext boundary to uint8 so frame transfers shrink 4x); it must
+        # have graph.step's signature.
+        self._step = jax.jit(step_fn or graph.step)
+        # warmup_ext: zeros matching what io_pull will actually feed (set
+        # it when step_fn changes ext dtypes, or warm_up compiles a program
+        # the first real tick never uses)
+        self.warmup_ext: Optional[Dict[str, np.ndarray]] = None
         self._io_pull: Optional[Callable[[int], Dict]] = None
         self._io_push: Optional[Callable[[int, Dict], None]] = None
         self._run_thread: Optional[threading.Thread] = None
@@ -86,6 +93,7 @@ class Ticker:
         # worker). Opt-in: io_push must be thread-compatible.
         self.async_publish = False
         self._publish_pool = None
+        self._publish_err: Optional[BaseException] = None
 
     # host I/O callbacks: pull(tick)->ext_in dict, push(tick, ext_out)
     def set_io(self, pull: Optional[Callable] = None, push: Optional[Callable] = None):
@@ -96,10 +104,17 @@ class Ticker:
         """Pre-compile so the first real tick doesn't blow the deadline
         (the TPU analogue of the reference attaching filters with
         ``preprocess`` before the first tick, msticker.c:145-185)."""
-        ext_in = {k: np.zeros(shape, dtype) for k, (shape, dtype) in
-                  self.graph.ext_inputs.items()}
+        ext_in = self.warmup_ext if self.warmup_ext is not None else {
+            k: np.zeros(shape, dtype) for k, (shape, dtype) in
+            self.graph.ext_inputs.items()}
         st, out, ev = self._step(self.state, self.params, ext_in)
-        jax.block_until_ready(st)
+        # force ACTUAL completion: block_until_ready is a no-op over the
+        # axon tunnel, and an async compile left pending lands on the
+        # first real tick (measured: 93 s blown into tick 0's readback)
+        forced = next(iter(out.values()), None)
+        if forced is None:
+            forced = jax.tree_util.tree_leaves(st)[0]
+        np.asarray(forced)
 
     def mutate(self, fn: Callable[["Ticker"], None]):
         """Queue a state/params mutation to run at the next tick boundary —
@@ -136,10 +151,14 @@ class Ticker:
             if len(self._inflight) > self.pipeline_depth:
                 tick, out, ev = self._inflight.pop(0)
                 if self.async_publish:
+                    if self._publish_err is not None:
+                        err, self._publish_err = self._publish_err, None
+                        raise err
                     if self._publish_pool is None:
                         from concurrent.futures import ThreadPoolExecutor
                         self._publish_pool = ThreadPoolExecutor(max_workers=1)
-                    self._publish_pool.submit(self._publish, tick, out, ev)
+                    self._publish_pool.submit(self._publish_guarded,
+                                              tick, out, ev)
                     ext_out = {}
                 else:
                     ext_out = self._publish(tick, out, ev)
@@ -168,6 +187,15 @@ class Ticker:
         if self._publish_pool is not None:       # flush async publishes
             self._publish_pool.shutdown(wait=True)
             self._publish_pool = None
+        if self._publish_err is not None:        # surface worker failures
+            err, self._publish_err = self._publish_err, None
+            raise err
+
+    def _publish_guarded(self, tick, out, ev):
+        try:
+            self._publish(tick, out, ev)
+        except BaseException as e:               # noqa: BLE001
+            self._publish_err = e
 
     def _elevate_priority(self):
         """Elevated real-time scheduling for the tick loop, parity with

@@ -52,11 +52,22 @@ class VideoE2EBench:
 
     def __init__(self, factory, n_streams: int, codec: str = "vp8",
                  width: int = 320, height: int = 240, fps: float = 15.0,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0, frame_tick: bool = False):
+        """frame_tick=True paces the ticker at the FRAME interval instead
+        of 10 ms: video device work only produces new content once per
+        frame, and on a high-RTT link (the bench tunnel caps at ~43
+        round-trips/s with no client-side overlap) per-tick dispatch of
+        per-frame work is pure waste. The reference's 10 ms video tick
+        mostly polls between frames for the same reason."""
         fmt = Format(kind="yuv420", width=width, height=height, fps=fps)
         self.fps = fps
         self.vs = VideoStreamBatch(factory, n_streams, fmt=fmt, fps=fps,
                                    codec=codec)
+        self.ticks_per_s = 100.0
+        if frame_tick:
+            self.vs.ticker.interval_ms = int(round(1000.0 / fps))
+            self.vs._tick_per_frame = 1
+            self.ticks_per_s = fps
         self.transports = []
         for i in range(n_streams):
             t = UdpTransport()
@@ -79,7 +90,7 @@ class VideoE2EBench:
         base_ticks = tk.stats.ticks
         base_late = tk.stats.late_ticks
         base_rx = [s.frames_received for s in self.vs.stats]
-        n_ticks = int(seconds * 100)
+        n_ticks = int(seconds * self.ticks_per_s)
         t0 = time.perf_counter()
         tk.run(n_ticks)
         tk.drain()                       # land in-flight async publishes
@@ -125,12 +136,12 @@ class VideoE2EBench:
         self.vs.bind_assemblers()
         tk = self.vs.ticker
         tk.realtime = False
-        tk.run(int(seconds * 50))                 # blackout
+        tk.run(int(seconds * self.ticks_per_s / 2) or 10)     # blackout
         tk.drain()
         black.drop = False                        # link heals
         before = self.vs.stats[leg].frames_received
         self.vs.request_keyframe(leg)             # receiver-side PLI path
-        tk.run(int(seconds * 50))
+        tk.run(int(seconds * self.ticks_per_s / 2) or 10)
         tk.drain()
         return self.vs.stats[leg].frames_received > before
 

@@ -529,7 +529,34 @@ class VideoStreamBatch:
         ana = g.add("analyse_display", "display")
         g.link(rx, 0, ana, 0)
         self.graph = g.build()
-        self.ticker = Ticker(self.graph, name=f"video[{batch}]")
+
+        # uint8 ext boundary: pixels cross host<->device as u8 (the codec
+        # path quantizes to u8 anyway), cutting frame transfer bytes 4x —
+        # on a PCIe host that's bandwidth headroom, on the bench tunnel it
+        # is the difference between holding the frame beat and missing it.
+        # Conversion runs on device (fused into the pixel path).
+        import jax.numpy as _jnp
+        gstep = self.graph.step
+
+        def _u8_step(state, params, ext_in):
+            ext = dict(ext_in)
+            if "rx_frames" in ext:
+                ext["rx_frames"] = ext["rx_frames"].astype(_jnp.float32) / 255.0
+            st, out, ev = gstep(state, params, ext)
+            if "tx_frames" in out:
+                out = dict(out)
+                out["tx_frames"] = (_jnp.clip(out["tx_frames"], 0.0, 1.0)
+                                    * 255.0 + 0.5).astype(_jnp.uint8)
+            return st, out, ev
+
+        self.ticker = Ticker(self.graph, name=f"video[{batch}]",
+                             step_fn=_u8_step)
+        fh, fw = self.out_fmt.height * 3 // 2, self.out_fmt.width
+        wz = {"rx_frames": np.zeros((batch, fh, fw), np.uint8)}
+        if camera != "mire":
+            shape, dtype = self.graph.ext_inputs["cam"]
+            wz["cam"] = np.zeros(shape, dtype)
+        self.ticker.warmup_ext = wz
         self.ticker.set_io(pull=self._pull, push=self._push)
 
         self.sessions: List[Optional[RtpSession]] = [None] * batch
@@ -674,6 +701,8 @@ class VideoStreamBatch:
 
     # -- host frame <-> bytes --------------------------------------------
     def _frame_to_bytes(self, frame: np.ndarray) -> bytes:
+        if frame.dtype == np.uint8:       # u8 boundary: already quantized
+            return frame.tobytes()
         return (np.clip(frame, 0, 1) * 255).astype(np.uint8).tobytes()
 
     def _bytes_to_frame(self, data: bytes) -> Optional[np.ndarray]:
@@ -718,7 +747,10 @@ class VideoStreamBatch:
             if sess is None:
                 continue
             sess.poll()
-        ext = {"rx_frames": self._last_rx}
+        # u8 at the boundary (see _u8_step); _last_rx stays f32 for the
+        # snapshot/analyse APIs
+        ext = {"rx_frames": (np.clip(self._last_rx, 0.0, 1.0)
+                             * 255.0 + 0.5).astype(np.uint8)}
         if "cam" in self.graph.ext_inputs:
             ext["cam"] = self._camera_block(tick)
         return ext
