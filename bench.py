@@ -252,23 +252,42 @@ def srtp_e2e(n_start: int) -> tuple:
     — the encrypted operating point the reference runs by default
     (ms_srtp.cpp inline protection). Walks down from the cleartext
     headline; the delta IS the measured cost of encryption at scale."""
-    n = max(256, n_start // 256 * 256)
-    for _ in range(4):
+    def trial(n):
         K, D = _kd_for(n)
         res = e2e_trial(n, K, D, srtp=True)
-        ok = e2e_passes(res) and res.auth_failures == 0
+        ok = res is not None and e2e_passes(res) and res.auth_failures == 0
         print(f"# srtp-e2e n={n}: "
               f"{None if res is None else round(res.ms_per_tick, 2)} ms/tick "
               f"late={getattr(res, 'late_ticks', '-')} "
               f"auth_fail={getattr(res, 'auth_failures', '-')} "
               f"fid={None if res is None else round(res.fidelity, 3)} "
               f"-> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+        return res, ok
+
+    n = max(256, n_start // 256 * 256)
+    last_fail = None
+    best = (0, None)
+    for _ in range(5):                    # walk down to a pass
+        res, ok = trial(n)
         if ok:
-            return n, res
-        if n <= 256:
+            best = (n, res)
             break
-        n = max(256, n // 2 // 256 * 256)
-    return 0, None
+        last_fail = n
+        if n <= 256:
+            return 0, None
+        n = max(256, int(n / 1.6) // 256 * 256)
+    for _ in range(2):                    # refine upward toward the fail
+        if not (best[0] and last_fail):
+            break
+        mid = (best[0] + last_fail) // 2 // 128 * 128
+        if not (best[0] < mid < last_fail):
+            break
+        res, ok = trial(mid)
+        if ok:
+            best = (mid, res)
+        else:
+            last_fail = mid
+    return best
 
 
 LATENCY_LADDER = [(1, 1), (1, 4), (4, 2), (8, 2), (16, 3), (32, 3)]

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--conf-size", type=int, default=4)
     ap.add_argument("--ssrc-base", type=lambda v: int(v, 0), default=0x5000)
     ap.add_argument("--seconds", type=int, default=30)
+    ap.add_argument("--srtp-seed", default=None,
+                    help="hex seed: derive per-leg SRTP master keys "
+                         "(AES_CM_128_HMAC_SHA1_80) and protect inline in "
+                         "the native edge; the client derives the same "
+                         "keys from the same seed")
     ap.add_argument("--tpu", action="store_true",
                     help="run the graph on the accelerator (default: CPU — "
                          "per-tick dispatch over a remote tunnel misses the "
@@ -45,9 +50,15 @@ def main():
     host, port = args.client.split(":")
 
     server = AudioStreamBatch(Factory(), args.legs, conference=True)
+    srtp_keys = None
+    if args.srtp_seed:
+        rng = np.random.default_rng(int(args.srtp_seed, 16))
+        srtp_keys = [(rng.bytes(16), rng.bytes(14))
+                     for _ in range(args.legs)]
     server.enable_batch_edge(rx_sock=sock, tx_sock=sock,
                              remote=(host, int(port)),
-                             ssrc_base=args.ssrc_base)
+                             ssrc_base=args.ssrc_base,
+                             srtp_keys=srtp_keys)
     server.ticker.params["conf"]["group_id"] = jnp.asarray(
         np.arange(args.legs, dtype=np.int32) // args.conf_size)
     server.ticker.warm_up()

@@ -630,13 +630,19 @@ class AudioStreamBatch:
         raise ValueError(self.codec)
 
     def enable_batch_edge(self, rx_sock, tx_sock, remote, ssrc_base: int = 0x5000,
-                          prefill: int = 4):
+                          prefill: int = 4, srtp_keys=None,
+                          srtp_suite: str = "AES_CM_128_HMAC_SHA1_80"):
         """Replace the per-leg Python RTP path with the native batched edge
         (native/rtp_edge.cpp): ONE sendmmsg/GSO call sends all legs, ONE
         recvmmsg/GRO drain + C++ jitter-ring playout feeds the tick — the
         production fast path for byte codecs at thousands of legs (the
         per-leg RtpSession path remains for feature-rich legs: RTCP, DTMF,
-        SRTP wrapping).
+        GCM-suite SRTP wrapping).
+
+        srtp_keys: optional per-leg [(master_key, master_salt), ...] —
+        AES-CM SRTP protect/unprotect then runs INLINE in the native edge
+        (ms_srtp.cpp's modifier role at batch scale; KDF is the
+        KAT-pinned RFC 3711 derivation).
 
         Legs transmit SSRC ssrc_base+i and expect the same SSRCs inbound
         (BUNDLE-style multiplexing on one socket pair)."""
@@ -653,6 +659,10 @@ class AudioStreamBatch:
                                  pt=PAYLOAD_TYPES[self.codec])
             self._edge_rx.map_ssrc(ssrc_base + i, i)
             self._edge_rx.set_prefill(i, prefill)
+            if srtp_keys is not None:
+                mk, ms = srtp_keys[i]
+                self._edge_tx.set_srtp(i, mk, ms, srtp_suite)
+                self._edge_rx.set_srtp(i, mk, ms, srtp_suite)
         self._edge_tx.enable_gso(remote)
         self.batch_edge = True
 

@@ -205,3 +205,59 @@ def test_conference_membership_churn_without_recompile(factory):
     assert float((rec[3][seg2] ** 2).mean()) > 1e-4
     # membership bookkeeping
     assert ctl.member_count(conf) == 3
+
+
+def test_conference_server_batch_edge_srtp(factory):
+    """The same scaled conference topology with per-leg AES-CM SRTP inline
+    in the native edge both sides (ms_srtp.cpp role at batch scale): media
+    flows, zero auth failures; a wrong-key leg's packets are rejected at
+    the server edge and never reach the mix."""
+    import socket
+    import time as _time
+    import numpy as np
+    from mediastreamer2_tpu.native import rtp_edge_available
+    from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
+    if not rtp_edge_available():
+        import pytest
+        pytest.skip("g++ build failed")
+    B, ticks = 4, 60
+    from mediastreamer2_tpu.core.block import tick_samples
+    from conftest import make_speechlike
+    S = tick_samples(8000)
+    rng = np.random.default_rng(9)
+    keys = [(rng.bytes(16), rng.bytes(14)) for _ in range(B)]
+    bad_keys = list(keys)
+    bad_keys[3] = (rng.bytes(16), rng.bytes(14))      # leg 3 has wrong keys
+
+    srv_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv_sock.bind(("127.0.0.1", 0)); srv_sock.setblocking(False)
+    cli_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cli_sock.bind(("127.0.0.1", 0)); cli_sock.setblocking(False)
+
+    sig = make_speechlike(S * ticks, 8000, seed=42)
+    clients = AudioStreamBatch(factory, B, mic_signal=sig,
+                               record_ticks=ticks + 40)
+    clients.enable_batch_edge(rx_sock=cli_sock, tx_sock=cli_sock,
+                              remote=srv_sock.getsockname(),
+                              ssrc_base=0x7000, srtp_keys=bad_keys)
+    server = AudioStreamBatch(factory, B, conference=True)
+    server.enable_batch_edge(rx_sock=srv_sock, tx_sock=srv_sock,
+                             remote=cli_sock.getsockname(),
+                             ssrc_base=0x7000, srtp_keys=keys)
+    import jax.numpy as jnp
+    server.ticker.params["conf"]["group_id"] = jnp.zeros((B,), jnp.int32)
+    clients.ticker.realtime = server.ticker.realtime = False
+    clients.ticker.warm_up(); server.ticker.warm_up()
+    for _ in range(ticks + 20):
+        clients.ticker.do_tick()
+        _time.sleep(0.0005)
+        server.ticker.do_tick()
+        _time.sleep(0.0005)
+    rec = clients.get_recording()
+    assert np.abs(rec[:3]).max() > 0.01          # encrypted media flowed
+    for i in range(3):
+        assert server._edge_rx.auth_failures(i) == 0
+    # the wrong-key leg is rejected at the server's unprotect
+    assert server._edge_rx.auth_failures(3) > ticks // 2
+    assert server._edge_rx.stats(3)["recv"] == 0
+    srv_sock.close(); cli_sock.close()
