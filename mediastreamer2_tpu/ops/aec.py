@@ -76,6 +76,13 @@ def _padded_bins(S: int) -> int:
 # see ROUND2_NOTES.md for the measured legs/chip effect.
 STORE_DTYPE = jnp.bfloat16
 
+# Gate the main-tap rewrite on any(promote) (lax.cond) — measured SLOWER
+# on v5e (8.42 vs 7.37 ms/tick @10240: XLA does not alias the identity
+# branch through scan carries; the cond adds overhead). Kept as an A/B
+# knob; default off. PALLAS_MDF=1 also re-measured post-bf16: 11.08.
+import os as _os
+_COND_PROMOTE = _os.environ.get("AEC_COND_PROMOTE", "0") != "0"
+
 
 def _aec_init(ctx):
     B = ctx.batch
@@ -295,8 +302,20 @@ def _aec_process(state, ins, params, ctx):
             Ws_i, (ws_p_i + mu[:, None] * gc_i)[:, None], cpos, axis=1)
         p3 = promote[:, None, None]
         r3 = reseed[:, None, None]
-        Wm_r = jnp.where(p3, Ws_r.astype(STORE_DTYPE), state["Wm_r"])
-        Wm_i = jnp.where(p3, Ws_i.astype(STORE_DTYPE), state["Wm_i"])
+        if _COND_PROMOTE:
+            # promotes are rare (hysteretic, steady-state ~never): gate the
+            # [B,P,F] bf16 main-tap rewrite on any(promote) so the common
+            # tick aliases Wm through the scan carry instead of copying it
+            Wm_r, Wm_i = jax.lax.cond(
+                jnp.any(promote),
+                lambda: (jnp.where(p3, Ws_r.astype(STORE_DTYPE),
+                                   state["Wm_r"]),
+                         jnp.where(p3, Ws_i.astype(STORE_DTYPE),
+                                   state["Wm_i"])),
+                lambda: (state["Wm_r"], state["Wm_i"]))
+        else:
+            Wm_r = jnp.where(p3, Ws_r.astype(STORE_DTYPE), state["Wm_r"])
+            Wm_i = jnp.where(p3, Ws_i.astype(STORE_DTYPE), state["Wm_i"])
         Ws_r = jnp.where(r3, Wm_r_f, Ws_r)
         Ws_i = jnp.where(r3, Wm_i_f, Ws_i)
     h3 = hard_reset[:, None, None]
