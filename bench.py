@@ -318,10 +318,11 @@ def latency_curve(n_head: int) -> list:
             if n <= 256:
                 break
             n = max(256, n // 2 // 256 * 256)
-        lat = (K * (D + 1) + (max(3, K // 2) if K <= 8
-                              else max(8, K // 2))) * 10.0
+        from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
         rows.append({
-            "K": K, "D": D, "added_latency_ms": lat,
+            "K": K, "D": D,
+            "added_latency_ms": (best[1].mouth_to_ear_ms if best
+                                 else E2EConferenceBench.added_latency_ms(K, D)),
             "legs": 0 if best is None else best[0],
             "ms_per_tick": (None if best is None
                             else round(best[1].ms_per_tick, 3)),
@@ -377,8 +378,17 @@ def tpu_correctness() -> dict:
     import subprocess
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "tpu_correctness.py")
-    r = subprocess.run([sys.executable, "-u", tool], capture_output=True,
-                       text=True, timeout=1800)
+    # NOTE: this briefly runs a second TPU client beside the bench process
+    # (worked on this tunnel; the single-lease risk is accepted because it
+    # is the LAST device work of the run). Never let an exception here
+    # discard the results already measured.
+    try:
+        r = subprocess.run([sys.executable, "-u", tool], capture_output=True,
+                           text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    except Exception as e:                       # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
     for line in reversed(r.stdout.strip().splitlines()):
         try:
             return json.loads(line)

@@ -180,13 +180,15 @@ class Ticker:
         return ext_out
 
     def drain(self):
-        """Publish all in-flight pipelined ticks (call after the last tick)."""
+        """Publish all in-flight pipelined ticks (call after the last tick).
+        Async mode: flush the worker's queued (older) publishes FIRST so
+        io_push keeps seeing ticks in order."""
+        if self._publish_pool is not None:
+            self._publish_pool.shutdown(wait=True)
+            self._publish_pool = None
         while self._inflight:
             tick, out, ev = self._inflight.pop(0)
             self._publish(tick, out, ev)
-        if self._publish_pool is not None:       # flush async publishes
-            self._publish_pool.shutdown(wait=True)
-            self._publish_pool = None
         if self._publish_err is not None:        # surface worker failures
             err, self._publish_err = self._publish_err, None
             raise err

@@ -95,6 +95,18 @@ class E2EResult:
 class E2EConferenceBench:
     """N self-looped G.711 conference legs over real localhost UDP."""
 
+    @staticmethod
+    def prefill_for(k_block: int) -> int:
+        """Jitter-ring priming: small-K (low-latency) configs pace per tick
+        and need less slack than big blocked configs."""
+        return max(3, k_block // 2) if k_block <= 8 else max(8, k_block // 2)
+
+    @classmethod
+    def added_latency_ms(cls, k_block: int, depth: int) -> float:
+        """Mouth-to-ear latency this (K, D) config adds — the single source
+        for bench.py's latency-curve reporting."""
+        return (k_block * (depth + 1) + cls.prefill_for(k_block)) * 10.0
+
     def __init__(self, factory, n_legs: int, k_block: int = 16,
                  pipeline_depth: int = 2, conf_size: int = 4,
                  rate: int = 48000, seed: int = 0, srtp: bool = False):
@@ -153,10 +165,8 @@ class E2EConferenceBench:
         # packets arrive paced (one per leg per tick), so the ring only
         # needs slack for scheduling hiccups at block boundaries — NOT the
         # whole pipeline depth (the self-loop's latency shows up as stream
-        # offset, which seq-keyed playout absorbs for free). Small-K
-        # (low-latency) configs pace per tick and need less priming.
-        self.prefill = max(3, self.K // 2) if self.K <= 8 \
-            else max(8, self.K // 2)
+        # offset, which seq-keyed playout absorbs for free).
+        self.prefill = self.prefill_for(self.K)
         depth = 1 << max(6, (self.prefill * 4 - 1).bit_length())
         self.tx = BatchRtpTx(tx_sock, n_legs, self.S8)
         self.rx = BatchRtpRx(n_legs, self.S8, ring_depth=depth)

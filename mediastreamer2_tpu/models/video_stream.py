@@ -461,6 +461,12 @@ class VideoStreamBatch:
                         from mediastreamer2_tpu.ops.h264 import \
                             encoder_extradata
                         self._cfg = encoder_extradata(self.enc)
+                        if not self._cfg:
+                            # no headers -> decoders can never open; fail
+                            # HERE, not as silent black video downstream
+                            raise RuntimeError(
+                                "theora: encoder extradata unavailable "
+                                "(AVCodecContext layout drifted?)")
                         self.dec = None          # opens on first config
                     else:
                         self._cfg = b""
@@ -743,10 +749,14 @@ class VideoStreamBatch:
         return self._static_fallback
 
     def _pull(self, tick: int) -> Dict[str, np.ndarray]:
-        for i, sess in enumerate(self.sessions):
-            if sess is None:
-                continue
-            sess.poll()
+        # async-publish mode: _push (worker thread) owns ALL session +
+        # packetizer state — polling here too would race the worker's
+        # pop/send on the unlocked reorder lists
+        if not getattr(self.ticker, "async_publish", False):
+            for i, sess in enumerate(self.sessions):
+                if sess is None:
+                    continue
+                sess.poll()
         # u8 at the boundary (see _u8_step); _last_rx stays f32 for the
         # snapshot/analyse APIs
         ext = {"rx_frames": (np.clip(self._last_rx, 0.0, 1.0)
@@ -756,6 +766,10 @@ class VideoStreamBatch:
         return ext
 
     def _push(self, tick: int, ext_out: Dict):
+        if getattr(self.ticker, "async_publish", False):
+            for sess in self.sessions:       # worker-owned rx drain
+                if sess is not None:
+                    sess.poll()
         send_now = (tick % self._tick_per_frame) == 0
         frames = np.asarray(ext_out["tx_frames"])
         if send_now:

@@ -127,10 +127,15 @@ struct SrtpLeg {
   uint16_t last_seq = 0;
   uint8_t have_seq = 0;
 
+  static constexpr int kMaxCtrBlocks = 64;
+
   bool init(const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
-            const uint8_t* k_a, int tlen) {
+            const uint8_t* k_a, int tlen, int payload_size) {
     const CryptoApi& c = crypto_api();
-    if (!c.ok || (k_e_len != 16 && k_e_len != 32) || tlen > kMaxTag)
+    // reject payloads the fixed CTR scratch can't cover AT CONFIG TIME —
+    // a runtime ctr_xor failure would otherwise tag-and-send plaintext
+    if (!c.ok || (k_e_len != 16 && k_e_len != 32) || tlen > kMaxTag ||
+        (payload_size + 15) / 16 > kMaxCtrBlocks)
       return false;
     if (!ecb) ecb = c.ctx_new();
     if (!ecb) return false;
@@ -176,11 +181,12 @@ struct SrtpLeg {
   }
 
   // XOR keystream for `len` payload bytes into buf (in place).
+  // len <= kMaxCtrBlocks*16 is guaranteed by the init()-time check.
   bool ctr_xor(uint32_t ssrc, uint64_t index, uint8_t* buf, int len) {
     const CryptoApi& c = crypto_api();
     int nblocks = (len + 15) / 16;
-    uint8_t ctr[64 * 16], ks[64 * 16];
-    if (nblocks > 64) return false;      // payloads are tick-sized
+    uint8_t ctr[kMaxCtrBlocks * 16], ks[kMaxCtrBlocks * 16];
+    if (nblocks > kMaxCtrBlocks) return false;
     build_counters(ssrc, index, ctr, nblocks);
     int outl = 0;
     if (c.enc_update(ecb, ks, &outl, ctr, nblocks * 16) != 1) return false;
@@ -227,7 +233,7 @@ class RtpTx {
 
   int set_srtp(int leg, const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
                const uint8_t* k_a, int tag_len) {
-    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len) ? 1 : 0;
+    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len, psz_) ? 1 : 0;
   }
 
   void config(int leg, const char* ip, int port, uint32_t ssrc, uint16_t seq0,
@@ -446,7 +452,7 @@ class RtpRx {
 
   int set_srtp(int leg, const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
                const uint8_t* k_a, int tag_len) {
-    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len) ? 1 : 0;
+    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len, psz_) ? 1 : 0;
   }
 
   uint64_t auth_failures(int leg) const { return legs_[leg].auth_fail; }

@@ -162,10 +162,11 @@ class IceCheckList:
             seen[key] = p
             kept.append(p)
         if len(kept) > self.MAX_PAIRS:
-            overflow = [p for p in kept[self.MAX_PAIRS:]
-                        if p.state == "frozen"]
-            kept = [p for p in kept if p not in overflow][:self.MAX_PAIRS] \
-                + [p for p in kept[self.MAX_PAIRS:] if p.state != "frozen"]
+            # drop only FROZEN pairs beyond the cap — active checks are
+            # never killed, so the list may transiently exceed MAX_PAIRS
+            # by however many non-frozen pairs sit past the boundary
+            kept = kept[:self.MAX_PAIRS] + \
+                [p for p in kept[self.MAX_PAIRS:] if p.state != "frozen"]
         self.pairs = kept
 
     def _unfreeze_initial(self):

@@ -81,9 +81,11 @@ class TurnClient:
         self.on_allocated: Optional[Callable[[Tuple[str, int]], None]] = None
         self.channels: Dict[Tuple[str, int], int] = {}
         self._next_channel = 0x4000
-        self._pending: Dict[bytes, int] = {}      # txid -> method
+        self._pending: Dict[bytes, tuple] = {}    # txid -> (method, peer)
         self._permission_peers: Dict[Tuple[str, int], float] = {}
+        self._perm_sent: Dict[Tuple[str, int], float] = {}
         self._allocated_at = 0.0
+        self._refresh_sent_at = -1e9
 
     # -- auth key (long-term credential, RFC 5389 §15.4) -------------------
     def _key(self) -> Optional[str]:
@@ -91,7 +93,7 @@ class TurnClient:
             return None
         return None  # integrity key handled as raw md5 below
 
-    def _send_req(self, method: int, attrs: Dict[int, bytes]):
+    def _send_req(self, method: int, attrs: Dict[int, bytes], peer=None):
         m = stun.StunMessage(_method_type(method, CLS_REQUEST))
         m.attrs.update(attrs)
         key = None
@@ -102,7 +104,7 @@ class TurnClient:
             # long-term credential key (RFC 5389 §15.4)
             key = hashlib.md5(f"{self.username}:{self.realm}:"
                               f"{self.password}".encode()).digest()
-        self._pending[m.transaction_id] = method
+        self._pending[m.transaction_id] = (method, peer)
         self.send_fn(m.pack(password=key, fingerprint=False))
 
     # -- public ops ----------------------------------------------------------
@@ -118,9 +120,13 @@ class TurnClient:
                        {ATTR_LIFETIME: struct.pack("!I", lifetime)})
 
     def create_permission(self, peer: Tuple[str, int]):
+        # provisional stamp so maintain() has an anchor even pre-response;
+        # the success response re-anchors (lost request -> early resend)
+        self._permission_peers.setdefault(peer, -1e9)
+        self._perm_sent[peer] = self._now()
         self._send_req(METHOD_CREATE_PERMISSION,
-                       {ATTR_XOR_PEER_ADDRESS: _pack_xor_addr(*peer)})
-        self._permission_peers[peer] = self._now()
+                       {ATTR_XOR_PEER_ADDRESS: _pack_xor_addr(*peer)},
+                       peer=peer)
 
     # -- keepalive lifecycle (RFC 5766 §7/§9: allocations expire at
     # `lifetime`, permissions at 300 s; churned legs keep adding peers so
@@ -132,26 +138,37 @@ class TurnClient:
         import time as _t
         return _t.monotonic()
 
+    RESEND_THROTTLE_S = 2.0
+
     def maintain(self, now: Optional[float] = None):
         """Call periodically (the check-list process cadence is fine):
         re-REFRESH the allocation at 80% of its lifetime and re-send
         CreatePermission at 80% of the 5-minute permission lifetime for
-        every active peer."""
+        every active peer.  Expiry anchors advance on the SUCCESS RESPONSE
+        (handle()), not on send — a lost UDP request retries at the next
+        maintain() (throttled) instead of silently letting the server-side
+        state lapse."""
         now = self._now() if now is None else now
         if self.state == "allocated" and self.lifetime:
-            if now - self._allocated_at >= 0.8 * self.lifetime:
+            if (now - self._allocated_at >= 0.8 * self.lifetime
+                    and now - self._refresh_sent_at
+                    >= self.RESEND_THROTTLE_S):
+                self._refresh_sent_at = now
                 self.refresh(self.lifetime)
-                self._allocated_at = now
         for peer, t0 in list(self._permission_peers.items()):
-            if now - t0 >= 0.8 * self.PERMISSION_LIFETIME_S:
+            if (now - t0 >= 0.8 * self.PERMISSION_LIFETIME_S
+                    and now - self._perm_sent.get(peer, -1e9)
+                    >= self.RESEND_THROTTLE_S):
+                self._perm_sent[peer] = now
                 self._send_req(METHOD_CREATE_PERMISSION,
-                               {ATTR_XOR_PEER_ADDRESS: _pack_xor_addr(*peer)})
-                self._permission_peers[peer] = now
+                               {ATTR_XOR_PEER_ADDRESS: _pack_xor_addr(*peer)},
+                               peer=peer)
 
     def drop_peer(self, peer: Tuple[str, int]):
         """Leg churned away: stop refreshing its permission (it lapses on
         the server after the 5-minute lifetime)."""
         self._permission_peers.pop(peer, None)
+        self._perm_sent.pop(peer, None)
         self.channels.pop(peer, None)
 
     def channel_bind(self, peer: Tuple[str, int]) -> int:
@@ -188,7 +205,8 @@ class TurnClient:
         except ValueError:
             return
         cls = msg.msg_type & 0x0110
-        method = self._pending.pop(msg.transaction_id, None)
+        method, req_peer = self._pending.pop(msg.transaction_id,
+                                             (None, None))
         if cls == CLS_ERROR:
             code = msg.get_error()
             if code == 401 and ATTR_NONCE in msg.attrs and method is not None:
@@ -199,7 +217,15 @@ class TurnClient:
             else:
                 self.state = "failed"
             return
-        if cls == CLS_SUCCESS and method == METHOD_ALLOCATE:
+        if cls == CLS_SUCCESS and method == METHOD_REFRESH:
+            lt = msg.attrs.get(ATTR_LIFETIME)
+            if lt:
+                self.lifetime = struct.unpack("!I", lt)[0]
+            self._allocated_at = self._now()
+        elif cls == CLS_SUCCESS and method == METHOD_CREATE_PERMISSION \
+                and req_peer is not None:
+            self._permission_peers[req_peer] = self._now()
+        elif cls == CLS_SUCCESS and method == METHOD_ALLOCATE:
             self.relayed_addr = _xor_addr(msg.attrs, ATTR_XOR_RELAYED_ADDRESS)
             self.mapped_addr = msg.get_xor_mapped_address()
             lt = msg.attrs.get(ATTR_LIFETIME)

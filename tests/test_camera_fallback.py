@@ -24,7 +24,7 @@ def test_dead_camera_falls_back(factory):
     # early frames show the live feed; late frames show the fallback card
     # tx_frames cross the boundary as uint8 now (u8 ext contract)
     assert abs(float(outs[10][0].mean()) / 255.0 - 0.25) < 0.02
-    assert abs(float(outs[-1][0].mean()) - 0.25) > 0.05
+    assert abs(float(outs[-1][0].mean()) / 255.0 - 0.25) > 0.05
     # camera recovery clears the dead flag
     vs.feed_camera_frame(0, live)
     vs.ticker.do_tick()

@@ -186,11 +186,16 @@ def test_permission_and_allocation_refresh_lifecycle():
     perms = [d for d in sent if d[:2] == b"\x00\x08"]   # CreatePermission
     assert len(perms) == 1                # peer_a only (b dropped)
     pump()
-    # allocation refresh at 80% of lifetime (600 s), measured from the
-    # last refresh (the t0+510 maintain already rolled the allocation)
+    # allocation refresh: due again well past 80% of lifetime AND past the
+    # resend throttle (the t0+510 maintain already sent one refresh)
     sent.clear()
-    client.maintain(now=client._allocated_at + 0.85 * client.lifetime)
+    client.maintain(now=t0 + 1020.0)
     refreshes = [d for d in sent if d[:2] == b"\x00\x04"]   # REFRESH
     assert len(refreshes) == 1
     pump()
     assert client.state == "allocated"
+    # lost-request recovery: a refresh whose response never arrives leaves
+    # the anchor untouched, so the next maintain past the throttle resends
+    sent.clear()
+    client.maintain(now=t0 + 1030.0)
+    assert [d for d in sent if d[:2] == b"\x00\x04"]
