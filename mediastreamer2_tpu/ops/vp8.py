@@ -107,6 +107,33 @@ def _u(addr, off, n=4):
     return int.from_bytes(ctypes.string_at(addr + off, n), "little")
 
 
+
+
+class _VpxCtx:
+    """vpx_codec_ctx_t storage + guaranteed vpx_codec_destroy on GC —
+    leaked contexts accumulate libvpx internal allocations across a long
+    test run/process; destroy also invalidates use-after-close cleanly."""
+
+    __slots__ = ("buf", "_open")
+
+    def __init__(self):
+        self.buf = (ctypes.c_uint8 * 1024)()     # sizeof(vpx_codec_ctx_t)<<1024
+        self._open = False
+
+    def mark_open(self):
+        self._open = True
+
+    def close(self):
+        if self._open and _vpx is not None:
+            self._open = False
+            try:
+                _vpx.vpx_codec_destroy(self.buf)
+            except Exception:
+                pass
+
+    def __del__(self):
+        self.close()
+
 class Vp8Encoder:
     def __init__(self, width: int, height: int, bitrate_bps: int = 500_000,
                  fps: int = 25, kf_max_dist: int = 100,
@@ -129,10 +156,13 @@ class Vp8Encoder:
                        (_CFG_KF_MAX, kf_max_dist)):
             struct.pack_into("<I", cfg, off, v)
         self._cfg = cfg
-        self.ctx = (ctypes.c_uint8 * 512)()
+        self._ctx = _VpxCtx()
+        self.ctx = self._ctx.buf
         flags = VPX_CODEC_USE_OUTPUT_PARTITION if self.partitioned else 0
         r = _vpx.vpx_codec_enc_init_ver(self.ctx, ctypes.c_void_p(iface),
                                         cfg, flags, ABI)
+        if r == 0:
+            self._ctx.mark_open()
         if r != 0:
             raise RuntimeError(f"vp8 enc init: {r}")
         if self.partitioned:
@@ -195,11 +225,13 @@ class Vp8Decoder:
     def __init__(self):
         if _vpx is None:
             raise RuntimeError("libvpx not available")
-        self.ctx = (ctypes.c_uint8 * 512)()
+        self._ctx = _VpxCtx()
+        self.ctx = self._ctx.buf
         r = _vpx.vpx_codec_dec_init_ver(
             self.ctx, ctypes.c_void_p(_vpx.vpx_codec_vp8_dx()), None, 0, ABI)
         if r != 0:
             raise RuntimeError(f"vp8 dec init: {r}")
+        self._ctx.mark_open()
 
     def decode(self, data: bytes
                ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
