@@ -159,7 +159,7 @@ def _ensure_rtp_built() -> Optional[ctypes.CDLL]:
                                         u64p, u64p, u64p, u64p]
         srtp_args = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
                      ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
-                     ctypes.c_int]
+                     ctypes.c_int, ctypes.c_int]
         lib.ms2_rtptx_set_srtp.argtypes = srtp_args
         lib.ms2_rtprx_set_srtp.argtypes = srtp_args
         lib.ms2_rtprx_auth_failures.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -169,18 +169,20 @@ def _ensure_rtp_built() -> Optional[ctypes.CDLL]:
 
 
 def _srtp_session_keys(master_key: bytes, master_salt: bytes, suite: str):
-    """Derive (k_e, k_s, k_a, tag_len) with the KAT-validated RFC 3711 KDF
-    (tests/test_srtp_kat.py pins derive_key byte-exactly)."""
+    """Derive (k_e, k_s, k_a, tag_len, gcm) with the KAT-validated RFC 3711
+    KDF (tests/test_srtp_kat.py pins derive_key byte-exactly; RFC 7714 §11
+    right-pads 96-bit GCM master salts inside derive_key)."""
     from mediastreamer2_tpu.net.srtp import (SUITES, derive_key,
                                              LABEL_RTP_ENCRYPTION,
                                              LABEL_RTP_AUTH, LABEL_RTP_SALT)
     kind, klen, slen, tag = SUITES[suite]
-    if kind != "ctr":
-        raise ValueError(f"native edge supports AES-CM suites only, not {suite}")
     k_e = derive_key(master_key, master_salt, LABEL_RTP_ENCRYPTION, klen)
+    if kind == "gcm":
+        k_s = derive_key(master_key, master_salt, LABEL_RTP_SALT, 12)
+        return k_e, k_s, b"\x00" * 20, tag, 1
     k_a = derive_key(master_key, master_salt, LABEL_RTP_AUTH, 20)
     k_s = derive_key(master_key, master_salt, LABEL_RTP_SALT, 14)
-    return k_e, k_s, k_a, tag
+    return k_e, k_s, k_a, tag, 0
 
 
 def rtp_edge_available() -> bool:
@@ -209,12 +211,14 @@ class BatchRtpTx:
 
     def set_srtp(self, leg: int, master_key: bytes, master_salt: bytes,
                  suite: str = "AES_CM_128_HMAC_SHA1_80"):
-        """Enable inline SRTP protection for one leg (AES-CM suites).
-        Parity: ms_srtp.cpp:475 media_stream_set_srtp_send_key — per-packet
-        protect inline on the send edge, here batched across legs."""
-        k_e, k_s, k_a, tag = _srtp_session_keys(master_key, master_salt, suite)
+        """Enable inline SRTP protection for one leg (AES-CM and
+        AEAD-GCM suites). Parity: ms_srtp.cpp:475
+        media_stream_set_srtp_send_key — per-packet protect inline on the
+        send edge, here batched across legs."""
+        k_e, k_s, k_a, tag, gcm = _srtp_session_keys(master_key,
+                                                     master_salt, suite)
         if not self._lib.ms2_rtptx_set_srtp(self._h, leg, k_e, len(k_e),
-                                            k_s, k_a, tag):
+                                            k_s, k_a, tag, gcm):
             raise RuntimeError("native SRTP init failed (libcrypto missing?)")
 
     def enable_gso(self, remote):
@@ -286,11 +290,12 @@ class BatchRtpRx:
     def set_srtp(self, leg: int, master_key: bytes, master_salt: bytes,
                  suite: str = "AES_CM_128_HMAC_SHA1_80"):
         """Enable inline SRTP unprotection (auth + decrypt before the
-        jitter-ring insert) for one leg. Parity: ms_srtp.cpp:672
-        media_stream_set_srtp_recv_key."""
-        k_e, k_s, k_a, tag = _srtp_session_keys(master_key, master_salt, suite)
+        jitter-ring insert) for one leg, AES-CM or AEAD-GCM. Parity:
+        ms_srtp.cpp:672 media_stream_set_srtp_recv_key."""
+        k_e, k_s, k_a, tag, gcm = _srtp_session_keys(master_key,
+                                                     master_salt, suite)
         if not self._lib.ms2_rtprx_set_srtp(self._h, leg, k_e, len(k_e),
-                                            k_s, k_a, tag):
+                                            k_s, k_a, tag, gcm):
             raise RuntimeError("native SRTP init failed (libcrypto missing?)")
 
     def auth_failures(self, leg: int) -> int:

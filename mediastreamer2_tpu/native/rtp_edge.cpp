@@ -75,8 +75,16 @@ struct CryptoApi {
   void (*ctx_free)(EVP_CIPHER_CTX_*);
   const EVP_CIPHER_* (*aes128ecb)();
   const EVP_CIPHER_* (*aes256ecb)();
+  const EVP_CIPHER_* (*aes128gcm)();
+  const EVP_CIPHER_* (*aes256gcm)();
   int (*enc_init)(EVP_CIPHER_CTX_*, const EVP_CIPHER_*, void*, const uint8_t*,
                   const uint8_t*);
+  int (*enc_final)(EVP_CIPHER_CTX_*, uint8_t*, int*);
+  int (*dec_init)(EVP_CIPHER_CTX_*, const EVP_CIPHER_*, void*, const uint8_t*,
+                  const uint8_t*);
+  int (*dec_update)(EVP_CIPHER_CTX_*, uint8_t*, int*, const uint8_t*, int);
+  int (*dec_final)(EVP_CIPHER_CTX_*, uint8_t*, int*);
+  int (*ctx_ctrl)(EVP_CIPHER_CTX_*, int, int, void*);
   int (*set_padding)(EVP_CIPHER_CTX_*, int);
   int (*enc_update)(EVP_CIPHER_CTX_*, uint8_t*, int*, const uint8_t*, int);
   int (*sha1_init)(Sha1Ctx*);
@@ -84,6 +92,9 @@ struct CryptoApi {
   int (*sha1_final)(uint8_t*, Sha1Ctx*);
   bool ok = false;
 };
+
+constexpr int kCtrlGcmGetTag = 0x10;     // EVP_CTRL_AEAD_GET_TAG
+constexpr int kCtrlGcmSetTag = 0x11;     // EVP_CTRL_AEAD_SET_TAG
 
 const CryptoApi& crypto_api() {
   static CryptoApi api = [] {
@@ -97,9 +108,22 @@ const CryptoApi& crypto_api() {
     a.ctx_free = (void (*)(EVP_CIPHER_CTX_*))sym("EVP_CIPHER_CTX_free");
     a.aes128ecb = (const EVP_CIPHER_* (*)()) sym("EVP_aes_128_ecb");
     a.aes256ecb = (const EVP_CIPHER_* (*)()) sym("EVP_aes_256_ecb");
+    a.aes128gcm = (const EVP_CIPHER_* (*)()) sym("EVP_aes_128_gcm");
+    a.aes256gcm = (const EVP_CIPHER_* (*)()) sym("EVP_aes_256_gcm");
     a.enc_init = (int (*)(EVP_CIPHER_CTX_*, const EVP_CIPHER_*, void*,
                           const uint8_t*, const uint8_t*))
         sym("EVP_EncryptInit_ex");
+    a.enc_final =
+        (int (*)(EVP_CIPHER_CTX_*, uint8_t*, int*))sym("EVP_EncryptFinal_ex");
+    a.dec_init = (int (*)(EVP_CIPHER_CTX_*, const EVP_CIPHER_*, void*,
+                          const uint8_t*, const uint8_t*))
+        sym("EVP_DecryptInit_ex");
+    a.dec_update = (int (*)(EVP_CIPHER_CTX_*, uint8_t*, int*, const uint8_t*,
+                            int))sym("EVP_DecryptUpdate");
+    a.dec_final =
+        (int (*)(EVP_CIPHER_CTX_*, uint8_t*, int*))sym("EVP_DecryptFinal_ex");
+    a.ctx_ctrl = (int (*)(EVP_CIPHER_CTX_*, int, int, void*))
+        sym("EVP_CIPHER_CTX_ctrl");
     a.set_padding =
         (int (*)(EVP_CIPHER_CTX_*, int))sym("EVP_CIPHER_CTX_set_padding");
     a.enc_update = (int (*)(EVP_CIPHER_CTX_*, uint8_t*, int*, const uint8_t*,
@@ -108,21 +132,25 @@ const CryptoApi& crypto_api() {
     a.sha1_update = (int (*)(Sha1Ctx*, const void*, size_t))sym("SHA1_Update");
     a.sha1_final = (int (*)(uint8_t*, Sha1Ctx*))sym("SHA1_Final");
     a.ok = a.ctx_new && a.ctx_free && a.aes128ecb && a.aes256ecb &&
-           a.enc_init && a.set_padding && a.enc_update && a.sha1_init &&
+           a.aes128gcm && a.aes256gcm && a.enc_init && a.enc_final &&
+           a.dec_init && a.dec_update && a.dec_final && a.ctx_ctrl &&
+           a.set_padding && a.enc_update && a.sha1_init &&
            a.sha1_update && a.sha1_final;
     return a;
   }();
   return api;
 }
 
-constexpr int kMaxTag = 10;              // HMAC-SHA1_80
+constexpr int kMaxTag = 16;              // GCM tag (SHA1_80 = 10)
 
-// One direction of one leg's SRTP session (AES_CM_{128,256}_HMAC_SHA1_{80,32})
+// One direction of one leg's SRTP session: AES_CM_{128,256}_HMAC_SHA1_{80,32}
+// or AEAD_AES_{128,256}_GCM (RFC 7714)
 struct SrtpLeg {
-  EVP_CIPHER_CTX_* ecb = nullptr;        // pre-keyed AES-ECB (k_e)
-  uint8_t salt[14];                      // k_s
-  Sha1Ctx inner, outer;                  // HMAC-SHA1(k_a) midstates
-  uint8_t tag_len = 0;                   // 10 or 4; 0 = leg not encrypted
+  EVP_CIPHER_CTX_* ecb = nullptr;        // pre-keyed AES-ECB / AES-GCM (k_e)
+  uint8_t salt[14];                      // k_s (CM: 14 bytes; GCM: 12)
+  Sha1Ctx inner, outer;                  // HMAC-SHA1(k_a) midstates (CM)
+  uint8_t tag_len = 0;                   // 10/4 (CM) or 16 (GCM); 0 = off
+  uint8_t gcm = 0;
   uint32_t roc = 0;
   uint16_t last_seq = 0;
   uint8_t have_seq = 0;
@@ -130,7 +158,8 @@ struct SrtpLeg {
   static constexpr int kMaxCtrBlocks = 64;
 
   bool init(const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
-            const uint8_t* k_a, int tlen, int payload_size) {
+            const uint8_t* k_a, int tlen, int payload_size,
+            int use_gcm, int is_tx) {
     const CryptoApi& c = crypto_api();
     // reject payloads the fixed CTR scratch can't cover AT CONFIG TIME —
     // a runtime ctr_xor failure would otherwise tag-and-send plaintext
@@ -139,17 +168,31 @@ struct SrtpLeg {
       return false;
     if (!ecb) ecb = c.ctx_new();
     if (!ecb) return false;
-    const EVP_CIPHER_* ciph = k_e_len == 16 ? c.aes128ecb() : c.aes256ecb();
-    if (c.enc_init(ecb, ciph, nullptr, k_e, nullptr) != 1) return false;
-    c.set_padding(ecb, 0);
-    memcpy(salt, k_s, 14);
-    uint8_t pad[64];
-    for (int i = 0; i < 64; i++) pad[i] = (i < 20 ? k_a[i] : 0) ^ 0x36;
-    c.sha1_init(&inner);
-    c.sha1_update(&inner, pad, 64);
-    for (int i = 0; i < 64; i++) pad[i] = (i < 20 ? k_a[i] : 0) ^ 0x5c;
-    c.sha1_init(&outer);
-    c.sha1_update(&outer, pad, 64);
+    gcm = use_gcm ? 1 : 0;
+    if (gcm) {
+      if (tlen != 16) return false;      // RFC 7714 tags are 16 bytes
+      const EVP_CIPHER_* ciph =
+          k_e_len == 16 ? c.aes128gcm() : c.aes256gcm();
+      // keyed once per session; per-packet re-init passes only the IV.
+      // Direction is fixed per leg (tx encrypts, rx decrypts).
+      int r = is_tx ? c.enc_init(ecb, ciph, nullptr, k_e, nullptr)
+                    : c.dec_init(ecb, ciph, nullptr, k_e, nullptr);
+      if (r != 1) return false;
+      memset(salt, 0, sizeof salt);
+      memcpy(salt, k_s, 12);
+    } else {
+      const EVP_CIPHER_* ciph = k_e_len == 16 ? c.aes128ecb() : c.aes256ecb();
+      if (c.enc_init(ecb, ciph, nullptr, k_e, nullptr) != 1) return false;
+      c.set_padding(ecb, 0);
+      memcpy(salt, k_s, 14);
+      uint8_t pad[64];
+      for (int i = 0; i < 64; i++) pad[i] = (i < 20 ? k_a[i] : 0) ^ 0x36;
+      c.sha1_init(&inner);
+      c.sha1_update(&inner, pad, 64);
+      for (int i = 0; i < 64; i++) pad[i] = (i < 20 ? k_a[i] : 0) ^ 0x5c;
+      c.sha1_init(&outer);
+      c.sha1_update(&outer, pad, 64);
+    }
     tag_len = uint8_t(tlen);
     roc = 0;
     have_seq = 0;
@@ -159,6 +202,58 @@ struct SrtpLeg {
   void release() {
     if (ecb) crypto_api().ctx_free(ecb), ecb = nullptr;
     tag_len = 0;
+  }
+
+  // RFC 7714 §8.1 IV: 12 bytes = (00 00||SSRC||ROC||SEQ) XOR salt
+  void gcm_iv(uint32_t ssrc, uint32_t roc_val, uint16_t seq,
+              uint8_t* iv) const {
+    memcpy(iv, salt, 12);
+    iv[2] ^= uint8_t(ssrc >> 24);
+    iv[3] ^= uint8_t(ssrc >> 16);
+    iv[4] ^= uint8_t(ssrc >> 8);
+    iv[5] ^= uint8_t(ssrc);
+    iv[6] ^= uint8_t(roc_val >> 24);
+    iv[7] ^= uint8_t(roc_val >> 16);
+    iv[8] ^= uint8_t(roc_val >> 8);
+    iv[9] ^= uint8_t(roc_val);
+    iv[10] ^= uint8_t(seq >> 8);
+    iv[11] ^= uint8_t(seq);
+  }
+
+  // In-place AEAD protect: header is AAD, payload -> ct, tag appended.
+  bool gcm_protect(uint32_t ssrc, uint32_t roc_val, uint16_t seq,
+                   uint8_t* pkt, int hdr_len, int payload_len) {
+    const CryptoApi& c = crypto_api();
+    uint8_t iv[12];
+    gcm_iv(ssrc, roc_val, seq, iv);
+    int outl = 0;
+    if (c.enc_init(ecb, nullptr, nullptr, nullptr, iv) != 1) return false;
+    if (c.enc_update(ecb, nullptr, &outl, pkt, hdr_len) != 1) return false;
+    if (c.enc_update(ecb, pkt + hdr_len, &outl, pkt + hdr_len,
+                     payload_len) != 1)
+      return false;
+    uint8_t fin[16];
+    if (c.enc_final(ecb, fin, &outl) != 1) return false;
+    return c.ctx_ctrl(ecb, kCtrlGcmGetTag, 16,
+                      pkt + hdr_len + payload_len) == 1;
+  }
+
+  // Verify+decrypt payload into `out` (may differ from pkt). 1 = authentic.
+  bool gcm_unprotect(uint32_t ssrc, uint32_t roc_val, uint16_t seq,
+                     const uint8_t* pkt, int hdr_len, int payload_len,
+                     uint8_t* out) {
+    const CryptoApi& c = crypto_api();
+    uint8_t iv[12], tag[16];
+    memcpy(tag, pkt + hdr_len + payload_len, 16);
+    gcm_iv(ssrc, roc_val, seq, iv);
+    int outl = 0;
+    if (c.dec_init(ecb, nullptr, nullptr, nullptr, iv) != 1) return false;
+    if (c.ctx_ctrl(ecb, kCtrlGcmSetTag, 16, tag) != 1) return false;
+    if (c.dec_update(ecb, nullptr, &outl, pkt, hdr_len) != 1) return false;
+    if (c.dec_update(ecb, out, &outl, pkt + hdr_len, payload_len) != 1)
+      return false;
+    uint8_t fin[16];
+    return c.dec_final(ecb, fin, &outl) == 1;
   }
 
   // RFC 3711 §4.1.1 IV, as counter blocks: salt||0x0000 ^ ssrc<<64 ^ index<<16
@@ -232,8 +327,9 @@ class RtpTx {
   }
 
   int set_srtp(int leg, const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
-               const uint8_t* k_a, int tag_len) {
-    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len, psz_) ? 1 : 0;
+               const uint8_t* k_a, int tag_len, int gcm) {
+    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len, psz_,
+                                gcm, /*is_tx=*/1) ? 1 : 0;
   }
 
   void config(int leg, const char* ip, int port, uint32_t ssrc, uint16_t seq0,
@@ -313,6 +409,10 @@ class RtpTx {
   int protect(TxLeg& l, uint8_t* f) {
     int flen = kHdr + psz_;
     if (!l.srtp.tag_len) return flen;
+    if (l.srtp.gcm) {
+      l.srtp.gcm_protect(l.ssrc, l.srtp.roc, l.seq, f, kHdr, psz_);
+      return flen + 16;
+    }
     uint64_t index = (uint64_t(l.srtp.roc) << 16) | l.seq;
     l.srtp.ctr_xor(l.ssrc, index, f + kHdr, psz_);
     l.srtp.auth_tag(f, flen, l.srtp.roc, f + flen);
@@ -451,8 +551,10 @@ class RtpRx {
   void map_ssrc(uint32_t ssrc, int leg) { ssrc_to_leg_[ssrc] = leg; }
 
   int set_srtp(int leg, const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
-               const uint8_t* k_a, int tag_len) {
-    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len, psz_) ? 1 : 0;
+               const uint8_t* k_a, int tag_len, int gcm) {
+    if (gcm && gcm_tmp_.size() < size_t(psz_)) gcm_tmp_.resize(psz_);
+    return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len, psz_,
+                                gcm, /*is_tx=*/0) ? 1 : 0;
   }
 
   uint64_t auth_failures(int leg) const { return legs_[leg].auth_fail; }
@@ -551,25 +653,47 @@ class RtpRx {
     RxLeg& l = legs_[leg];
     uint16_t seq = uint16_t((p[2] << 8) | p[3]);
     uint32_t roc = 0;
+    bool gcm_decrypted = false;
     if (l.srtp.tag_len) {                // verify before touching any state
       if (len < kHdr + psz_ + l.srtp.tag_len) return;
       int alen = len - l.srtp.tag_len;
       roc = est_roc(l.srtp, seq);
-      uint8_t tag[kMaxTag];
-      l.srtp.auth_tag(p, alen, roc, tag);
-      if (memcmp(tag, p + alen, l.srtp.tag_len) != 0) {
-        bool ok = false;                 // resync after long loss: ROC ±1
-        for (uint32_t r : {roc + 1, roc ? roc - 1 : 0}) {
-          l.srtp.auth_tag(p, alen, r, tag);
-          if (memcmp(tag, p + alen, l.srtp.tag_len) == 0) {
-            roc = r;
-            ok = true;
-            break;
+      if (l.srtp.gcm) {
+        // AEAD verify+decrypt into scratch; ROC ±1 resync like the CM path
+        bool ok = l.srtp.gcm_unprotect(ssrc, roc, seq, p, kHdr, psz_,
+                                       gcm_tmp_.data());
+        if (!ok) {
+          for (uint32_t r : {roc + 1, roc ? roc - 1 : 0}) {
+            if (l.srtp.gcm_unprotect(ssrc, r, seq, p, kHdr, psz_,
+                                     gcm_tmp_.data())) {
+              roc = r;
+              ok = true;
+              break;
+            }
           }
         }
         if (!ok) {
           l.auth_fail++;
           return;
+        }
+        gcm_decrypted = true;
+      } else {
+        uint8_t tag[kMaxTag];
+        l.srtp.auth_tag(p, alen, roc, tag);
+        if (memcmp(tag, p + alen, l.srtp.tag_len) != 0) {
+          bool ok = false;               // resync after long loss: ROC ±1
+          for (uint32_t r : {roc + 1, roc ? roc - 1 : 0}) {
+            l.srtp.auth_tag(p, alen, r, tag);
+            if (memcmp(tag, p + alen, l.srtp.tag_len) == 0) {
+              roc = r;
+              ok = true;
+              break;
+            }
+          }
+          if (!ok) {
+            l.auth_fail++;
+            return;
+          }
         }
       }
     }
@@ -586,10 +710,16 @@ class RtpRx {
     slot_seq_[s] = seq;
     slot_valid_[s] = 1;
     uint8_t* dst = slot_data_.data() + s * psz_;
-    memcpy(dst, p + kHdr, psz_);
-    if (l.srtp.tag_len) {                // decrypt in the ring slot
-      uint64_t index = (uint64_t(roc) << 16) | seq;
-      l.srtp.ctr_xor(ssrc, index, dst, psz_);
+    if (gcm_decrypted) {
+      memcpy(dst, gcm_tmp_.data(), psz_);
+    } else {
+      memcpy(dst, p + kHdr, psz_);
+    }
+    if (l.srtp.tag_len) {
+      if (!l.srtp.gcm) {                 // CM: decrypt in the ring slot
+        uint64_t index = (uint64_t(roc) << 16) | seq;
+        l.srtp.ctr_xor(ssrc, index, dst, psz_);
+      }
       // advance the index-estimation anchor (RFC 3711 §3.3.1 update rule)
       if (!l.srtp.have_seq || int16_t(seq - l.srtp.last_seq) > 0 ||
           roc > l.srtp.roc) {
@@ -615,6 +745,7 @@ class RtpRx {
   std::vector<uint8_t> slot_valid_;
   std::vector<uint8_t> slot_data_;
   std::vector<RxLeg> legs_;
+  std::vector<uint8_t> gcm_tmp_;   // AEAD decrypt scratch
   std::vector<uint8_t> bufs_;
   std::vector<uint8_t> ctrl_;
   std::vector<iovec> iov_;
@@ -641,9 +772,10 @@ void ms2_rtptx_set_gso(void* p, int on) {
   static_cast<RtpTx*>(p)->set_gso(on);
 }
 int ms2_rtptx_set_srtp(void* p, int leg, const uint8_t* k_e, int k_e_len,
-                       const uint8_t* k_s, const uint8_t* k_a, int tag_len) {
+                       const uint8_t* k_s, const uint8_t* k_a, int tag_len,
+                       int gcm) {
   return static_cast<RtpTx*>(p)->set_srtp(leg, k_e, k_e_len, k_s, k_a,
-                                          tag_len);
+                                          tag_len, gcm);
 }
 
 void* ms2_rtprx_create(int n_legs, int payload_size, int ring_depth) {
@@ -666,9 +798,10 @@ void ms2_rtprx_stats(void* p, int leg, uint64_t* got, uint64_t* lost,
   static_cast<RtpRx*>(p)->stats(leg, got, lost, late, recv);
 }
 int ms2_rtprx_set_srtp(void* p, int leg, const uint8_t* k_e, int k_e_len,
-                       const uint8_t* k_s, const uint8_t* k_a, int tag_len) {
+                       const uint8_t* k_s, const uint8_t* k_a, int tag_len,
+                       int gcm) {
   return static_cast<RtpRx*>(p)->set_srtp(leg, k_e, k_e_len, k_s, k_a,
-                                          tag_len);
+                                          tag_len, gcm);
 }
 uint64_t ms2_rtprx_auth_failures(void* p, int leg) {
   return static_cast<RtpRx*>(p)->auth_failures(leg);

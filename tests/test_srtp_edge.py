@@ -16,6 +16,7 @@ import pytest
 from mediastreamer2_tpu.native import (rtp_edge_available, BatchRtpTx,
                                        BatchRtpRx)
 from mediastreamer2_tpu.net.srtp import (
+    AEAD_AES_128_GCM, AEAD_AES_256_GCM,
     AES_CM_128_HMAC_SHA1_32, AES_CM_128_HMAC_SHA1_80,
     AES_256_CM_HMAC_SHA1_80, SUITES, SrtpContext)
 
@@ -43,7 +44,9 @@ def _mk_tx(n, port, suite, key, salt, seq0=100):
 
 @pytest.mark.parametrize("suite", [AES_CM_128_HMAC_SHA1_80,
                                    AES_CM_128_HMAC_SHA1_32,
-                                   AES_256_CM_HMAC_SHA1_80])
+                                   AES_256_CM_HMAC_SHA1_80,
+                                   AEAD_AES_128_GCM,
+                                   AEAD_AES_256_GCM])
 def test_native_tx_python_unprotect(suite):
     """Packets protected by the C edge decrypt+authenticate in Python."""
     key, salt = _keys(suite)
@@ -191,4 +194,69 @@ def test_gso_srtp_path():
             np.frombuffer(plain[12:], np.uint8), pay[leg])
         seen += 1
     assert seen == n
+    tx.close(); tx_sock.close(); cap.close()
+
+
+def test_python_tx_native_unprotect_gcm():
+    """AEAD-GCM packets protected by Python land decrypted in the jitter
+    ring; tampering is rejected by the AEAD tag (RFC 7714 via the same
+    dlopen'd libcrypto the DTLS layer negotiates GCM-preferred for)."""
+    suite = AEAD_AES_128_GCM
+    key, salt = _keys(suite, seed=23)
+    rx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx_sock.bind(("127.0.0.1", 0))
+    rx_sock.setblocking(False)
+    port = rx_sock.getsockname()[1]
+    n = 3
+    rx = BatchRtpRx(n, PSZ, ring_depth=64)
+    rx.add_socket(rx_sock)
+    tx_ctx = {}
+    for i in range(n):
+        rx.map_ssrc(0x8000 + i, i)
+        rx.set_prefill(i, 0)
+        rx.set_srtp(i, key, salt, suite)
+        tx_ctx[i] = SrtpContext(key, salt, suite)
+    out_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rng = np.random.default_rng(8)
+    sent = []
+    for tick in range(4):
+        pay = rng.integers(0, 255, (n, PSZ), dtype=np.uint8)
+        sent.append(pay)
+        for i in range(n):
+            hdr = bytes([0x80, 0]) + (300 + tick).to_bytes(2, "big") \
+                + (tick * PSZ).to_bytes(4, "big") \
+                + (0x8000 + i).to_bytes(4, "big")
+            out_sock.sendto(tx_ctx[i].protect(hdr + pay[i].tobytes()),
+                            ("127.0.0.1", port))
+    # one tampered packet for leg 0
+    hdr = bytes([0x80, 0]) + (304).to_bytes(2, "big") + bytes(4) \
+        + (0x8000).to_bytes(4, "big")
+    bad = bytearray(tx_ctx[0].protect(hdr + bytes(PSZ)))
+    bad[30] ^= 1
+    out_sock.sendto(bytes(bad), ("127.0.0.1", port))
+    time.sleep(0.02)
+    rx.poll()
+    for tick in range(4):
+        out, flags = rx.read_tick()
+        assert flags.all(), f"tick {tick}: missing"
+        np.testing.assert_array_equal(out, sent[tick])
+    assert rx.auth_failures(0) == 1          # the tampered one
+    rx.close(); rx_sock.close(); out_sock.close()
+
+
+def test_gcm_roc_rollover_native_tx():
+    suite = AEAD_AES_128_GCM
+    key, salt = _keys(suite, seed=29)
+    cap = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cap.bind(("127.0.0.1", 0))
+    cap.settimeout(2.0)
+    tx, tx_sock = _mk_tx(1, cap.getsockname()[1], suite, key, salt,
+                         seq0=0xFFFE)
+    rx_ctx = SrtpContext(key, salt, suite)
+    pay = np.full((1, PSZ), 0xA5, np.uint8)
+    for tick in range(6):
+        tx.send(pay, ts_inc=PSZ)
+        pkt = cap.recv(2048)
+        assert rx_ctx.unprotect(pkt) is not None, f"tick {tick}"
+    assert rx_ctx.roc[0x2000] == 1
     tx.close(); tx_sock.close(); cap.close()
