@@ -132,9 +132,17 @@ class CallSetup:
         if dest is not None:
             self.sock.sock.sendto(data, dest)
 
+    def attach_turn(self, turn_client):
+        """Register the TURN allocation that produced this call's relay
+        candidate: iterate() then drives its refresh lifecycle (RFC 5766
+        allocation + permission keepalive, ice.c's TURN timers)."""
+        self._turn = turn_client
+
     # -- the per-iterate pump (cf. media_stream_iterate) --------------------
     def iterate(self):
         self.check_list.process()
+        if getattr(self, "_turn", None) is not None:
+            self._turn.maintain()
         self.poll()
         if self.dtls is not None and self.ice.state == IS_COMPLETED:
             if not self.dtls.is_established:

@@ -256,3 +256,33 @@ def test_pair_list_capped():
     for i in range(10):
         cla.add_remote_candidate(Candidate.make(f"10.1.{i}.1", 9000 + i))
     assert len(cla.pairs) <= cla.MAX_PAIRS
+
+
+def test_simultaneous_ice_restart():
+    """RFC 8445 §9 corner: BOTH agents restart at once (new credentials,
+    cleared lists) — e.g. both sides changed networks. The session must
+    re-nominate from scratch without stale-credential deadlock."""
+    net = FakeNet()
+    a, b, cla, clb = run_ice()
+    assert a.state == IS_COMPLETED
+    a.restart()
+    b.restart()
+    a.set_remote_credentials(b.local_ufrag, b.local_pwd)
+    b.set_remote_credentials(a.local_ufrag, a.local_pwd)
+    addr_a, addr_b = ("10.0.0.1", 7000), ("10.0.0.2", 7002)
+    cla.add_remote_candidate(Candidate.make(*addr_b))
+    clb.add_remote_candidate(Candidate.make(*addr_a))
+    net2 = FakeNet()
+    cla.send_fn = net2.sender(0)
+    clb.send_fn = net2.sender(1)
+    t = 100.0
+    for _ in range(30):
+        t += 0.6
+        cla.process(now=t)
+        clb.process(now=t)
+        net2.deliver(cla, clb, addr_a, addr_b)
+        net2.deliver(cla, clb, addr_a, addr_b)
+        if a.state == IS_COMPLETED and b.state == IS_COMPLETED:
+            break
+    assert a.state == IS_COMPLETED and b.state == IS_COMPLETED
+    assert cla.selected is not None and clb.selected is not None
