@@ -664,6 +664,9 @@ class AudioStreamBatch:
                 self._edge_tx.set_srtp(i, mk, ms, srtp_suite)
                 self._edge_rx.set_srtp(i, mk, ms, srtp_suite)
         self._edge_tx.enable_gso(remote)
+        from mediastreamer2_tpu.net.jitter import BatchEdgeJitterController
+        self._edge_jitter_ctrl = BatchEdgeJitterController(
+            self._edge_rx, self.batch, min_prefill=prefill)
         self.batch_edge = True
 
     def set_ptime(self, leg: int, ptime_ms: int):
@@ -1094,6 +1097,10 @@ class AudioStreamBatch:
         app-thread pump: events, RTCP emission, QoS reaction."""
         from mediastreamer2_tpu.models.qos import QosStats
         n = self.ticker.event_queue.pump()
+        if getattr(self, "_edge_jitter_ctrl", None) is not None:
+            # adaptive playout depth for batch-edge legs (oRTP's jitter
+            # adaptation; applied as rx.set_prefill value-reconfig)
+            self._edge_jitter_ctrl.control()
         for leg, bc in getattr(self, "_bwc", {}).items():
             sess = self.sessions[leg]
             if sess is None:

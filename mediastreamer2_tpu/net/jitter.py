@@ -244,3 +244,63 @@ def replay_capture(path: str, jb: JitterBuffer, payload_type=None,
             "late": jb.late, "lost": jb.lost, "underruns": jb.underruns,
             "discarded": jb.discarded, "stretched": jb.stretched,
             "depth_target": jb._depth_target}
+
+
+class BatchEdgeJitterController:
+    """Adaptive playout depth for the NATIVE batched edge (rtp_edge.cpp).
+
+    The C jitter ring is deliberately dumb — fixed per-leg packet prefill,
+    seq-keyed slots — and all adaptation stays in Python, applied as
+    value-reconfig via rx.set_prefill (the design split documented at the
+    top of rtp_edge.cpp).  This controller is the steady-state half of
+    oRTP's adaptive buffer for batch legs: per control interval it reads
+    each leg's cumulative (lost, late, got) counters and walks prefill
+
+    * UP   when misses appear (late arrivals / jitter-induced holes):
+           +1 packet per interval with misses, up to `max_prefill`;
+    * DOWN after `shrink_after` consecutive clean intervals: -1 packet,
+           down to `min_prefill` (recovering latency the way the
+           reference shrinks when the late-quantile allows).
+
+    set_prefill() resyncs the leg (one refill gap), so shrink decisions
+    are deliberately slow — exactly the basic-algorithm bias of the
+    reference's jitter control.
+    """
+
+    def __init__(self, rx, n_legs: int, min_prefill: int = 2,
+                 max_prefill: int = 24, shrink_after: int = 10):
+        self.rx = rx
+        self.n = n_legs
+        self.min_prefill = min_prefill
+        self.max_prefill = max_prefill
+        self.shrink_after = shrink_after
+        self.prefill = [min_prefill] * n_legs
+        self._last = [(0, 0) for _ in range(n_legs)]   # (lost, late)
+        self._clean = [0] * n_legs
+        for i in range(n_legs):
+            rx.set_prefill(i, min_prefill)
+
+    def control(self) -> int:
+        """Run one control pass; returns the number of legs adjusted."""
+        changed = 0
+        for i in range(self.n):
+            st = self.rx.stats(i)
+            lost, late = st["lost"], st["late"]
+            d_lost = lost - self._last[i][0]
+            d_late = late - self._last[i][1]
+            self._last[i] = (lost, late)
+            if d_lost + d_late > 0:
+                self._clean[i] = 0
+                if self.prefill[i] < self.max_prefill:
+                    self.prefill[i] += 1
+                    self.rx.set_prefill(i, self.prefill[i])
+                    changed += 1
+            else:
+                self._clean[i] += 1
+                if self._clean[i] >= self.shrink_after \
+                        and self.prefill[i] > self.min_prefill:
+                    self._clean[i] = 0
+                    self.prefill[i] -= 1
+                    self.rx.set_prefill(i, self.prefill[i])
+                    changed += 1
+        return changed

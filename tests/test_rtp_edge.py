@@ -244,3 +244,50 @@ def test_batch_edge_dtx_mask(factory):
     # packets flowed during speech, stopped during silence
     assert 40 <= st["recv"] <= 90, st
     a_sock.close(); b_sock.close()
+
+
+def test_batch_edge_adaptive_prefill():
+    """BatchEdgeJitterController: delivery stalls deeper than the playout
+    cushion grow the prefill; sustained clean intervals shrink it back —
+    oRTP's adaptive jitter buffer for native batch legs, applied as
+    value-reconfig (rx.set_prefill) only."""
+    from mediastreamer2_tpu.net.jitter import BatchEdgeJitterController
+    n = 2
+    tx, rx, s1, s2 = _mk_pair(n, prefill=2)
+    ctrl = BatchEdgeJitterController(rx, n, min_prefill=1, max_prefill=12,
+                                     shrink_after=4)
+    pay = np.zeros((n, PSZ), np.uint8)
+
+    def clean_ticks(k, control_every=10):
+        for t in range(k):
+            tx.send(pay, ts_inc=PSZ)
+            time.sleep(0.0005)
+            rx.poll()
+            rx.read_tick()
+            if t % control_every == control_every - 1:
+                ctrl.control()
+
+    def stall_cycle():
+        """Withhold 4 sends while reads continue (starves any cushion
+        shallower than 4), then deliver the burst."""
+        for _ in range(4):
+            rx.poll()
+            rx.read_tick()
+        for _ in range(4):
+            tx.send(pay, ts_inc=PSZ)
+        time.sleep(0.002)
+        rx.poll()
+        rx.read_tick()
+        ctrl.control()
+
+    clean_ticks(20)
+    base = max(ctrl.prefill)
+    for _ in range(6):
+        stall_cycle()
+        clean_ticks(10, control_every=100)   # re-prime between stalls
+    grown = max(ctrl.prefill)
+    assert grown > base, (base, grown)       # depth adapted UP under stalls
+    for _ in range(10):                      # long clean run shrinks back
+        clean_ticks(10)
+    assert max(ctrl.prefill) < grown         # depth recovered DOWN
+    s1.close(); s2.close(); tx.close(); rx.close()
