@@ -60,3 +60,28 @@ def test_soak_2000_ticks_features_toggling(factory):
     assert len(rx.dtmf_received) >= 3
     # streams stayed alive the whole time
     assert sess.alive(timeout_s=5.0)
+
+
+@pytest.mark.slow
+def test_soak_encrypted_conference_long_run(factory):
+    """Long-run stability of the encrypted batch-edge conference: 3,000
+    ticks (30 s of media) of SRTP-protected self-looped legs — no auth
+    failures, no counter drift, no ring leaks, fidelity intact at the end
+    (the deployment loop run long enough to catch slow leaks/drift)."""
+    import socket
+    import numpy as np
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
+    b = E2EConferenceBench(Factory(), 16, k_block=10, pipeline_depth=2,
+                           srtp=True)
+    try:
+        res = b.run(n_blocks=300, paced=False)       # 3,000 ticks
+        assert res.auth_failures == 0
+        assert res.loss_rate < 0.01, res.loss_rate
+        assert res.fidelity >= 0.95, res.fidelity
+        # per-leg counters stayed sane over the whole run
+        for i in range(16):
+            st = b.rx.stats(i)
+            assert st["late"] <= st["recv"] * 0.02, (i, st)
+    finally:
+        b.close()
