@@ -193,9 +193,13 @@ struct SrtpLeg {
       c.sha1_init(&outer);
       c.sha1_update(&outer, pad, 64);
     }
+    // mid-call REKEY keeps the packet-index state: RFC 3711 ROC continues
+    // across key changes on the same stream (only a fresh session resets)
+    if (!tag_len) {
+      roc = 0;
+      have_seq = 0;
+    }
     tag_len = uint8_t(tlen);
-    roc = 0;
-    have_seq = 0;
     return true;
   }
 

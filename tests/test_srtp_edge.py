@@ -260,3 +260,35 @@ def test_gcm_roc_rollover_native_tx():
         assert rx_ctx.unprotect(pkt) is not None, f"tick {tick}"
     assert rx_ctx.roc[0x2000] == 1
     tx.close(); tx_sock.close(); cap.close()
+
+
+def test_mid_call_rekey_preserves_roc():
+    """RFC 3711: the ROC continues across a mid-call REKEY of the same
+    stream — a rekey after a seq wrap must not reset the packet index or
+    every subsequent packet fails auth at a compliant receiver."""
+    suite = AES_CM_128_HMAC_SHA1_80
+    key1, salt1 = _keys(suite, seed=31)
+    key2, salt2 = _keys(suite, seed=37)
+    cap = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    cap.bind(("127.0.0.1", 0))
+    cap.settimeout(2.0)
+    tx, tx_sock = _mk_tx(1, cap.getsockname()[1], suite, key1, salt1,
+                         seq0=0xFFFE)
+    rx_ctx = SrtpContext(key1, salt1, suite)
+    pay = np.full((1, PSZ), 0x11, np.uint8)
+    for _ in range(4):                   # cross the 16-bit boundary (ROC=1)
+        tx.send(pay, ts_inc=PSZ)
+        assert rx_ctx.unprotect(cap.recv(2048)) is not None
+    assert rx_ctx.roc[0x2000] == 1
+    # REKEY mid-call: the Python receiver context keeps its ROC tracking;
+    # the native sender must advertise index (ROC=1)<<16|seq with the NEW
+    # keys or auth fails here
+    tx.set_srtp(0, key2, salt2, suite)
+    rx2 = SrtpContext(key2, salt2, suite)
+    rx2.roc[0x2000] = 1                  # signalling carries the index
+    rx2.last_seq[0x2000] = 2
+    for _ in range(3):
+        tx.send(pay, ts_inc=PSZ)
+        assert rx2.unprotect(cap.recv(2048)) is not None, \
+            "rekey reset the ROC"
+    tx.close(); tx_sock.close(); cap.close()
