@@ -109,7 +109,8 @@ class E2EConferenceBench:
 
     def __init__(self, factory, n_legs: int, k_block: int = 16,
                  pipeline_depth: int = 2, conf_size: int = 4,
-                 rate: int = 48000, seed: int = 0, srtp: bool = False):
+                 rate: int = 48000, seed: int = 0, srtp: bool = False,
+                 srtp_suite: str = "AES_CM_128_HMAC_SHA1_80"):
         import jax
         import jax.numpy as jnp
         from mediastreamer2_tpu.ops.g711 import (ulaw_decode, ulaw_encode,
@@ -177,14 +178,17 @@ class E2EConferenceBench:
         # protection). Self-loop => leg i's tx and rx share key material.
         self.srtp = srtp
         key_rng = np.random.default_rng(seed + 1)
+        if srtp:
+            from mediastreamer2_tpu.net.srtp import SUITES
+            _, klen, slen, _ = SUITES[srtp_suite]
         for i in range(n_legs):
             self.tx.config(i, "127.0.0.1", port, ssrc=i, pt=0)
             self.rx.map_ssrc(i, i)
             self.rx.set_prefill(i, self.prefill)
             if srtp:
-                mk, ms = key_rng.bytes(16), key_rng.bytes(14)
-                self.tx.set_srtp(i, mk, ms)
-                self.rx.set_srtp(i, mk, ms)
+                mk, ms = key_rng.bytes(klen), key_rng.bytes(slen)
+                self.tx.set_srtp(i, mk, ms, srtp_suite)
+                self.rx.set_srtp(i, mk, ms, srtp_suite)
         self.tx.enable_gso(("127.0.0.1", port))
         self._socks = (tx_sock, rx_sock)
         self._sent_probe: list = []
