@@ -292,3 +292,56 @@ def test_mid_call_rekey_preserves_roc():
         assert rx2.unprotect(cap.recv(2048)) is not None, \
             "rekey reset the ROC"
     tx.close(); tx_sock.close(); cap.close()
+
+
+def test_native_rx_survives_garbage_flood():
+    """The C insert path parses attacker-controlled bytes: flood the rx
+    socket with random garbage, truncated SRTP, wrong versions, tiny and
+    huge datagrams — nothing crashes, nothing unauthenticated reaches the
+    ring, counters stay coherent."""
+    import os as _os
+    suite = AES_CM_128_HMAC_SHA1_80
+    key, salt = _keys(suite, seed=41)
+    rx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx_sock.bind(("127.0.0.1", 0))
+    rx_sock.setblocking(False)
+    port = rx_sock.getsockname()[1]
+    rx = BatchRtpRx(1, PSZ, ring_depth=64)
+    rx.add_socket(rx_sock)
+    rx.map_ssrc(0x9000, 0)
+    rx.set_prefill(0, 0)
+    rx.set_srtp(0, key, salt, suite)
+    out_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rng = np.random.default_rng(4)
+    ssrc_bytes = (0x9000).to_bytes(4, "big")
+    for i in range(400):
+        kind = i % 5
+        if kind == 0:                        # pure noise, random length
+            data = rng.bytes(int(rng.integers(0, 300)))
+        elif kind == 1:                      # right SSRC, garbage rest
+            data = bytes([0x80, 0]) + rng.bytes(6) + ssrc_bytes \
+                + rng.bytes(PSZ + 10)
+        elif kind == 2:                      # truncated (header only)
+            data = bytes([0x80, 0]) + rng.bytes(6) + ssrc_bytes
+        elif kind == 3:                      # wrong RTP version
+            data = bytes([0x40]) + rng.bytes(12 + PSZ + 9)
+        else:                                # oversized datagram
+            data = bytes([0x80, 0]) + rng.bytes(6) + ssrc_bytes \
+                + rng.bytes(1400)
+        out_sock.sendto(data, ("127.0.0.1", port))
+    time.sleep(0.05)
+    rx.poll()
+    _, flags = rx.read_tick()
+    assert not flags.any()                   # nothing authenticated
+    st = rx.stats(0)
+    assert st["got"] == 0 and st["recv"] == 0
+    assert rx.auth_failures(0) > 0           # right-shaped fakes were tried
+    # a genuine packet still goes through after the flood
+    ctx = SrtpContext(key, salt, suite)
+    hdr = bytes([0x80, 0]) + (7).to_bytes(2, "big") + bytes(4) + ssrc_bytes
+    out_sock.sendto(ctx.protect(hdr + bytes(PSZ)), ("127.0.0.1", port))
+    time.sleep(0.02)
+    rx.poll()
+    out, flags = rx.read_tick()
+    assert flags.all()
+    rx.close(); rx_sock.close(); out_sock.close()
