@@ -118,3 +118,30 @@ def test_dtls_fingerprint_verified():
     with pytest.raises(AssertionError):
         a.media_transport()
     a.close(); b.close()
+
+
+def test_trickle_ice_call_setup():
+    """RFC 8838 at the CallSetup surface: the answer arrives with ZERO
+    candidates (trickle mode), checks idle without failing, then the real
+    candidate trickles in via add_candidate() and the call completes;
+    end_of_candidates() makes later exhaustion final."""
+    a = CallSetup(controlling=True)
+    b = CallSetup(controlling=False)
+    a.set_remote(*b.local_credentials(), [], trickle=True)
+    b.set_remote(*a.local_credentials(), [], trickle=True)
+    for _ in range(20):                    # nothing to check yet: stays open
+        a.iterate(); b.iterate()
+        time.sleep(0.005)
+    from mediastreamer2_tpu.net.ice import IS_FAILED
+    assert a.ice.state != IS_FAILED and b.ice.state != IS_FAILED
+    # candidates trickle in
+    a.add_candidate("127.0.0.1", b.sock.local_port)
+    b.add_candidate("127.0.0.1", a.sock.local_port)
+    a.end_of_candidates(); b.end_of_candidates()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and not (a.ready and b.ready):
+        a.iterate(); b.iterate()
+        time.sleep(0.02)
+    assert a.ready and b.ready
+    assert a.check_list.selected is not None
+    a.close(); b.close()
