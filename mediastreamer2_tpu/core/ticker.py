@@ -84,6 +84,7 @@ class Ticker:
         self._stop = threading.Event()
         self._mutations: list = []
         self._mut_lock = threading.Lock()
+        self._tick_lock = threading.RLock()
         self._inflight: list = []    # [(tick, ext_out_futures, ev_futures)]
         # async_publish=True moves the forced device->host readback AND the
         # io_push callback (host codec work, for video legs) onto one
@@ -136,6 +137,14 @@ class Ticker:
         return ext_out
 
     def do_tick(self) -> Dict:
+        # one tick at a time: a caller manually ticking while the start()ed
+        # run-thread also ticks must serialize — concurrent ticks ran two
+        # threads into the same io_push host codec contexts (observed as an
+        # intermittent libvpx segfault under the full test suite)
+        with self._tick_lock:
+            return self._do_tick_locked()
+
+    def _do_tick_locked(self) -> Dict:
         with self._mut_lock:
             muts, self._mutations = self._mutations, []
         for fn in muts:

@@ -390,6 +390,7 @@ def test_player_playing_twice(factory, tmp_path):
         chunks = []
         mp.set_output(lambda blk: chunks.append(blk))
         mp.start()
+        mp.ticker.stop()                 # tick manually below (one driver)
         mp.ticker.realtime = False
         for _ in range(110):
             mp.ticker.do_tick()
@@ -456,6 +457,7 @@ def test_link_video_av_call_recording(factory, tmp_path):
     chunks = []
     mp.set_output(lambda blk: chunks.append(blk))
     mp.start()
+    mp.ticker.stop()                     # tick manually below (one driver)
     mp.ticker.realtime = False
     for _ in range(ticks + 20):
         mp.ticker.do_tick()
