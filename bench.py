@@ -381,20 +381,33 @@ def tpu_correctness() -> dict:
     # NOTE: this briefly runs a second TPU client beside the bench process
     # (worked on this tunnel; the single-lease risk is accepted because it
     # is the LAST device work of the run). Never let an exception here
-    # discard the results already measured.
+    # discard the results already measured — and NEVER SIGKILL the child:
+    # a TPU client killed mid-compile leaves a stale device claim that
+    # wedges the tunnel 10-20+ min (CLAUDE.md). On timeout, SIGTERM and
+    # wait for a natural exit.
     try:
-        r = subprocess.run([sys.executable, "-u", tool], capture_output=True,
-                           text=True, timeout=1800)
-    except subprocess.TimeoutExpired:
-        return {"error": "timeout"}
+        proc = subprocess.Popen([sys.executable, "-u", tool],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
     except Exception as e:                       # noqa: BLE001
         return {"error": f"{type(e).__name__}: {e}"[:200]}
-    for line in reversed(r.stdout.strip().splitlines()):
+    try:
+        stdout, _ = proc.communicate(timeout=1800)
+    except subprocess.TimeoutExpired:
+        proc.terminate()                         # graceful: SIGTERM only
+        try:
+            stdout, _ = proc.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            # still alive: leave it to finish on its own rather than
+            # SIGKILL a client that may hold the device lease mid-compile
+            return {"error": "timeout (child left to exit naturally)"}
+        return {"error": "timeout (terminated gracefully)"}
+    for line in reversed((stdout or "").strip().splitlines()):
         try:
             return json.loads(line)
         except ValueError:
             continue
-    return {"error": "no output", "rc": r.returncode}
+    return {"error": "no output", "rc": proc.returncode}
 
 
 def main():

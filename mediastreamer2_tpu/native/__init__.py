@@ -164,6 +164,8 @@ def _ensure_rtp_built() -> Optional[ctypes.CDLL]:
         lib.ms2_rtprx_set_srtp.argtypes = srtp_args
         lib.ms2_rtprx_auth_failures.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.ms2_rtprx_auth_failures.restype = ctypes.c_uint64
+        lib.ms2_rtprx_replay_drops.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ms2_rtprx_replay_drops.restype = ctypes.c_uint64
         _rtp_lib = lib
         return _rtp_lib
 
@@ -300,6 +302,12 @@ class BatchRtpRx:
 
     def auth_failures(self, leg: int) -> int:
         return self._lib.ms2_rtprx_auth_failures(self._h, leg)
+
+    def replay_drops(self, leg: int) -> int:
+        """Authenticated-but-replayed packets rejected by the RFC 3711
+        §3.3.2 sliding window (cf. libsrtp2's srtp_unprotect replay list,
+        which the reference inherits via ms_srtp.cpp)."""
+        return self._lib.ms2_rtprx_replay_drops(self._h, leg)
 
     def poll(self) -> int:
         return self._lib.ms2_rtprx_poll(self._h)

@@ -154,6 +154,35 @@ struct SrtpLeg {
   uint32_t roc = 0;
   uint16_t last_seq = 0;
   uint8_t have_seq = 0;
+  // RFC 3711 §3.3.2 replay list (rx only): 64-entry sliding bitmap over the
+  // 48-bit packet index. The reference gets this from libsrtp2's
+  // srtp_unprotect (ms_srtp.cpp rx path); here it runs after auth succeeds
+  // and before the jitter-ring insert.
+  uint64_t replay_top = 0;               // highest authenticated index
+  uint64_t replay_mask = 0;              // bit d = (replay_top - d) seen
+  uint8_t replay_started = 0;
+
+  // Returns true if `index` is fresh (and marks it seen); false = replay.
+  bool replay_check(uint64_t index) {
+    if (!replay_started) {
+      replay_started = 1;
+      replay_top = index;
+      replay_mask = 1;
+      return true;
+    }
+    if (index > replay_top) {
+      uint64_t shift = index - replay_top;
+      replay_mask = shift >= 64 ? 0 : replay_mask << shift;
+      replay_mask |= 1;
+      replay_top = index;
+      return true;
+    }
+    uint64_t delta = replay_top - index;
+    if (delta >= 64) return false;       // older than the window: reject
+    if (replay_mask & (uint64_t(1) << delta)) return false;  // seen
+    replay_mask |= uint64_t(1) << delta;
+    return true;
+  }
 
   static constexpr int kMaxCtrBlocks = 64;
 
@@ -198,6 +227,8 @@ struct SrtpLeg {
     if (!tag_len) {
       roc = 0;
       have_seq = 0;
+      replay_started = 0;
+      replay_top = replay_mask = 0;
     }
     tag_len = uint8_t(tlen);
     return true;
@@ -520,6 +551,7 @@ struct RxLeg {
   uint8_t prefill = 2;                   // packets buffered before playout
   uint8_t warmup_left = 0;
   uint64_t got = 0, lost = 0, late = 0, recv = 0, auth_fail = 0;
+  uint64_t replay_drops = 0;
   SrtpLeg srtp;
 };
 
@@ -562,6 +594,8 @@ class RtpRx {
   }
 
   uint64_t auth_failures(int leg) const { return legs_[leg].auth_fail; }
+
+  uint64_t replay_drops(int leg) const { return legs_[leg].replay_drops; }
 
   void set_prefill(int leg, int k) {
     legs_[leg].prefill = uint8_t(k);
@@ -662,15 +696,21 @@ class RtpRx {
       if (len < kHdr + psz_ + l.srtp.tag_len) return;
       int alen = len - l.srtp.tag_len;
       roc = est_roc(l.srtp, seq);
+      // resync-after-long-loss candidates: roc+1 always; roc-1 only when
+      // it differs from the roc already tried (roc=0 would retry 0)
+      uint32_t retry[2];
+      int n_retry = 0;
+      retry[n_retry++] = roc + 1;
+      if (roc > 0) retry[n_retry++] = roc - 1;
       if (l.srtp.gcm) {
         // AEAD verify+decrypt into scratch; ROC ±1 resync like the CM path
         bool ok = l.srtp.gcm_unprotect(ssrc, roc, seq, p, kHdr, psz_,
                                        gcm_tmp_.data());
         if (!ok) {
-          for (uint32_t r : {roc + 1, roc ? roc - 1 : 0}) {
-            if (l.srtp.gcm_unprotect(ssrc, r, seq, p, kHdr, psz_,
+          for (int ri = 0; ri < n_retry; ri++) {
+            if (l.srtp.gcm_unprotect(ssrc, retry[ri], seq, p, kHdr, psz_,
                                      gcm_tmp_.data())) {
-              roc = r;
+              roc = retry[ri];
               ok = true;
               break;
             }
@@ -685,11 +725,11 @@ class RtpRx {
         uint8_t tag[kMaxTag];
         l.srtp.auth_tag(p, alen, roc, tag);
         if (memcmp(tag, p + alen, l.srtp.tag_len) != 0) {
-          bool ok = false;               // resync after long loss: ROC ±1
-          for (uint32_t r : {roc + 1, roc ? roc - 1 : 0}) {
-            l.srtp.auth_tag(p, alen, r, tag);
+          bool ok = false;
+          for (int ri = 0; ri < n_retry; ri++) {
+            l.srtp.auth_tag(p, alen, retry[ri], tag);
             if (memcmp(tag, p + alen, l.srtp.tag_len) == 0) {
-              roc = r;
+              roc = retry[ri];
               ok = true;
               break;
             }
@@ -699,6 +739,12 @@ class RtpRx {
             return;
           }
         }
+      }
+      // authenticated: reject replays before any state is touched
+      // (RFC 3711 §3.3.2; the reference relies on libsrtp2's replay list)
+      if (!l.srtp.replay_check((uint64_t(roc) << 16) | seq)) {
+        l.replay_drops++;
+        return;
       }
     }
     l.recv++;
@@ -809,6 +855,9 @@ int ms2_rtprx_set_srtp(void* p, int leg, const uint8_t* k_e, int k_e_len,
 }
 uint64_t ms2_rtprx_auth_failures(void* p, int leg) {
   return static_cast<RtpRx*>(p)->auth_failures(leg);
+}
+uint64_t ms2_rtprx_replay_drops(void* p, int leg) {
+  return static_cast<RtpRx*>(p)->replay_drops(leg);
 }
 
 }  // extern "C"

@@ -94,6 +94,7 @@ class IceCheckList:
             Candidate.make(local_addr[0], local_addr[1], "host")]
         self.remote_candidates: List[Candidate] = []
         self.pairs: List[CandidatePair] = []
+        self._pruned_keys: set = set()   # (local, remote) never re-formed
         self.state = IS_RUNNING
         self.selected: Optional[CandidatePair] = None
         self._last_keepalive = time.monotonic()
@@ -134,7 +135,11 @@ class IceCheckList:
     MAX_PAIRS = 100                       # RFC 8445 §6.1.2.5 cap
 
     def _form_pairs(self):
+        # pruned combinations are remembered so later candidate additions
+        # do not re-create them as fresh frozen pairs (which would re-sort,
+        # re-prune and possibly re-unfreeze them every trickle arrival)
         existing = {(p.local, p.remote) for p in self.pairs}
+        existing |= self._pruned_keys
         for l in self.local_candidates:
             for r in self.remote_candidates:
                 if l.component == r.component and (l, r) not in existing:
@@ -158,6 +163,7 @@ class IceCheckList:
                                                     p.local.port)
             key = (lb, p.remote.host, p.remote.port, p.local.component)
             if key in seen:
+                self._pruned_keys.add((p.local, p.remote))
                 continue                  # redundant lower-priority pair
             seen[key] = p
             kept.append(p)
@@ -165,6 +171,9 @@ class IceCheckList:
             # drop only FROZEN pairs beyond the cap — active checks are
             # never killed, so the list may transiently exceed MAX_PAIRS
             # by however many non-frozen pairs sit past the boundary
+            for p in kept[self.MAX_PAIRS:]:
+                if p.state == "frozen":
+                    self._pruned_keys.add((p.local, p.remote))
             kept = kept[:self.MAX_PAIRS] + \
                 [p for p in kept[self.MAX_PAIRS:] if p.state != "frozen"]
         self.pairs = kept
@@ -393,5 +402,6 @@ class IceSession:
         for cl in self.check_lists:
             cl.pairs.clear()
             cl.remote_candidates.clear()
+            cl._pruned_keys.clear()
             cl.state = IS_RUNNING
             cl.selected = None

@@ -287,8 +287,19 @@ class H264Decoder:
         ctx = _av.avcodec_alloc_context3(ctypes.c_void_p(codec))
         if extradata:
             # out-of-band codec config (Theora headers etc.): install an
-            # av_malloc'd copy before open2 at the probed offsets
+            # av_malloc'd copy before open2 at the probed offsets.
+            # Layout gate: a freshly-allocated context has extradata=NULL /
+            # extradata_size=0, so the probed slots must read as zero BEFORE
+            # the write and read back exactly what was written AFTER — a
+            # lavc layout drift degrades to "unavailable" instead of
+            # corrupting adjacent AVCodecContext fields before open2.
             p_off, s_off = _extradata_offsets(off)
+            if _rptr(ctx, p_off) or _r32(ctx, s_off) != 0:
+                _av.avcodec_free_context(
+                    ctypes.byref(ctypes.c_void_p(ctx)))
+                raise RuntimeError(
+                    "extradata offsets implausible (lavc layout drift); "
+                    "out-of-band codec config unavailable")
             _avu.av_malloc.restype = ctypes.c_void_p
             buf = _avu.av_malloc(len(extradata) + 64)
             ctypes.memmove(buf, extradata, len(extradata))
@@ -296,6 +307,8 @@ class H264Decoder:
             ctypes.cast(ctx + p_off,
                         ctypes.POINTER(ctypes.c_void_p))[0] = buf
             _w32(ctx, s_off, len(extradata))
+            if _rptr(ctx, p_off) != buf or _r32(ctx, s_off) != len(extradata):
+                raise RuntimeError("extradata install readback mismatch")
         if _av.avcodec_open2(ctypes.c_void_p(ctx), ctypes.c_void_p(codec),
                              None) != 0:
             raise RuntimeError(

@@ -286,3 +286,35 @@ def test_simultaneous_ice_restart():
             break
     assert a.state == IS_COMPLETED and b.state == IS_COMPLETED
     assert cla.selected is not None and clb.selected is not None
+
+
+def test_pruned_pairs_not_reformed_on_trickle():
+    """A pruned (redundant or over-cap) pair must stay pruned: later
+    trickled candidates must not re-create it as a fresh frozen pair
+    (O(n^2) churn) nor let the list creep past MAX_PAIRS via re-created
+    duplicates getting unfrozen."""
+    cla = IceSession(controlling=True).add_check_list(
+        lambda a, d: None, ("10.0.0.1", 7000))
+    cla.add_remote_candidate(Candidate.make("10.0.0.2", 2000))
+    cla.add_local_candidate(Candidate.make("10.0.0.1", 7000))
+    # redundant srflx pair (same base) is pruned on arrival
+    srflx = Candidate.make("198.51.100.7", 31000, "srflx",
+                           base=("10.0.0.1", 7000))
+    cla.add_local_candidate(srflx)
+    assert all(p.local is not srflx for p in cla.pairs)
+    # trickle more remotes: the pruned srflx pair must NOT reappear for
+    # the original remote, and the list stays capped
+    for i in range(40):
+        cla.add_remote_candidate(Candidate.make(f"10.1.{i}.1", 9000 + i))
+    first_remote = cla.remote_candidates[0]
+    assert not any(p.local is srflx and p.remote is first_remote
+                   for p in cla.pairs)
+    assert len(cla.pairs) <= cla.MAX_PAIRS
+    # identity check: pair objects for surviving combos are stable across
+    # trickle arrivals (no delete-and-recreate churn)
+    before = {(p.local, p.remote): id(p) for p in cla.pairs}
+    cla.add_remote_candidate(Candidate.make("10.2.0.1", 9500))
+    for p in cla.pairs:
+        key = (p.local, p.remote)
+        if key in before:
+            assert id(p) == before[key], "pair was re-created"

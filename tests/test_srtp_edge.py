@@ -345,3 +345,58 @@ def test_native_rx_survives_garbage_flood():
     out, flags = rx.read_tick()
     assert flags.all()
     rx.close(); rx_sock.close(); out_sock.close()
+
+
+@pytest.mark.parametrize("suite", [AES_CM_128_HMAC_SHA1_80,
+                                   AEAD_AES_128_GCM])
+def test_native_rx_rejects_replay(suite):
+    """RFC 3711 §3.3.2: a correctly-authenticated packet captured off the
+    wire and replayed must NOT re-enter the jitter ring (the reference
+    inherits this from libsrtp2's replay list in srtp_unprotect)."""
+    key, salt = _keys(suite, seed=43)
+    rx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx_sock.bind(("127.0.0.1", 0))
+    rx_sock.setblocking(False)
+    port = rx_sock.getsockname()[1]
+    rx = BatchRtpRx(1, PSZ, ring_depth=64)
+    rx.add_socket(rx_sock)
+    rx.map_ssrc(0x5000, 0)
+    rx.set_prefill(0, 0)
+    rx.set_srtp(0, key, salt, suite)
+    ctx = SrtpContext(key, salt, suite)
+    out_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    wire = []
+    rng = np.random.default_rng(6)
+    pays = rng.integers(0, 255, (3, PSZ), dtype=np.uint8)
+    for k in range(3):
+        hdr = bytes([0x80, 0]) + (900 + k).to_bytes(2, "big") \
+            + (k * PSZ).to_bytes(4, "big") + (0x5000).to_bytes(4, "big")
+        pkt = ctx.protect(hdr + pays[k].tobytes())
+        wire.append(pkt)
+        out_sock.sendto(pkt, ("127.0.0.1", port))
+    time.sleep(0.02)
+    rx.poll()
+    for k in range(3):
+        out, flags = rx.read_tick()
+        assert flags.all()
+        np.testing.assert_array_equal(out[0], pays[k])
+    # replay all three captured packets: authenticated, but dropped
+    for pkt in wire:
+        out_sock.sendto(pkt, ("127.0.0.1", port))
+    time.sleep(0.02)
+    rx.poll()
+    _, flags = rx.read_tick()
+    assert not flags.any(), "replayed packet reached the ring"
+    assert rx.replay_drops(0) == 3
+    assert rx.auth_failures(0) == 0      # replays are not auth failures
+    # fresh traffic still flows after the replay burst (the empty
+    # read_tick above advanced playout by one -> next expected seq is 904)
+    hdr = bytes([0x80, 0]) + (904).to_bytes(2, "big") \
+        + (4 * PSZ).to_bytes(4, "big") + (0x5000).to_bytes(4, "big")
+    out_sock.sendto(ctx.protect(hdr + pays[0].tobytes()), ("127.0.0.1", port))
+    time.sleep(0.02)
+    rx.poll()
+    out, flags = rx.read_tick()
+    assert flags.all()
+    np.testing.assert_array_equal(out[0], pays[0])
+    rx.close(); rx_sock.close(); out_sock.close()
