@@ -190,6 +190,17 @@ class E2EConferenceBench:
                 self.tx.set_srtp(i, mk, ms, srtp_suite)
                 self.rx.set_srtp(i, mk, ms, srtp_suite)
         self.tx.enable_gso(("127.0.0.1", port))
+        # Shard the edge (pack+SRTP+syscalls each way) across host worker
+        # threads when cores are available — the batched analogue of the
+        # reference's one-ticker-thread-per-stream scaling (msticker.c:448).
+        # MS2TPU_EDGE_THREADS overrides; 1-core hosts stay single-threaded.
+        import os as _os
+        t = int(_os.environ.get("MS2TPU_EDGE_THREADS", "0")) \
+            or min(8, _os.cpu_count() or 1)
+        self.edge_threads = t
+        if t > 1:
+            self.tx.set_threads(t)
+            self.rx.set_threads(t)
         self._socks = (tx_sock, rx_sock)
         self._sent_probe: list = []
         self._recv_probe: list = []

@@ -144,6 +144,8 @@ def _ensure_rtp_built() -> Optional[ctypes.CDLL]:
         lib.ms2_rtptx_send.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_void_p, ctypes.c_uint32]
         lib.ms2_rtptx_set_gso.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ms2_rtptx_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ms2_rtprx_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.ms2_rtprx_create.restype = ctypes.c_void_p
         lib.ms2_rtprx_create.argtypes = [ctypes.c_int] * 3
         lib.ms2_rtprx_destroy.argtypes = [ctypes.c_void_p]
@@ -222,6 +224,15 @@ class BatchRtpTx:
         if not self._lib.ms2_rtptx_set_srtp(self._h, leg, k_e, len(k_e),
                                             k_s, k_a, tag, gcm):
             raise RuntimeError("native SRTP init failed (libcrypto missing?)")
+
+    def set_threads(self, t: int):
+        """Shard pack+protect+send over `t` native worker threads (legs
+        partitioned into contiguous ranges, per-leg state touched by one
+        worker only). Parity: the reference's per-stream ticker threads
+        each run their own libsrtp protect + sendto (msticker.c:448,
+        ms_srtp.cpp:475) so its crypto scales with cores by construction;
+        here the batched call is sharded to reach the same scaling."""
+        self._lib.ms2_rtptx_set_threads(self._h, t)
 
     def enable_gso(self, remote):
         """Single-destination fast path: connect() the socket and let the
@@ -308,6 +319,11 @@ class BatchRtpRx:
         §3.3.2 sliding window (cf. libsrtp2's srtp_unprotect replay list,
         which the reference inherits via ms_srtp.cpp)."""
         return self._lib.ms2_rtprx_replay_drops(self._h, leg)
+
+    def set_threads(self, t: int):
+        """Shard verify+decrypt+insert and playout over `t` native worker
+        threads (packets partitioned by leg)."""
+        self._lib.ms2_rtprx_set_threads(self._h, t)
 
     def poll(self) -> int:
         return self._lib.ms2_rtprx_poll(self._h)

@@ -18,9 +18,14 @@
 //
 // C ABI only (ctypes; no pybind11 in this image). Built by native/__init__.py.
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <memory>
+#include <mutex>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -43,6 +48,80 @@ namespace {
 
 constexpr int kHdr = 12;
 constexpr int kMmsgChunk = 512;
+
+// ---------------------------------------------------------------------------
+// WorkPool: persistent worker threads for leg-partitioned edge work.
+//
+// Role parity: the reference scales across host cores for free — one ticker
+// THREAD per stream (src/base/msticker.c:448) runs header packing, libsrtp
+// crypto and socket syscalls inside that stream's thread. The batched edge
+// concentrates N legs' work into one call per tick, so to use >1 core it
+// must shard the call: T workers each own a disjoint leg partition (their
+// per-leg seq/ts/SRTP contexts are touched by exactly one worker, so the
+// hot path stays lock-free). Syscalls (sendmmsg/sendmsg on one fd) are
+// kernel-serialized and thread-safe.
+// ---------------------------------------------------------------------------
+class WorkPool {
+ public:
+  explicit WorkPool(int n_workers) : n_(n_workers) {
+    for (int i = 0; i < n_; i++)
+      threads_.emplace_back([this, i] { worker(i); });
+  }
+
+  ~WorkPool() {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      stop_ = true;
+    }
+    cv_work_.notify_all();
+    for (auto& t : threads_) t.join();
+  }
+
+  int workers() const { return n_; }
+
+  // Run fn(part) for part in [0, n_); the caller blocks until all done.
+  void run(const std::function<void(int)>& fn) {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      fn_ = &fn;
+      pending_ = n_;
+      gen_++;
+    }
+    cv_work_.notify_all();
+    std::unique_lock<std::mutex> lk(m_);
+    cv_done_.wait(lk, [this] { return pending_ == 0; });
+    fn_ = nullptr;
+  }
+
+ private:
+  void worker(int part) {
+    uint64_t seen = 0;
+    for (;;) {
+      const std::function<void(int)>* fn;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_work_.wait(lk, [&] { return stop_ || gen_ != seen; });
+        if (stop_) return;
+        seen = gen_;
+        fn = fn_;
+      }
+      (*fn)(part);
+      {
+        std::lock_guard<std::mutex> lk(m_);
+        if (--pending_ == 0) cv_done_.notify_all();
+      }
+    }
+  }
+
+  int n_;
+  std::vector<std::thread> threads_;
+  std::mutex m_;
+  std::condition_variable cv_work_, cv_done_;
+  const std::function<void(int)>* fn_ = nullptr;
+  int pending_ = 0;
+  uint64_t gen_ = 0;
+  bool stop_ = false;
+};
 
 // ---------------------------------------------------------------------------
 // SRTP AES-CM + HMAC-SHA1 via libcrypto (dlopen'd — no OpenSSL headers on
@@ -351,14 +430,42 @@ struct TxLeg {
   SrtpLeg srtp;
 };
 
+// Per-worker send scratch: mmsg arrays + GSO staging (legs' frame bytes
+// live in the shared frames_ arena, already disjoint per leg).
+struct TxScratch {
+  std::vector<iovec> iov;
+  std::vector<mmsghdr> msgs;
+  std::vector<uint8_t> gso_buf;
+};
+
 class RtpTx {
  public:
   RtpTx(int fd, int n, int psz)
       : fd_(fd), n_(n), psz_(psz), frames_(size_t(n) * (kHdr + psz + kMaxTag)),
-        legs_(n), iov_(kMmsgChunk), msgs_(kMmsgChunk) {}
+        legs_(n), scratch_(1) {
+    scratch_[0].iov.resize(kMmsgChunk);
+    scratch_[0].msgs.resize(kMmsgChunk);
+  }
 
   ~RtpTx() {
     for (TxLeg& l : legs_) l.srtp.release();
+  }
+
+  // Shard the send path over `t` worker threads (legs partitioned into
+  // contiguous ranges; each worker owns its legs' seq/ts/SRTP state).
+  void set_threads(int t) {
+    if (t < 2) {
+      pool_.reset();
+      scratch_.resize(1);
+      return;
+    }
+    pool_.reset(new WorkPool(t));
+    scratch_.resize(t);
+    for (TxScratch& s : scratch_) {
+      s.iov.resize(kMmsgChunk);
+      s.msgs.resize(kMmsgChunk);
+      if (gso_) s.gso_buf.resize(size_t(kMaxSegs) * (kHdr + psz_ + kMaxTag));
+    }
   }
 
   int set_srtp(int leg, const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
@@ -385,17 +492,39 @@ class RtpTx {
   // cutting syscalls + skb setup ~64x. Caller must connect() the socket.
   void set_gso(int on) {
     gso_ = on != 0;
-    if (gso_ && gso_buf_.empty())
-      gso_buf_.resize(size_t(kMaxSegs) * (kHdr + psz_ + kMaxTag));
+    if (gso_)
+      for (TxScratch& s : scratch_)
+        if (s.gso_buf.empty())
+          s.gso_buf.resize(size_t(kMaxSegs) * (kHdr + psz_ + kMaxTag));
   }
 
   // payloads: [n, psz] row-major; mask: per-leg send flag (nullptr = all).
   // ts advances for every enabled leg (DTX keeps the RTP clock running,
   // cf. rtp_session_sendm_with_ts timestamp semantics); seq only on send.
   int send(const uint8_t* payloads, const uint8_t* mask, uint32_t ts_inc) {
-    if (gso_) return send_gso(payloads, mask, ts_inc);
+    if (pool_) {
+      const int T = pool_->workers();
+      std::vector<int> sent(size_t(T), 0);
+      pool_->run([&](int part) {
+        int lo = int(int64_t(n_) * part / T);
+        int hi = int(int64_t(n_) * (part + 1) / T);
+        sent[part] = gso_
+            ? send_gso_range(lo, hi, payloads, mask, ts_inc, scratch_[part])
+            : send_range(lo, hi, payloads, mask, ts_inc, scratch_[part]);
+      });
+      int total = 0;
+      for (int s : sent) total += s;
+      return total;
+    }
+    return gso_ ? send_gso_range(0, n_, payloads, mask, ts_inc, scratch_[0])
+                : send_range(0, n_, payloads, mask, ts_inc, scratch_[0]);
+  }
+
+ private:
+  int send_range(int lo, int hi, const uint8_t* payloads, const uint8_t* mask,
+                 uint32_t ts_inc, TxScratch& sc) {
     int pending = 0, sent_total = 0;
-    for (int i = 0; i < n_; i++) {
+    for (int i = lo; i < hi; i++) {
       TxLeg& l = legs_[i];
       if (!l.enabled) continue;
       if (mask && !mask[i]) {
@@ -421,23 +550,22 @@ class RtpTx {
       if (l.seq == 0) l.srtp.roc++;      // tx ROC on wrap (RFC 3711 §3.3.1)
       l.ts += ts_inc;
 
-      iov_[pending] = {f, size_t(flen)};
-      mmsghdr& m = msgs_[pending];
+      sc.iov[pending] = {f, size_t(flen)};
+      mmsghdr& m = sc.msgs[pending];
       memset(&m, 0, sizeof m);
       m.msg_hdr.msg_name = &l.dest;
       m.msg_hdr.msg_namelen = sizeof(sockaddr_in);
-      m.msg_hdr.msg_iov = &iov_[pending];
+      m.msg_hdr.msg_iov = &sc.iov[pending];
       m.msg_hdr.msg_iovlen = 1;
       if (++pending == kMmsgChunk) {
-        sent_total += flush(pending);
+        sent_total += flush(sc, pending);
         pending = 0;
       }
     }
-    if (pending) sent_total += flush(pending);
+    if (pending) sent_total += flush(sc, pending);
     return sent_total;
   }
 
- private:
   static constexpr int kMaxSegs = 64;    // kernel UDP_MAX_SEGMENTS
 
   // Encrypt payload in place + append auth tag; returns wire frame length.
@@ -454,12 +582,12 @@ class RtpTx {
     return flen + l.srtp.tag_len;
   }
 
-  int send_gso(const uint8_t* payloads, const uint8_t* mask,
-               uint32_t ts_inc) {
+  int send_gso_range(int lo, int hi, const uint8_t* payloads,
+                     const uint8_t* mask, uint32_t ts_inc, TxScratch& sc) {
     // GSO requires uniform segment size: all enabled legs must share one
     // tag_len (the batched-bench case); a mid-batch change flushes first.
     int in_buf = 0, sent_total = 0, frame = 0;
-    for (int i = 0; i < n_; i++) {
+    for (int i = lo; i < hi; i++) {
       TxLeg& l = legs_[i];
       if (!l.enabled) continue;
       if (mask && !mask[i]) {
@@ -468,11 +596,11 @@ class RtpTx {
       }
       int flen_i = kHdr + psz_ + l.srtp.tag_len;
       if (in_buf && flen_i != frame) {
-        sent_total += gso_flush(in_buf, frame);
+        sent_total += gso_flush(sc, in_buf, frame);
         in_buf = 0;
       }
       frame = flen_i;
-      uint8_t* f = gso_buf_.data() + size_t(in_buf) * frame;
+      uint8_t* f = sc.gso_buf.data() + size_t(in_buf) * frame;
       f[0] = 0x80;
       f[1] = l.pt & 0x7F;
       f[2] = uint8_t(l.seq >> 8);
@@ -491,16 +619,16 @@ class RtpTx {
       if (l.seq == 0) l.srtp.roc++;
       l.ts += ts_inc;
       if (++in_buf == kMaxSegs) {
-        sent_total += gso_flush(in_buf, frame);
+        sent_total += gso_flush(sc, in_buf, frame);
         in_buf = 0;
       }
     }
-    if (in_buf) sent_total += gso_flush(in_buf, frame);
+    if (in_buf) sent_total += gso_flush(sc, in_buf, frame);
     return sent_total;
   }
 
-  int gso_flush(int nseg, int frame) {
-    iovec iov{gso_buf_.data(), size_t(nseg) * frame};
+  int gso_flush(TxScratch& sc, int nseg, int frame) {
+    iovec iov{sc.gso_buf.data(), size_t(nseg) * frame};
     char ctrl[CMSG_SPACE(sizeof(uint16_t))] = {};
     msghdr m{};
     m.msg_iov = &iov;
@@ -523,10 +651,10 @@ class RtpTx {
     }
   }
 
-  int flush(int count) {
+  int flush(TxScratch& sc, int count) {
     int done = 0;
     while (done < count) {
-      int r = sendmmsg(fd_, msgs_.data() + done, unsigned(count - done), 0);
+      int r = sendmmsg(fd_, sc.msgs.data() + done, unsigned(count - done), 0);
       if (r <= 0) {
         if (errno == EINTR) continue;
         break;                           // EAGAIN under burst: drop remainder
@@ -539,10 +667,9 @@ class RtpTx {
   int fd_, n_, psz_;
   bool gso_ = false;
   std::vector<uint8_t> frames_;
-  std::vector<uint8_t> gso_buf_;
   std::vector<TxLeg> legs_;
-  std::vector<iovec> iov_;
-  std::vector<mmsghdr> msgs_;
+  std::vector<TxScratch> scratch_;
+  std::unique_ptr<WorkPool> pool_;
 };
 
 struct RxLeg {
@@ -586,9 +713,25 @@ class RtpRx {
 
   void map_ssrc(uint32_t ssrc, int leg) { ssrc_to_leg_[ssrc] = leg; }
 
+  // Shard verify+decrypt+insert and playout over `t` workers. Packets are
+  // partitioned by leg (leg % t), so each RxLeg's SRTP/ring state is only
+  // ever touched by one worker; the ssrc map is read-only on the hot path.
+  void set_threads(int t) {
+    if (t < 2) {
+      pool_.reset();
+      gcm_tmp_.resize(1);
+    } else {
+      pool_.reset(new WorkPool(t));
+      gcm_tmp_.resize(t);
+    }
+    for (auto& s : gcm_tmp_)
+      if (s.size() < size_t(psz_)) s.resize(psz_);
+  }
+
   int set_srtp(int leg, const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
                const uint8_t* k_a, int tag_len, int gcm) {
-    if (gcm && gcm_tmp_.size() < size_t(psz_)) gcm_tmp_.resize(psz_);
+    for (auto& s : gcm_tmp_)
+      if (gcm && s.size() < size_t(psz_)) s.resize(psz_);
     return legs_[leg].srtp.init(k_e, k_e_len, k_s, k_a, tag_len, psz_,
                                 gcm, /*is_tx=*/0) ? 1 : 0;
   }
@@ -610,18 +753,36 @@ class RtpRx {
           msgs_[i].msg_hdr.msg_controllen = kCtrl;
         int r = recvmmsg(fd, msgs_.data(), kRxChunk, MSG_DONTWAIT, nullptr);
         if (r <= 0) break;
+        // collect (ptr, len) segments (GRO super-datagrams split here),
+        // then insert — sharded by leg across the pool when enabled (the
+        // recvmmsg arena stays valid until the next recvmmsg call)
+        segs_.clear();
         for (int i = 0; i < r; i++) {
           const uint8_t* buf = bufs_.data() + size_t(i) * kRxBuf;
           int len = int(msgs_[i].msg_len);
           int seg = gro_seg_size(msgs_[i].msg_hdr);
           if (seg <= 0 || seg >= len) {
-            insert(buf, len);
-            total++;
+            segs_.push_back({buf, len});
           } else {                       // GRO: split coalesced datagrams
-            for (int off = 0; off < len; off += seg) {
-              insert(buf + off, len - off < seg ? len - off : seg);
-              total++;
+            for (int off = 0; off < len; off += seg)
+              segs_.push_back({buf + off,
+                               len - off < seg ? len - off : seg});
+          }
+        }
+        total += int(segs_.size());
+        if (pool_) {
+          const int T = pool_->workers();
+          pool_->run([&](int part) {
+            for (const Seg& s : segs_) {
+              int leg = leg_of(s.p, s.len);
+              if (leg < 0 || leg % T != part) continue;
+              insert_leg(leg, s.p, s.len, gcm_tmp_[part]);
             }
+          });
+        } else {
+          for (const Seg& s : segs_) {
+            int leg = leg_of(s.p, s.len);
+            if (leg >= 0) insert_leg(leg, s.p, s.len, gcm_tmp_[0]);
           }
         }
         if (r < kRxChunk) break;
@@ -632,7 +793,19 @@ class RtpRx {
 
   // out: [n, psz]; flags: 1 = packet present, 0 = missing (PLC on device).
   void read_tick(uint8_t* out, uint8_t* flags) {
-    for (int i = 0; i < n_; i++) {
+    if (pool_) {
+      const int T = pool_->workers();
+      pool_->run([&](int part) {
+        read_tick_range(int(int64_t(n_) * part / T),
+                        int(int64_t(n_) * (part + 1) / T), out, flags);
+      });
+      return;
+    }
+    read_tick_range(0, n_, out, flags);
+  }
+
+  void read_tick_range(int lo, int hi, uint8_t* out, uint8_t* flags) {
+    for (int i = lo; i < hi; i++) {
       RxLeg& l = legs_[i];
       uint8_t* dst = out + size_t(i) * psz_;
       if (!l.primed || l.warmup_left) {
@@ -681,13 +854,19 @@ class RtpRx {
     return 0;
   }
 
-  void insert(const uint8_t* p, int len) {
-    if (len < kHdr + psz_ || (p[0] >> 6) != 2) return;
+  // Validate + route: -1 = not ours (bad version/length or unknown SSRC).
+  int leg_of(const uint8_t* p, int len) const {
+    if (len < kHdr + psz_ || (p[0] >> 6) != 2) return -1;
     uint32_t ssrc = (uint32_t(p[8]) << 24) | (uint32_t(p[9]) << 16) |
                     (uint32_t(p[10]) << 8) | p[11];
     auto it = ssrc_to_leg_.find(ssrc);
-    if (it == ssrc_to_leg_.end()) return;
-    int leg = it->second;
+    return it == ssrc_to_leg_.end() ? -1 : it->second;
+  }
+
+  void insert_leg(int leg, const uint8_t* p, int len,
+                  std::vector<uint8_t>& gcm_tmp) {
+    uint32_t ssrc = (uint32_t(p[8]) << 24) | (uint32_t(p[9]) << 16) |
+                    (uint32_t(p[10]) << 8) | p[11];
     RxLeg& l = legs_[leg];
     uint16_t seq = uint16_t((p[2] << 8) | p[3]);
     uint32_t roc = 0;
@@ -705,11 +884,11 @@ class RtpRx {
       if (l.srtp.gcm) {
         // AEAD verify+decrypt into scratch; ROC ±1 resync like the CM path
         bool ok = l.srtp.gcm_unprotect(ssrc, roc, seq, p, kHdr, psz_,
-                                       gcm_tmp_.data());
+                                       gcm_tmp.data());
         if (!ok) {
           for (int ri = 0; ri < n_retry; ri++) {
             if (l.srtp.gcm_unprotect(ssrc, retry[ri], seq, p, kHdr, psz_,
-                                     gcm_tmp_.data())) {
+                                     gcm_tmp.data())) {
               roc = retry[ri];
               ok = true;
               break;
@@ -761,7 +940,7 @@ class RtpRx {
     slot_valid_[s] = 1;
     uint8_t* dst = slot_data_.data() + s * psz_;
     if (gcm_decrypted) {
-      memcpy(dst, gcm_tmp_.data(), psz_);
+      memcpy(dst, gcm_tmp.data(), psz_);
     } else {
       memcpy(dst, p + kHdr, psz_);
     }
@@ -795,7 +974,13 @@ class RtpRx {
   std::vector<uint8_t> slot_valid_;
   std::vector<uint8_t> slot_data_;
   std::vector<RxLeg> legs_;
-  std::vector<uint8_t> gcm_tmp_;   // AEAD decrypt scratch
+  struct Seg {
+    const uint8_t* p;
+    int len;
+  };
+  std::vector<Seg> segs_;                // per-recvmmsg-chunk segment list
+  std::vector<std::vector<uint8_t>> gcm_tmp_{1};  // per-worker AEAD scratch
+  std::unique_ptr<WorkPool> pool_;
   std::vector<uint8_t> bufs_;
   std::vector<uint8_t> ctrl_;
   std::vector<iovec> iov_;
@@ -821,6 +1006,9 @@ int ms2_rtptx_send(void* p, const uint8_t* payloads, const uint8_t* mask,
 void ms2_rtptx_set_gso(void* p, int on) {
   static_cast<RtpTx*>(p)->set_gso(on);
 }
+void ms2_rtptx_set_threads(void* p, int t) {
+  static_cast<RtpTx*>(p)->set_threads(t);
+}
 int ms2_rtptx_set_srtp(void* p, int leg, const uint8_t* k_e, int k_e_len,
                        const uint8_t* k_s, const uint8_t* k_a, int tag_len,
                        int gcm) {
@@ -838,6 +1026,9 @@ void ms2_rtprx_map_ssrc(void* p, uint32_t ssrc, int leg) {
 }
 void ms2_rtprx_set_prefill(void* p, int leg, int k) {
   static_cast<RtpRx*>(p)->set_prefill(leg, k);
+}
+void ms2_rtprx_set_threads(void* p, int t) {
+  static_cast<RtpRx*>(p)->set_threads(t);
 }
 int ms2_rtprx_poll(void* p) { return static_cast<RtpRx*>(p)->poll(); }
 void ms2_rtprx_read_tick(void* p, uint8_t* out, uint8_t* flags) {

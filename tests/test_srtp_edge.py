@@ -400,3 +400,87 @@ def test_native_rx_rejects_replay(suite):
     assert flags.all()
     np.testing.assert_array_equal(out[0], pays[0])
     rx.close(); rx_sock.close(); out_sock.close()
+
+
+@pytest.mark.parametrize("suite", [AES_CM_128_HMAC_SHA1_80,
+                                   AEAD_AES_128_GCM])
+def test_threaded_edge_byte_exact(suite):
+    """Thread-sharded edge (set_threads): N legs protected by 4 tx workers
+    and unprotected by 4 rx workers must be byte-identical to the
+    single-threaded path — per-leg seq/ROC/replay state is partitioned,
+    never shared. Parity: the reference runs libsrtp inside every
+    per-stream ticker thread (msticker.c:448 + ms_srtp.cpp:475)."""
+    key, salt = _keys(suite, seed=17)
+    n = 37                                   # odd: uneven partitions
+    rx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx_sock.bind(("127.0.0.1", 0))
+    rx_sock.setblocking(False)
+    port = rx_sock.getsockname()[1]
+    tx, tx_sock = _mk_tx(n, port, suite, key, salt, seq0=50)
+    tx.set_threads(4)
+    rx = BatchRtpRx(n, PSZ, ring_depth=64)
+    rx.add_socket(rx_sock)
+    rx.set_threads(4)
+    for i in range(n):
+        rx.map_ssrc(0x2000 + i, i)
+        rx.set_prefill(i, 0)
+        rx.set_srtp(i, key, salt, suite)
+    rng = np.random.default_rng(23)
+    for tick in range(12):
+        pay = rng.integers(0, 255, (n, PSZ), dtype=np.uint8)
+        assert tx.send(pay, ts_inc=PSZ) == n
+        time.sleep(0.004)
+        rx.poll()
+        out, flags = rx.read_tick()
+        assert flags.all(), f"tick {tick}: loss through threaded edge"
+        np.testing.assert_array_equal(out, pay)
+    assert all(rx.auth_failures(i) == 0 for i in range(n))
+    assert all(rx.replay_drops(i) == 0 for i in range(n))
+    # switching back to single-threaded mid-session keeps state coherent
+    tx.set_threads(1)
+    rx.set_threads(1)
+    pay = rng.integers(0, 255, (n, PSZ), dtype=np.uint8)
+    assert tx.send(pay, ts_inc=PSZ) == n
+    time.sleep(0.004)
+    rx.poll()
+    out, flags = rx.read_tick()
+    assert flags.all()
+    np.testing.assert_array_equal(out, pay)
+    tx.close(); tx_sock.close(); rx.close(); rx_sock.close()
+
+
+def test_threaded_edge_gso_path():
+    """GSO + threads: each worker stages its own UDP_SEGMENT super-packets
+    on the shared connected socket."""
+    suite = AES_CM_128_HMAC_SHA1_80
+    key, salt = _keys(suite, seed=19)
+    n = 96
+    rx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx_sock.bind(("127.0.0.1", 0))
+    rx_sock.setblocking(False)
+    port = rx_sock.getsockname()[1]
+    tx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx_sock.bind(("127.0.0.1", 0))
+    tx = BatchRtpTx(tx_sock, n, PSZ)
+    for i in range(n):
+        tx.config(i, "127.0.0.1", port, ssrc=0x7000 + i, pt=0)
+        tx.set_srtp(i, key, salt, suite)
+    tx.enable_gso(("127.0.0.1", port))
+    tx.set_threads(3)
+    rx = BatchRtpRx(n, PSZ, ring_depth=64)
+    rx.add_socket(rx_sock, gro=True)
+    rx.set_threads(3)
+    for i in range(n):
+        rx.map_ssrc(0x7000 + i, i)
+        rx.set_prefill(i, 0)
+        rx.set_srtp(i, key, salt, suite)
+    rng = np.random.default_rng(29)
+    for tick in range(8):
+        pay = rng.integers(0, 255, (n, PSZ), dtype=np.uint8)
+        assert tx.send(pay, ts_inc=PSZ) == n
+        time.sleep(0.004)
+        rx.poll()
+        out, flags = rx.read_tick()
+        assert flags.all()
+        np.testing.assert_array_equal(out, pay)
+    tx.close(); tx_sock.close(); rx.close(); rx_sock.close()
