@@ -183,6 +183,10 @@ class GenericPacketizer:
     def dropped_incomplete(self):
         return self.asm.dropped_incomplete
 
+    @property
+    def seq_gaps(self):
+        return self.asm.seq_gaps
+
 
 class H263SessionPacketizer:
     """RFC 4629 H.263 payloads behind the session packetizer interface
@@ -382,8 +386,28 @@ class FrameAssembler:
         self.parts: Dict[int, list] = {}
         self.completed: List[bytes] = []
         self.dropped_incomplete = 0
+        # inter-frame continuity: packets lost BETWEEN frames leave every
+        # delivered AU complete (small frames are one packet each), yet the
+        # decoder's reference chain is broken.  The reference's unpackers
+        # detect this via seq/PictureID discontinuity and fire the PLI path
+        # (src/videofilters/vp8rtpfmt.c discontinuity checks); seq_gaps is
+        # the generic equivalent, consumed by VideoStreamBatch's
+        # decode-error -> FIR loop.  Counts spurious under heavy reordering;
+        # place a ReorderBuffer ahead when NACK/rtx is in play.
+        self.seq_gaps = 0
+        self._expected_seq = None
+
+    def reset_continuity(self):
+        """Restart seq-continuity tracking (the stream was re-bound to a
+        new session whose seq space starts fresh — not a loss event)."""
+        self._expected_seq = None
 
     def push(self, pkt):
+        if self._expected_seq is not None:
+            delta = (pkt.seq - self._expected_seq) & 0xFFFF
+            if 0 < delta < 0x8000:
+                self.seq_gaps += 1
+        self._expected_seq = (pkt.seq + 1) & 0xFFFF
         self.parts.setdefault(pkt.timestamp, []).append((pkt.seq, pkt.payload))
         if pkt.marker:
             parts = self.parts.pop(pkt.timestamp)
@@ -406,6 +430,7 @@ class FrameAssembler:
 class VideoStreamStats:
     frames_sent: int = 0
     frames_received: int = 0
+    keyframes_sent: int = 0   # includes FIR/PLI-forced keyframes
     fir_sent: int = 0
     camera_fallbacks: int = 0
     bitrate_cap: int = 0      # last applied TMMBR/REMB (bps)
@@ -438,7 +463,7 @@ class VideoStreamBatch:
         elif codec == "vp8":              # convenience: full VP8 legs
             from mediastreamer2_tpu.ops.vp8 import Vp8FrameCodec
             w, h = self.out_fmt.width, self.out_fmt.height
-            codec_factory = lambda: Vp8FrameCodec(w, h)            # noqa: E731
+            codec_factory = lambda: Vp8FrameCodec(w, h, fps=int(fps))  # noqa: E731
             packetizer_factory = None
         elif codec in ("h263", "h263p", "mpeg4", "mjpeg", "theora"):
             # legacy ffmpeg family (videoenc.c/videodec.c) — H.263 rides
@@ -795,6 +820,8 @@ class VideoStreamBatch:
                     sess.send_payload(c, ts_increment=0, marker=pkt_marker)
                 if chunks:
                     self.stats[i].frames_sent += 1
+                    if was_kf:
+                        self.stats[i].keyframes_sent += 1
         # reassembly (poll already drained into on_packet? we use manual)
         for i, sess in enumerate(self.sessions):
             if sess is None:
@@ -833,7 +860,11 @@ class VideoStreamBatch:
             # when nothing decodable arrived (starter) or an access unit
             # was lost to packet loss (decode-error PLI path)
             now_s = self.ticker.stats.ticks * 0.01
-            dropped = self.packetizers[i].dropped_incomplete
+            # damage = incomplete AUs dropped + inter-frame seq gaps (whole
+            # frames lost; reference chain broken even though later AUs
+            # arrive complete)
+            dropped = (self.packetizers[i].dropped_incomplete
+                       + getattr(self.packetizers[i], "seq_gaps", 0))
             broke = dropped > self._last_dropped[i]
             self._last_dropped[i] = dropped
             if (self.starters[i].need_iframe(now=now_s) or broke
@@ -852,6 +883,11 @@ class VideoStreamBatch:
         for i, sess in enumerate(self.sessions):
             if sess is None:
                 continue
+            # a rebind follows set_transport's fresh RtpSession (new seq
+            # space): restart continuity so the jump isn't read as loss
+            asm = getattr(self.packetizers[i], "asm", None)
+            if asm is not None and hasattr(asm, "reset_continuity"):
+                asm.reset_continuity()
             if i in self._reorder:
                 def deliver(pkt, _i=i, _s=sess):
                     for p in self._reorder[_i].push(pkt):

@@ -32,6 +32,25 @@ def test_reassembler_drops_incomplete():
     assert asm.dropped_incomplete == 1
 
 
+def test_reassembler_interframe_seq_gap():
+    """Whole frames lost BETWEEN complete AUs break the decoder's
+    reference chain without any incomplete AU; seq_gaps must flag it
+    (vp8rtpfmt.c discontinuity-detection parity), and a continuity reset
+    (new session seq space) must not count as loss."""
+    asm = FrameAssembler()
+    for k, (seq, ts) in enumerate([(10, 100), (11, 200)]):
+        asm.push(RtpPacket(97, seq, ts, 1, b"f%d" % k, marker=True))
+    assert asm.seq_gaps == 0 and asm.dropped_incomplete == 0
+    # frames with seq 12-13 lost entirely; next AU arrives complete
+    asm.push(RtpPacket(97, 14, 500, 1, b"later", marker=True))
+    assert asm.seq_gaps == 1 and asm.dropped_incomplete == 0
+    assert asm.pop() == b"f0"
+    # rebind to a fresh session: seq space restarts, not a loss event
+    asm.reset_continuity()
+    asm.push(RtpPacket(97, 40000, 600, 1, b"new", marker=True))
+    assert asm.seq_gaps == 1
+
+
 def test_video_call_mire_to_display(factory):
     B = 2
     fmt = Format(kind="yuv420", width=64, height=48, fps=25.0)
