@@ -128,13 +128,14 @@ def device_only_legs(rtt: float) -> tuple:
 
 
 def e2e_trial(n_legs: int, k_block: int, depth: int, srtp: bool = False,
-              blocks: int = None):
+              blocks: int = None, srtp_suite: str = "AES_CM_128_HMAC_SHA1_80"):
     """One paced e2e run; returns E2EResult or None on failure."""
     from mediastreamer2_tpu.core.factory import Factory
     from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
     try:
         b = E2EConferenceBench(Factory(), n_legs, k_block=k_block,
-                               pipeline_depth=depth, srtp=srtp)
+                               pipeline_depth=depth, srtp=srtp,
+                               srtp_suite=srtp_suite)
         try:
             return b.run(blocks or E2E_BLOCKS, paced=True)
         finally:
@@ -246,17 +247,18 @@ def e2e_legs(link_mbps: float = None) -> tuple:
     return best
 
 
-def srtp_e2e(n_start: int) -> tuple:
-    """Largest N passing the e2e run with per-leg SRTP
-    (AES_CM_128_HMAC_SHA1_80) protect/unprotect inline on the native edge
-    — the encrypted operating point the reference runs by default
-    (ms_srtp.cpp inline protection). Walks down from the cleartext
-    headline; the delta IS the measured cost of encryption at scale."""
+def srtp_e2e(n_start: int, suite: str = "AES_CM_128_HMAC_SHA1_80") -> tuple:
+    """Largest N passing the e2e run with per-leg SRTP protect/unprotect
+    inline on the native edge — the encrypted operating point the
+    reference runs by default (ms_srtp.cpp inline protection). Walks down
+    from the cleartext headline; the delta IS the measured cost of
+    encryption at scale.  `suite` also benches the AEAD-GCM path
+    (RFC 7714) so the at-scale AEAD claim is measured, not implied."""
     def trial(n):
         K, D = _kd_for(n)
-        res = e2e_trial(n, K, D, srtp=True)
+        res = e2e_trial(n, K, D, srtp=True, srtp_suite=suite)
         ok = res is not None and e2e_passes(res) and res.auth_failures == 0
-        print(f"# srtp-e2e n={n}: "
+        print(f"# srtp-e2e[{suite}] n={n}: "
               f"{None if res is None else round(res.ms_per_tick, 2)} ms/tick "
               f"late={getattr(res, 'late_ticks', '-')} "
               f"auth_fail={getattr(res, 'auth_failures', '-')} "
@@ -328,6 +330,48 @@ def latency_curve(n_head: int) -> list:
                             else round(best[1].ms_per_tick, 3)),
         })
     return rows
+
+
+def mixed_fleet(n_flagship: int, n_srtp: int) -> dict:
+    """Heterogeneous co-residency on one chip (VERDICT r3 item 1): G.711
+    flagship legs + SRTP legs + opus host-codec conference legs + VP8
+    video, each class on its own paced loop, sharing the device.  Sizes
+    derive from the measured homogeneous headlines (half each for the two
+    audio classes); host-codec classes are sized for this host's cores."""
+    import os as _os
+    from mediastreamer2_tpu.core.factory import Factory
+    from mediastreamer2_tpu.models.mixed_fleet import MixedFleetBench
+    cores = _os.cpu_count() or 1
+    sizes = {
+        "n_flagship": max(256, n_flagship // 2 // 256 * 256),
+        "n_srtp": max(128, n_srtp // 2 // 128 * 128),
+        "n_opus": 16 if cores <= 2 else 64,
+        "n_video": 2 if cores <= 2 else 4,
+    }
+    try:
+        from mediastreamer2_tpu.ops import host_codecs as hc
+        if not hc.opus_available():
+            sizes["n_opus"] = 0
+        from mediastreamer2_tpu.ops.vp8 import vp8_available
+        if not vp8_available():
+            sizes["n_video"] = 0
+    except Exception:
+        pass
+    try:
+        fleet = MixedFleetBench(Factory, k_block=32, depth=3,
+                                video_depth=2, **sizes)
+        try:
+            res = fleet.run(seconds=8.0)
+        finally:
+            fleet.close()
+        out = res.summary()
+        print(f"# mixed-fleet: {json.dumps(out)}", file=sys.stderr)
+        return out
+    except Exception as e:                           # noqa: BLE001
+        print(f"# mixed-fleet failed: {type(e).__name__}: {str(e)[:160]}",
+              file=sys.stderr)
+        return {"error": f"{type(e).__name__}: {str(e)[:160]}",
+                "passes": False}
 
 
 def video_e2e() -> tuple:
@@ -433,6 +477,10 @@ def main():
     n_e2e, res = e2e_legs(link_mbps=link)
     n_srtp, res_s = (0, None) if over_budget("srtp") \
         else srtp_e2e(n_e2e or 1024)
+    n_gcm, res_g = (0, None) if over_budget("srtp_gcm") \
+        else srtp_e2e(n_srtp or n_e2e or 1024, suite="AEAD_AES_128_GCM")
+    fleet = {} if over_budget("fleet") else mixed_fleet(n_e2e or 1024,
+                                                        n_srtp or 512)
     curve = [] if over_budget("latency") else latency_curve(n_e2e or 1024)
     if over_budget("video"):
         n_vid, res_v, rec = 0, None, False
@@ -464,6 +512,10 @@ def main():
                               else round(res_s.fidelity, 4)),
         "srtp_auth_failures": (None if res_s is None
                                else int(res_s.auth_failures)),
+        "srtp_gcm_e2e_legs": int(n_gcm),
+        "srtp_gcm_e2e_fidelity": (None if res_g is None
+                                  else round(res_g.fidelity, 4)),
+        "mixed_fleet": fleet,
         "latency_curve": curve,
         "video_e2e_streams": int(n_vid),
         "video_e2e_fps_min": (None if res_v is None
@@ -474,7 +526,33 @@ def main():
         "rtt_ms": round(rtt, 2),
         "tunnel_MBps": round(link, 1),
     }
+    # Artifact robustness (VERDICT r3 weak item 5): the driver captures a
+    # bounded TAIL of stdout, and the full line (mfu/correctness subdicts)
+    # can overflow it, cutting off the leading headline fields.  So: (1)
+    # persist the full result to BENCH.json on disk, (2) print the full
+    # line, (3) print a COMPACT line LAST — short enough that any sane
+    # tail capture keeps it intact, with the headline fields parseable.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json"), "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+    except OSError as e:
+        print(f"# BENCH.json write failed: {e}", file=sys.stderr)
     print(json.dumps(result))
+    compact = {k: v for k, v in result.items()
+               if k not in ("mfu", "tpu_vs_cpu", "latency_curve",
+                            "mixed_fleet")}
+    compact["latency_curve_legs"] = {
+        f"{r['added_latency_ms']:g}ms": r["legs"]
+        for r in result["latency_curve"]}
+    mf = result.get("mixed_fleet") or {}
+    compact["mixed_fleet_passes"] = mf.get("passes")
+    compact["mixed_fleet_counts"] = {
+        k: (v or {}).get("legs", (v or {}).get("streams"))
+        for k, v in mf.items()
+        if isinstance(v, dict)}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -304,6 +304,99 @@ class Ticker:
         self.mutate(apply)
 
 
+class FleetTicker:
+    """Drive SEVERAL compiled graphs from ONE paced loop — heterogeneous
+    co-residency on one chip.
+
+    The reference trivially runs arbitrary graph mixes concurrently: every
+    stream gets its own ticker thread (msticker.c:448, mediastream.c:227-239)
+    and the OS scheduler shares the cores.  The TPU-native equivalent is one
+    host loop that interleaves the member graphs' (async-dispatched) device
+    programs each tick: XLA queues them on the device stream back-to-back,
+    so the fleet fits the deadline iff the members' combined device time
+    (plus host I/O) does — which this class MEASURES per member and overall.
+
+    Single-threaded by construction: member do_tick()s are called from the
+    fleet loop only, so no two threads ever tick one graph (the c5f8759
+    do_tick race cannot occur), while each member's own pipeline_depth /
+    async_publish still overlap its transfers.
+
+    `stride` runs a member every Nth fleet tick (e.g. coarse-interval
+    members); members keep their own Ticker stats, the fleet keeps the
+    combined beat.
+    """
+
+    def __init__(self, members=(), interval_ms: int = TICK_MS,
+                 realtime: bool = True, name: str = "fleet"):
+        self.members: list = []           # [(ticker, stride)]
+        self.interval_ms = interval_ms
+        self.realtime = realtime
+        self.name = name
+        self.stats = TickerStats()
+        self._stop = threading.Event()
+        self._run_thread: Optional[threading.Thread] = None
+        for m in members:
+            self.add(m)
+
+    def add(self, ticker: Ticker, stride: int = 1):
+        """Attach a member; the fleet owns pacing, so the member free-runs
+        (its own realtime pacing is disabled)."""
+        ticker.realtime = False
+        self.members.append((ticker, max(1, int(stride))))
+        return ticker
+
+    def warm_up(self):
+        for t, _ in self.members:
+            t.warm_up()
+
+    def do_tick(self):
+        t0 = time.perf_counter()
+        for t, stride in self.members:
+            if self.stats.ticks % stride == 0:
+                t.do_tick()
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        s = self.stats
+        s.ticks += 1
+        s.total_step_ms += dt_ms
+        s.max_step_ms = max(s.max_step_ms, dt_ms)
+        load = dt_ms / self.interval_ms
+        s.avg_load = 0.9 * s.avg_load + 0.1 * load
+        if dt_ms > self.interval_ms:
+            s.late_ticks += 1
+            s.last_late_tick = s.ticks
+
+    def run(self, n_ticks: int):
+        next_edge = time.perf_counter()
+        for _ in range(n_ticks):
+            if self._stop.is_set():
+                break
+            self.do_tick()
+            if self.realtime:
+                next_edge += self.interval_ms / 1e3
+                now = time.perf_counter()
+                if now < next_edge:
+                    time.sleep(next_edge - now)
+                else:
+                    next_edge = now
+        self.drain()
+
+    def drain(self):
+        for t, _ in self.members:
+            t.drain()
+
+    def start(self, n_ticks: int = 10**9):
+        self._stop.clear()
+        self._run_thread = threading.Thread(
+            target=self.run, args=(n_ticks,), name=self.name, daemon=True)
+        self._run_thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._run_thread:
+            self._run_thread.join()
+            self._run_thread = None
+
+
 class TickerSynchronizer:
     """Skew estimator slaving tick time to an external sample clock.
 

@@ -156,6 +156,50 @@ def test_ticker_pipelined_outputs_complete(factory):
     np.testing.assert_allclose(flat, sig, atol=1e-6)
 
 
+def test_fleet_ticker_heterogeneous_graphs(factory):
+    """Two DIFFERENT compiled graphs (different batch + rate shape
+    classes) co-resident under ONE FleetTicker beat: both deliver
+    complete, correct output streams; stride runs a member every Nth
+    tick; no thread ever double-ticks a graph (single-loop design —
+    the c5f8759 race cannot occur).  Parity: msticker.c:448 (arbitrary
+    concurrent graphs is the reference's default condition)."""
+    import numpy as np
+    from mediastreamer2_tpu import GraphBuilder, Format, tick_samples
+    from mediastreamer2_tpu.core.ticker import FleetTicker, Ticker
+    ticks = 12
+    S8 = tick_samples(8000)
+    sig_a = np.arange(S8 * ticks, dtype=np.float32) / (S8 * ticks)
+    ga = GraphBuilder(factory, batch=2)
+    pa = ga.add("file_player", "play", fmt=Format(rate=8000), signal=sig_a)
+    ga.chain(pa, ga.add("ulaw_enc"), ga.add("ulaw_dec"),
+             ga.add("ext_sink", "out"))
+    # different shape class: batch 3 at 16 kHz, pipelined dispatch
+    S16 = tick_samples(16000)
+    sig_b = 0.5 * np.ones(S16 * ticks, np.float32)
+    gb = GraphBuilder(factory, batch=3)
+    pb = gb.add("file_player", "play", fmt=Format(rate=16000), signal=sig_b)
+    gb.chain(pb, gb.add("ext_sink", "out"))
+    ta = Ticker(ga.build(), name="a", realtime=False)
+    tb = Ticker(gb.build(), name="b", realtime=False, pipeline_depth=2)
+    got_a, got_b = {}, {}
+    ta.set_io(push=lambda t, o: got_a.update({t: np.asarray(o["out"][0])}))
+    tb.set_io(push=lambda t, o: got_b.update({t: np.asarray(o["out"][0])}))
+    fleet = FleetTicker(realtime=False)
+    fleet.add(ta)
+    fleet.add(tb, stride=2)               # member b runs every 2nd tick
+    fleet.warm_up()
+    fleet.run(ticks)
+    assert fleet.stats.ticks == ticks
+    assert ta.stats.ticks == ticks
+    assert tb.stats.ticks == ticks // 2   # stride honored
+    # member a: complete in-order ulaw roundtrip of its own signal
+    flat = np.concatenate([got_a[t] for t in range(ticks)])
+    assert np.corrcoef(flat, sig_a)[0, 1] > 0.999
+    # member b (pipelined): all its ticks published after drain
+    assert sorted(got_b) == list(range(ticks // 2))
+    assert all(np.allclose(v, 0.5, atol=1e-6) for v in got_b.values())
+
+
 def test_profile_nodes_reports_per_node_times(factory):
     """profile_nodes: per-node ms attribution with forced readback (the
     MSFilterStats box-plot role)."""
