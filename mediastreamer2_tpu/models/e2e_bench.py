@@ -110,7 +110,8 @@ class E2EConferenceBench:
     def __init__(self, factory, n_legs: int, k_block: int = 16,
                  pipeline_depth: int = 2, conf_size: int = 4,
                  rate: int = 48000, seed: int = 0, srtp: bool = False,
-                 srtp_suite: str = "AES_CM_128_HMAC_SHA1_80"):
+                 srtp_suite: str = "AES_CM_128_HMAC_SHA1_80",
+                 adaptive_prefill: bool = True):
         import jax
         import jax.numpy as jnp
         from mediastreamer2_tpu.ops.g711 import (ulaw_decode, ulaw_encode,
@@ -204,6 +205,16 @@ class E2EConferenceBench:
         self._socks = (tx_sock, rx_sock)
         self._sent_probe: list = []
         self._recv_probe: list = []
+        # Adaptive prefill, WARMUP ONLY (net/jitter.py controller; VERDICT
+        # r3 item 2's suggested fix for the low-latency rows): the
+        # heuristic prefill_for() start can be one packet short for the
+        # day's tunnel jitter and a single refill gap then fails the whole
+        # trial.  During the warmup blocks the controller walks each leg's
+        # prefill up on observed misses; it is FROZEN before the measured
+        # window so the added latency reported is the converged value, not
+        # a moving target.
+        self.adaptive_prefill = adaptive_prefill
+        self._jitter_ctrl = None
 
     def close(self):
         for s in self._socks:
@@ -263,10 +274,20 @@ class E2EConferenceBench:
         # warm compile before timing (no-op if warm() already ran)
         self.warm()
 
+        if self.adaptive_prefill and paced:
+            from mediastreamer2_tpu.net.jitter import BatchEdgeJitterController
+            self._jitter_ctrl = BatchEdgeJitterController(
+                self.rx, N, min_prefill=self.prefill,
+                max_prefill=self.prefill + 8,
+                shrink_after=10 ** 9,            # no shrink inside a trial
+                apply_initial=False)             # ring already primed
+
         next_edge = time.perf_counter()
         for blk in range(n_blocks):
             if blk == warmup_blocks:
                 t_start = time.perf_counter()
+            if self._jitter_ctrl is not None and 0 < blk < warmup_blocks:
+                self._jitter_ctrl.control()      # warmup-only adaptation
             for k in range(K):
                 if paced:
                     now = time.perf_counter()
@@ -307,13 +328,16 @@ class E2EConferenceBench:
         auth_fail = 0
         if self.srtp:
             auth_fail = sum(self.rx.auth_failures(i) for i in range(N))
+        # converged (worst-leg) prefill is the honest latency component
+        eff_prefill = (max(self._jitter_ctrl.prefill)
+                       if self._jitter_ctrl is not None else self.prefill)
         return E2EResult(
             n_legs=N, ticks=ticks_timed, k_block=K, pipeline_depth=D,
             ms_per_tick=total_s * 1e3 / max(ticks_timed, 1),
             late_ticks=late_ticks,
             loss_rate=flags_missing / max(flags_total, 1),
             fidelity=self.fidelity(),
-            mouth_to_ear_ms=(K * (D + 1) + self.prefill) * 10.0,
+            mouth_to_ear_ms=(K * (D + 1) + eff_prefill) * 10.0,
             srtp=self.srtp, auth_failures=auth_fail)
 
     def fidelity(self) -> float:

@@ -268,7 +268,11 @@ class BatchEdgeJitterController:
     """
 
     def __init__(self, rx, n_legs: int, min_prefill: int = 2,
-                 max_prefill: int = 24, shrink_after: int = 10):
+                 max_prefill: int = 24, shrink_after: int = 10,
+                 apply_initial: bool = True):
+        """apply_initial=False when the ring is already primed at
+        min_prefill: set_prefill always resyncs (one refill gap per leg),
+        so re-applying an unchanged value costs N gaps for nothing."""
         self.rx = rx
         self.n = n_legs
         self.min_prefill = min_prefill
@@ -277,8 +281,9 @@ class BatchEdgeJitterController:
         self.prefill = [min_prefill] * n_legs
         self._last = [(0, 0) for _ in range(n_legs)]   # (lost, late)
         self._clean = [0] * n_legs
-        for i in range(n_legs):
-            rx.set_prefill(i, min_prefill)
+        if apply_initial:
+            for i in range(n_legs):
+                rx.set_prefill(i, min_prefill)
 
     def control(self) -> int:
         """Run one control pass; returns the number of legs adjusted."""
