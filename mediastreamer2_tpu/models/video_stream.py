@@ -465,7 +465,7 @@ class VideoStreamBatch:
             w, h = self.out_fmt.width, self.out_fmt.height
             codec_factory = lambda: Vp8FrameCodec(w, h, fps=int(fps))  # noqa: E731
             packetizer_factory = None
-        elif codec in ("h263", "h263p", "mpeg4", "mjpeg", "theora"):
+        elif codec in ("h263", "h263p", "mpeg4", "mjpeg", "theora", "snow"):
             # legacy ffmpeg family (videoenc.c/videodec.c) — H.263 rides
             # RFC 4629 payloads, the others plain fragmentation
             from mediastreamer2_tpu.ops.h264 import make_legacy_codec
@@ -493,6 +493,13 @@ class VideoStreamBatch:
                                 "theora: encoder extradata unavailable "
                                 "(AVCodecContext layout drifted?)")
                         self.dec = None          # opens on first config
+                    elif name == "snow":
+                        # Snow's bitstream carries no dimensions (ffmpeg
+                        # experimental, videoenc.c:916-1032): the size is
+                        # out-of-band (SDP fmtp in the reference), so the
+                        # decoder is opened with the negotiated dims
+                        self._cfg = b""
+                        self.dec = Dec(dims=(w, h))
                     else:
                         self._cfg = b""
                         self.dec = Dec()

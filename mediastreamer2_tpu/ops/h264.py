@@ -279,12 +279,21 @@ class H264Decoder:
 
     CODEC_NAME = b"h264"
 
-    def __init__(self, extradata: bytes = b""):
+    def __init__(self, extradata: bytes = b"", dims: Tuple[int, int] = None):
+        """dims: preset coded (width, height) before open — required for
+        codecs whose bitstream carries no dimensions (Snow, an
+        ffmpeg-internal experimental codec: the reference negotiates the
+        size out-of-band via SDP, videodec.c picking it from the payload
+        fmtp; videoenc.c:916-1032)."""
         off = _probe_ctx_offsets()
         if _av is None or off is None:
             raise RuntimeError("libavcodec unavailable")
         codec = _av.avcodec_find_decoder_by_name(self.CODEC_NAME)
         ctx = _av.avcodec_alloc_context3(ctypes.c_void_p(codec))
+        if dims is not None:
+            _, off_w, off_h, _, _ = off
+            _w32(ctx, off_w, dims[0])
+            _w32(ctx, off_h, dims[1])
         if extradata:
             # out-of-band codec config (Theora headers etc.): install an
             # av_malloc'd copy before open2 at the probed offsets.

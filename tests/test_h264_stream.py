@@ -146,7 +146,8 @@ def test_h264_real_capture_interop():
 @pytest.mark.parametrize("name,size", [("h263", (176, 144)),
                                        ("mpeg4", (128, 96)),
                                        ("mjpeg", (128, 96)),
-                                       ("theora", (128, 96))])
+                                       ("theora", (128, 96)),
+                                       ("snow", (320, 240))])
 def test_legacy_ffmpeg_codecs(name, size):
     """The reference's legacy ffmpeg codec family (videoenc.c:916-1032):
     encode->decode roundtrip per codec through the probed avcodec layer."""
@@ -160,6 +161,8 @@ def test_legacy_ffmpeg_codecs(name, size):
     if name == "theora":                 # out-of-band stream headers
         from mediastreamer2_tpu.ops.h264 import encoder_extradata
         dec = Dec(extradata=encoder_extradata(enc))
+    elif name == "snow":                 # dims are out-of-band (no
+        dec = Dec(dims=(w, h))           # size in the experimental stream)
     else:
         dec = Dec()
     rng = np.random.default_rng(3)

@@ -255,7 +255,7 @@ def test_legacy_codec_calls_h263_mpeg4(factory):
     mire -> encode -> RTP -> decode -> display."""
     import pytest
     from mediastreamer2_tpu.ops.h264 import legacy_codec_available
-    for name in ("h263", "mpeg4", "theora"):
+    for name in ("h263", "mpeg4", "theora", "snow"):
         if not legacy_codec_available(name):
             pytest.skip(f"{name} missing from avcodec")
         # H.263 baseline only takes specific sizes; QCIF works for both
