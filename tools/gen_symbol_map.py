@@ -144,9 +144,11 @@ OVERRIDES = {
     # mediastream.h — echo limiter maps to the AEC output limiter blend
     "audio_stream_enable_echo_limiter": (
         "yes", "continuous output limiter inside ops/aec.py"),
-    # srtp AES-192 (reference gates it on libsrtp build too)
+    # srtp AES-192 (reference gates it on libsrtp build too) — the suite
+    # table genuinely lacks AES-192, so this is partial, not yes
+    # (VERDICT r3 weak item 8: re-grade rows with documented limits)
     "ms_crypto_suite_build_from_name_params": (
-        "yes", "net/srtp.py sdes_parse; AES-192 suites not implemented"),
+        "partial", "net/srtp.py sdes_parse; AES-192 suites not implemented"),
 }
 
 
@@ -180,7 +182,15 @@ def main():
              "leg-indexed — see docs/MIGRATION.md for the shape), "
              "**n/a** = platform/JNI/windowed-GL surface with no meaning "
              "for the headless TPU server target, **partial** = exists "
-             "with documented limits.", ""]
+             "with documented limits.", "",
+             "Known-partial capabilities NOT visible at symbol "
+             "granularity (filter IDs, not MS2_PUBLIC functions): "
+             "**AAC-ELD profile** is permanently gated (libfdk-aac absent "
+             "on this image — same as a reference build without "
+             "AudioToolbox); windowed GL displays are n/a (headless "
+             "target; analyse/callback/JPEG sinks instead). Snow "
+             "(MS_SNOW_ENC/DEC_ID) is implemented via the probed avcodec "
+             "layer as of round 4.", ""]
     total = dict(yes=0, partial=0)
     total["n/a"] = 0
     headers = sorted(os.listdir(REF)) if os.path.isdir(REF) else []
