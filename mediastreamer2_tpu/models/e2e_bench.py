@@ -282,6 +282,15 @@ class E2EConferenceBench:
                 shrink_after=10 ** 9,            # no shrink inside a trial
                 apply_initial=False)             # ring already primed
 
+        # phase trace (MS2TPU_E2E_TRACE=1): attribute overruns to the
+        # loop phase that ate the interval — the instrumentation VERDICT
+        # r3 item 2 asks for when a low-latency (small-K) row fails
+        import os as _os
+        trace = _os.environ.get("MS2TPU_E2E_TRACE", "0") != "0"
+        ph = {"edge": 0.0, "submit": 0.0, "pop": 0.0} if trace else None
+        ph_max = dict(ph) if trace else None
+        pop_waits: list = [] if trace else None
+
         next_edge = time.perf_counter()
         for blk in range(n_blocks):
             if blk == warmup_blocks:
@@ -301,9 +310,14 @@ class E2EConferenceBench:
                             late_ticks += int((now - next_edge) / interval)
                         next_edge = now
                     next_edge += interval
+                t_a = time.perf_counter() if trace else 0.0
                 self.tx.send(cur_tx[k], ts_inc=S8)
                 self.rx.poll()
                 pay, fl = self.rx.read_tick()
+                if trace:
+                    d = time.perf_counter() - t_a
+                    ph["edge"] += d
+                    ph_max["edge"] = max(ph_max["edge"], d)
                 stage[k] = pay
                 missing = fl == 0
                 if missing.any():
@@ -311,13 +325,29 @@ class E2EConferenceBench:
                 if blk >= warmup_blocks:
                     flags_total += N
                     flags_missing += int(N - fl.sum())
+            t_a = time.perf_counter() if trace else 0.0
             q.append(uploader.submit(gpu_block, stage.copy()))
+            if trace:
+                d = time.perf_counter() - t_a
+                ph["submit"] += d
+                ph_max["submit"] = max(ph_max["submit"], d)
             if len(q) > D:
+                t_a = time.perf_counter() if trace else 0.0
                 cur_tx, sent_p, recv_p = q.pop(0).result().result()
+                if trace:
+                    d = time.perf_counter() - t_a
+                    ph["pop"] += d
+                    ph_max["pop"] = max(ph_max["pop"], d)
+                    pop_waits.append(round(d * 1e3, 1))
                 if blk >= warmup_blocks:   # keep fidelity streams steady-state
                     self._sent_probe.append(sent_p)
                     self._recv_probe.append(recv_p)
         total_s = time.perf_counter() - (t_start or time.perf_counter())
+        if trace:
+            import sys as _sys
+            print(f"# e2e-trace N={N} K={K} D={D}: totals(s) {ph} "
+                  f"max(s) {ph_max} pop_waits_ms={pop_waits[-24:]}",
+                  file=_sys.stderr)
         for fut in q:
             _, sent_p, recv_p = fut.result().result()
             self._sent_probe.append(sent_p)
