@@ -83,6 +83,18 @@ STORE_DTYPE = jnp.bfloat16
 import os as _os
 _COND_PROMOTE = _os.environ.get("AEC_COND_PROMOTE", "0") != "0"
 
+# Selective-partial-update NLMS (A/B knob): update only the partitions
+# whose index parity matches the tick parity — the shadow-tap update
+# (gradient + read-modify-write) runs on HALF the [B,P,F] taps per tick
+# via a strided dynamic_update_slice.  MEASURED SLOWER on v5e (r4
+# interleaved A/B: 6.32 vs 5.90 ms/tick @8192, 9.71 vs 8.68 @12288 —
+# +7-11%): the strided dus breaks the single fused update pass and XLA
+# materializes the copy it was supposed to avoid.  Fourth rejected
+# structural alternative (after Pallas megakernel, cond-gated tap
+# writes, select-reorder) — the fused full-update form remains the best
+# schedule found.  Kept as a knob for re-evaluation on other chips.
+_HALF_UPDATE = _os.environ.get("AEC_HALF_UPDATE", "0") != "0"
+
 
 def _aec_init(ctx):
     B = ctx.batch
@@ -281,6 +293,33 @@ def _aec_process(state, ins, params, ctx):
             promote.astype(jnp.float32), reseed.astype(jnp.float32))
         Wm_r = Wm_r.astype(STORE_DTYPE)
         Wm_i = Wm_i.astype(STORE_DTYPE)
+    elif _HALF_UPDATE:
+        # Partial-update NLMS: gradient + tap RMW on the half of the
+        # partitions whose parity matches the tick parity.  [B,P,F] is
+        # viewed as [B,P//2,2,F] (p = 2*i + j), so the parity slice is a
+        # contiguous-runs rectangle that dynamic_update_slice writes
+        # without touching the other half's bytes.
+        par = cpos & 1
+        Ph = P // 2
+        Fs = state["Ws_r"].shape[2]
+        x4_r = jax.lax.dynamic_slice_in_dim(
+            Xh_r.reshape(B, Ph, 2, Fs), par, 1, axis=2)[:, :, 0]
+        x4_i = jax.lax.dynamic_slice_in_dim(
+            Xh_i.reshape(B, Ph, 2, Fs), par, 1, axis=2)[:, :, 0]
+        Gr, Gi = cmul_conj(x4_r.astype(jnp.float32),
+                           x4_i.astype(jnp.float32),
+                           Er[:, None, :], Ei[:, None, :])
+        step_w = mu[:, None, None] * inv_norm[:, None, :]
+        ws4_r = state["Ws_r"].reshape(B, Ph, 2, Fs)
+        ws4_i = state["Ws_i"].reshape(B, Ph, 2, Fs)
+        half_r = jax.lax.dynamic_slice_in_dim(ws4_r, par, 1,
+                                              axis=2)[:, :, 0] + step_w * Gr
+        half_i = jax.lax.dynamic_slice_in_dim(ws4_i, par, 1,
+                                              axis=2)[:, :, 0] + step_w * Gi
+        Ws_r = jax.lax.dynamic_update_slice_in_dim(
+            ws4_r, half_r[:, :, None], par, axis=2).reshape(B, P, Fs)
+        Ws_i = jax.lax.dynamic_update_slice_in_dim(
+            ws4_i, half_i[:, :, None], par, axis=2).reshape(B, P, Fs)
     else:
         # Unconstrained NLMS step for ALL partitions in one fused pass (no
         # [B,P,F] gradient tensor is materialized — the old
@@ -292,6 +331,9 @@ def _aec_process(state, ins, params, ctx):
                            Er[:, None, :], Ei[:, None, :])
         Ws_r = state["Ws_r"] + (mu[:, None, None] * inv_norm[:, None, :]) * Gr
         Ws_i = state["Ws_i"] + (mu[:, None, None] * inv_norm[:, None, :]) * Gi
+    if not use_pallas:
+        # shared non-pallas tail: constrained round-robin partition
+        # overwrite + the two-path transfer copies
         ws_p_r = jax.lax.dynamic_slice_in_dim(state["Ws_r"], cpos, 1,
                                               axis=1)[:, 0]
         ws_p_i = jax.lax.dynamic_slice_in_dim(state["Ws_i"], cpos, 1,

@@ -41,6 +41,9 @@ def _run_ec(factory, disable_pallas, ticks=20, B=2, seed=0):
 
 @pytest.mark.slow
 def test_mdf_pallas_matches_jnp(factory):
+    if os.environ.get("AEC_HALF_UPDATE", "0") != "0":
+        pytest.skip("pallas kernel implements the full NLMS update; the "
+                    "AEC_HALF_UPDATE A/B knob intentionally diverges")
     out_p, st_p = _run_ec(factory, disable_pallas=False)
     out_j, st_j = _run_ec(factory, disable_pallas=True)
     np.testing.assert_allclose(out_p, out_j, rtol=2e-4, atol=2e-5)
