@@ -143,10 +143,21 @@ class E2EConferenceBench:
             probe = (tx[:FIDELITY_LEGS], dec[:FIDELITY_LEGS])
             return (st, t + 1), (tx, probe)
 
+        S8 = self.S8
+
         @jax.jit
         def run_block(st, t0, xs):                       # xs: [K,N,80] u8
             (st, t), (txs, probes) = jax.lax.scan(body, (st, t0), xs)
-            return st, t, txs, probes
+            # pack payloads + both probe streams into ONE u8 buffer so the
+            # reader forces a single device->host transfer per block: three
+            # sequential np.asarray readbacks cost ~3 tunnel RTTs (~42 ms,
+            # measured) and starved the K=4 low-latency config whose whole
+            # block budget is 40 ms (VERDICT r3 item 2 diagnosis)
+            ptx, prx = probes
+            prx_u8 = jax.lax.bitcast_convert_type(
+                prx, jnp.uint8).reshape(xs.shape[0], -1, S8)
+            packed = jnp.concatenate([txs, ptx, prx_u8], axis=1)
+            return st, t, packed
 
         self._run_block = run_block
         self._t_dev = jnp.asarray(0, jnp.int32)
@@ -228,10 +239,10 @@ class E2EConferenceBench:
         another member's paced window (models/mixed_fleet.py)."""
         if getattr(self, "_warmed", False):
             return
-        _, _, txs, _ = self._run_block(
+        _, _, packed = self._run_block(
             self.state, self._t_dev,
             np.full((self.K, self.n, self.S8), 0xFF, np.uint8))
-        _ = np.asarray(txs)
+        _ = np.asarray(packed)
         self._warmed = True
 
     def run(self, n_blocks: int, paced: bool = True,
@@ -250,15 +261,22 @@ class E2EConferenceBench:
         uploader = ThreadPoolExecutor(max_workers=1)
         reader = ThreadPoolExecutor(max_workers=1)
 
-        def fetch(txs, probes):
-            return (np.asarray(txs), np.asarray(probes[0]),
-                    np.asarray(probes[1]))
+        nprobe = min(FIDELITY_LEGS, N)
+
+        def fetch(packed):
+            # ONE forced transfer per block (see run_block packing note)
+            a = np.asarray(packed)
+            txs = a[:, :N]
+            sent_p = a[:, N:N + nprobe]
+            recv_p = np.ascontiguousarray(a[:, N + nprobe:]).reshape(
+                K, nprobe, S8, 4).view(np.float32)[..., 0]
+            return txs, sent_p, recv_p
 
         def gpu_block(stage_copy):
             x = jax.device_put(stage_copy)
-            self.state, self._t_dev, txs, probes = self._run_block(
+            self.state, self._t_dev, packed = self._run_block(
                 self.state, self._t_dev, x)
-            return reader.submit(fetch, txs, probes)
+            return reader.submit(fetch, packed)
 
         # 0xFF is mu-law digital silence; zeros would decode loud (-0.24)
         stage = np.full((K, N, S8), 0xFF, np.uint8)
