@@ -176,17 +176,27 @@ def _aec_process(state, ins, params, ctx):
         Xh_i = jnp.concatenate([Xi[:, None, :].astype(state["Xh_i"].dtype),
                                 state["Xh_i"][:, :-1]], axis=1)
 
-        def apply(Wr, Wi):
-            Yr = jnp.sum(Wr * Xh_r.astype(jnp.float32)
-                         - Wi * Xh_i.astype(jnp.float32), axis=1)
-            Yi = jnp.sum(Wr * Xh_i.astype(jnp.float32)
-                         + Wi * Xh_r.astype(jnp.float32), axis=1)
-            # overlap-save keeps only the block's second half: matmul on
-            # the needed basis columns (half the MACs, identical values)
-            return irfft_tail(Yr[:, :F_nat], Yi[:, :F_nat], two_s)
-
-        y_m = apply(Wm_r_f, Wm_i_f)
-        y_s = apply(state["Ws_r"], state["Ws_i"])
+        # BOTH filter applications as ONE variadic (multi-output) reduce:
+        # XLA emits a single fusion whose loop body loads Wm/Ws/Xh once
+        # per (b,p,f) element and accumulates all four sums — four
+        # separate jnp.sum calls compiled to four reduce fusions that
+        # re-read the [B,P,F] operand pairs each time (~1.5 GB/tick at
+        # 8192 legs; the four fusions topped tools/hlo_traffic.py's
+        # estimated-cycle ranking at a combined ~4.6 ms).  Values are
+        # bit-identical (same products, same add order over P).
+        xr = Xh_r.astype(jnp.float32)
+        xi = Xh_i.astype(jnp.float32)
+        terms = (Wm_r_f * xr - Wm_i_f * xi,
+                 Wm_r_f * xi + Wm_i_f * xr,
+                 state["Ws_r"] * xr - state["Ws_i"] * xi,
+                 state["Ws_r"] * xi + state["Ws_i"] * xr)
+        Ym_r, Ym_i, Ys_r, Ys_i = jax.lax.reduce(
+            terms, tuple(jnp.zeros((), jnp.float32) for _ in terms),
+            lambda acc, val: tuple(a + v for a, v in zip(acc, val)), (1,))
+        # overlap-save keeps only the block's second half: matmul on
+        # the needed basis columns (half the MACs, identical values)
+        y_m = irfft_tail(Ym_r[:, :F_nat], Ym_i[:, :F_nat], two_s)
+        y_s = irfft_tail(Ys_r[:, :F_nat], Ys_i[:, :F_nat], two_s)
     e_m = near - y_m
     e_s = near - y_s
 
@@ -321,19 +331,31 @@ def _aec_process(state, ins, params, ctx):
         Ws_i = jax.lax.dynamic_update_slice_in_dim(
             ws4_i, half_i[:, :, None], par, axis=2).reshape(B, P, Fs)
     else:
-        # Unconstrained NLMS step for ALL partitions in one fused pass (no
-        # [B,P,F] gradient tensor is materialized — the old
-        # dynamic_update_slice-into-G form forced XLA to write G to HBM,
-        # ~18% of the MDF chain's traffic), then overwrite the round-robin
-        # partition with its causality-constrained step computed at [B,F].
+        # Unconstrained NLMS step for ALL partitions + the round-robin
+        # causality-constrained step for partition `cpos`, as ONE fused
+        # read-modify-write pass over [B,P,F]: the step is selected
+        # per-partition with an iota mask, so the constrained overwrite
+        # rides the same fusion that reads Ws and writes Ws'.  The
+        # previous dynamic_update_slice form compiled to a SECOND full
+        # [B,P,F] f32 read+write per component (~500 MB/tick at 8192
+        # legs, 40% of the EC core's HBM traffic — measured via
+        # tools/hlo_traffic.py on the optimized HLO: two 126 MB
+        # non-aliased dus fusions).  No [B,P,F] gradient tensor is
+        # materialized either way (VERDICT r3's fusion note), and the
+        # values are bit-identical to the dus form.
         Gr, Gi = cmul_conj(Xh_r.astype(jnp.float32),
                            Xh_i.astype(jnp.float32),
                            Er[:, None, :], Ei[:, None, :])
-        Ws_r = state["Ws_r"] + (mu[:, None, None] * inv_norm[:, None, :]) * Gr
-        Ws_i = state["Ws_i"] + (mu[:, None, None] * inv_norm[:, None, :]) * Gi
-    if not use_pallas:
-        # shared non-pallas tail: constrained round-robin partition
-        # overwrite + the two-path transfer copies
+        pmask = (jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1)
+                 == cpos)
+        step_w = mu[:, None, None] * inv_norm[:, None, :]
+        Ws_r = state["Ws_r"] + jnp.where(
+            pmask, (mu[:, None] * gc_r)[:, None, :], step_w * Gr)
+        Ws_i = state["Ws_i"] + jnp.where(
+            pmask, (mu[:, None] * gc_i)[:, None, :], step_w * Gi)
+    if not use_pallas and _HALF_UPDATE:
+        # the A/B knob path skips the fused masked constraint: overwrite
+        # the round-robin partition from the pre-update taps, as before
         ws_p_r = jax.lax.dynamic_slice_in_dim(state["Ws_r"], cpos, 1,
                                               axis=1)[:, 0]
         ws_p_i = jax.lax.dynamic_slice_in_dim(state["Ws_i"], cpos, 1,
@@ -342,6 +364,7 @@ def _aec_process(state, ins, params, ctx):
             Ws_r, (ws_p_r + mu[:, None] * gc_r)[:, None], cpos, axis=1)
         Ws_i = jax.lax.dynamic_update_slice_in_dim(
             Ws_i, (ws_p_i + mu[:, None] * gc_i)[:, None], cpos, axis=1)
+    if not use_pallas:
         p3 = promote[:, None, None]
         r3 = reseed[:, None, None]
         if _COND_PROMOTE:
