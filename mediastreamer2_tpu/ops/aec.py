@@ -296,7 +296,19 @@ def _aec_process(state, ins, params, ctx):
     diverge_cnt = jnp.where(hard_reset, 0, diverge_cnt)
 
     # --- gradient + NLMS update + transfer copies ---------------------------
-    if use_pallas:
+    fused_upd = (not use_pallas and not _HALF_UPDATE
+                 and pk.update_tile(B) > 0)
+    if fused_upd:
+        # one VMEM pass over [B,P,F] for gradient + NLMS step + constraint
+        # select + promote/reseed/hard-reset transfers, Ws/Wm donated in
+        # place (ops/pallas_kernels.py mdf_update_fused; equivalent to the
+        # jnp branch below within ~1 ulp/tick, which remains the
+        # PALLAS_DISABLE / AEC_PALLAS_UPDATE=0 fallback)
+        Ws_r, Ws_i, Wm_r, Wm_i = pk.mdf_update_fused(
+            cpos, state["Ws_r"], state["Ws_i"],
+            state["Wm_r"], state["Wm_i"], Xh_r, Xh_i, Er, Ei,
+            inv_norm, gc_r, gc_i, mu, promote, reseed, hard_reset)
+    elif use_pallas:
         Ws_r, Ws_i, Wm_r, Wm_i = pk.mdf_update(
             cpos, state["Ws_r"], state["Ws_i"], Wm_r_f, Wm_i_f,
             Xh_r, Xh_i, Er, Ei, inv_norm, gc_r, gc_i, mu,
@@ -364,7 +376,7 @@ def _aec_process(state, ins, params, ctx):
             Ws_r, (ws_p_r + mu[:, None] * gc_r)[:, None], cpos, axis=1)
         Ws_i = jax.lax.dynamic_update_slice_in_dim(
             Ws_i, (ws_p_i + mu[:, None] * gc_i)[:, None], cpos, axis=1)
-    if not use_pallas:
+    if not use_pallas and not fused_upd:
         p3 = promote[:, None, None]
         r3 = reseed[:, None, None]
         if _COND_PROMOTE:
@@ -383,9 +395,10 @@ def _aec_process(state, ins, params, ctx):
             Wm_i = jnp.where(p3, Ws_i.astype(STORE_DTYPE), state["Wm_i"])
         Ws_r = jnp.where(r3, Wm_r_f, Ws_r)
         Ws_i = jnp.where(r3, Wm_i_f, Ws_i)
-    h3 = hard_reset[:, None, None]
-    Ws_r = jnp.where(h3, 0.0, Ws_r)
-    Ws_i = jnp.where(h3, 0.0, Ws_i)
+    if not fused_upd:                  # the fused kernel zeroes in-pass
+        h3 = hard_reset[:, None, None]
+        Ws_r = jnp.where(h3, 0.0, Ws_r)
+        Ws_i = jnp.where(h3, 0.0, Ws_i)
     Em = jnp.where(promote, Es, Em)
     Es = jnp.where(reseed, Em, Es)
     Es = jnp.where(hard_reset, Dn, Es)

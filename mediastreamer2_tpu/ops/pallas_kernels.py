@@ -210,3 +210,101 @@ def mdf_available(B: int) -> bool:
     if os.environ.get("PALLAS_MDF", "0") != "1":
         return False
     return pallas_enabled() and _mdf_tile(B) > 0
+
+# --------------------------------------------------------------------------
+# Fused NLMS update + two-path transfer (the [B,P,F] elementwise tail of
+# ops/aec.py) in NATIVE storage dtypes.  Motivation (tools/hlo_traffic.py
+# on the optimized HLO, 8192 legs): XLA splits this tail into an update
+# fusion, a promote-select fusion that REMATERIALIZES the whole update
+# (second full read of the f32 shadow taps), and two 126 MB carry copies —
+# ~1.7 GB/tick.  One kernel pass reads Ws/Wm/Xh once and writes Ws/Wm once
+# (~1.0 GB), with the Ws/Wm inputs donated in place.
+# Unlike the rejected PALLAS_MDF megakernel (f32 tiles everywhere), tap
+# storage stays bf16 in VMEM and the filter APPLY stays on XLA's
+# variadic-reduce fusion.
+# --------------------------------------------------------------------------
+
+def _mdf_update_fused_kernel(cpos_ref, ws_r, ws_i, wm_r, wm_i, xh_r, xh_i,
+                             e_r, e_i, inv_norm, gc_r, gc_i, mu,
+                             promote, reseed, hreset,
+                             ws2_r, ws2_i, wm2_r, wm2_i):
+    P = ws_r.shape[1]
+    cpos = cpos_ref[0]
+    er, ei = e_r[:], e_i[:]
+    m = mu[:]                                     # [TB, 1]
+    # same association order as the jnp branch ((mu*inv)*G and mu*gc) so
+    # the two paths are BIT-identical, not merely close
+    stepw = m * inv_norm[:]
+    con_r = m * gc_r[:]
+    con_i = m * gc_i[:]
+    pr = promote[:] != 0.0                        # [TB, 1] masks
+    rs = reseed[:] != 0.0
+    hr_m = hreset[:] != 0.0
+    for p in range(P):
+        hr = xh_r[:, p, :].astype(jnp.float32)
+        hi = xh_i[:, p, :].astype(jnp.float32)
+        gr = hr * er + hi * ei                    # conj(Xh) * E
+        gi = hr * ei - hi * er
+        use_c = cpos == p
+        wsp_r = ws_r[:, p, :]
+        wsp_i = ws_i[:, p, :]
+        up_r = wsp_r + jnp.where(use_c, con_r, stepw * gr)
+        up_i = wsp_i + jnp.where(use_c, con_i, stepw * gi)
+        wmp_r = wm_r[:, p, :]
+        wmp_i = wm_i[:, p, :]
+        wm2_r[:, p, :] = jnp.where(pr, up_r.astype(wmp_r.dtype), wmp_r)
+        wm2_i[:, p, :] = jnp.where(pr, up_i.astype(wmp_i.dtype), wmp_i)
+        out_r = jnp.where(rs, wmp_r.astype(jnp.float32), up_r)
+        out_i = jnp.where(rs, wmp_i.astype(jnp.float32), up_i)
+        ws2_r[:, p, :] = jnp.where(hr_m, 0.0, out_r)
+        ws2_i[:, p, :] = jnp.where(hr_m, 0.0, out_i)
+
+
+def update_tile(B: int) -> int:
+    # MEASURED SLOWER on v5e (r4 interleaved A/B, ec_only: 5.93/5.73 vs
+    # 4.59/4.59 ms/tick @8192, 8.93 vs 7.59 @12288 — +25-29%) despite
+    # halving the modeled HBM traffic: the kernel pays 481->512 lane
+    # padding on every [tb,P,F] tile plus a serialized per-partition loop,
+    # while XLA's fusions pipeline the same work across its own tiling.
+    # Fifth rejected structural alternative (megakernel, cond-gated tap
+    # writes, select-reorder, half-update NLMS, fused update kernel).
+    # Kept opt-in (AEC_PALLAS_UPDATE=1) + parity-tested for re-evaluation
+    # on chips with different VMEM/lane geometry.
+    if os.environ.get("AEC_PALLAS_UPDATE", "0") != "1" or not pallas_enabled():
+        return 0
+    return _mdf_tile(B)
+
+
+def mdf_update_fused(cpos, Ws_r, Ws_i, Wm_r, Wm_i, Xh_r, Xh_i, Er, Ei,
+                     inv_norm, Gc_r, Gc_i, mu, promote, reseed, hard_reset):
+    """Returns (Ws2_r, Ws2_i, Wm2_r, Wm2_i); Ws/Wm inputs are donated.
+    Expressions match the jnp path association-for-association; the
+    residual difference is ~1 ulp/tick from FMA contraction choices
+    inside XLA's fusions (measured 1.5e-7 on taps after 60 ticks) —
+    within the project's quality-equivalence criterion, and the jnp
+    branch stays available via AEC_PALLAS_UPDATE=0 / PALLAS_DISABLE=1."""
+    B, P, F = Ws_r.shape
+    tb = update_tile(B)
+    grid = (B // tb,)
+    b3 = lambda dt: pl.BlockSpec((tb, P, F), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    b2 = lambda: pl.BlockSpec((tb, F), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    b1 = lambda: pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    col = lambda v: v.reshape(B, 1).astype(jnp.float32)
+    return pl.pallas_call(
+        _mdf_update_fused_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [b3(None)] * 6 + [b2()] * 5 + [b1()] * 4,
+        out_specs=[b3(None)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((B, P, F), Ws_r.dtype),
+                   jax.ShapeDtypeStruct((B, P, F), Ws_i.dtype),
+                   jax.ShapeDtypeStruct((B, P, F), Wm_r.dtype),
+                   jax.ShapeDtypeStruct((B, P, F), Wm_i.dtype)],
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        interpret=_use_interpret(),
+    )(jnp.asarray(cpos).reshape(1), Ws_r, Ws_i, Wm_r, Wm_i, Xh_r, Xh_i,
+      Er, Ei, inv_norm, Gc_r, Gc_i, col(mu), col(promote), col(reseed),
+      col(hard_reset))

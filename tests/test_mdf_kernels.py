@@ -53,3 +53,32 @@ def test_mdf_pallas_matches_jnp(factory):
     np.testing.assert_allclose(np.asarray(st_p["ec"]["Es"]),
                                np.asarray(st_j["ec"]["Es"]),
                                rtol=2e-4, atol=1e-7)
+
+
+def _run_ec_knob(factory, pallas_update, ticks=40, B=4, seed=3):
+    os.environ["AEC_PALLAS_UPDATE"] = pallas_update
+    try:
+        return _run_ec(factory, disable_pallas=(pallas_update == "0"),
+                       ticks=ticks, B=B, seed=seed)
+    finally:
+        os.environ.pop("AEC_PALLAS_UPDATE", None)
+
+
+def test_fused_update_matches_jnp(factory):
+    """The fused update+transfer kernel (mdf_update_fused, the default
+    production path) matches the jnp branch to ~1 ulp/tick — the residual
+    is FMA contraction inside XLA's fusions, within the project's
+    quality-equivalence criterion."""
+    if os.environ.get("AEC_HALF_UPDATE", "0") != "0":
+        pytest.skip("AEC_HALF_UPDATE A/B knob intentionally diverges")
+    out_f, st_f = _run_ec_knob(factory, "1")
+    out_j, st_j = _run_ec_knob(factory, "0")
+    np.testing.assert_allclose(out_f, out_j, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f["ec"]["Ws_r"]),
+                               np.asarray(st_j["ec"]["Ws_r"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f["ec"]["Wm_r"],
+                                          dtype=np.float32),
+                               np.asarray(st_j["ec"]["Wm_r"],
+                                          dtype=np.float32),
+                               rtol=1e-2, atol=1e-4)   # bf16 storage
