@@ -294,6 +294,14 @@ def _aec_process(state, ins, params, ctx):
                   state["diverge_cnt"]))
     hard_reset = diverge_cnt >= 2 * HOLD_TICKS
     diverge_cnt = jnp.where(hard_reset, 0, diverge_cnt)
+    # The three transfer decisions are mutually exclusive per leg: promote
+    # and reseed by construction (Es < 0.4*Em vs Es > 1.5*Em), but promote
+    # and hard_reset CAN coincide (at_floor can hold while both paths are
+    # diverged) — and promoting taps to MAIN in the very tick they are
+    # declared catastrophically diverged was never intended.  Excluding it
+    # also lets the promote select below read the FINAL shadow taps, which
+    # matters for the fusion schedule.
+    promote = promote & ~hard_reset
 
     # --- gradient + NLMS update + transfer copies ---------------------------
     fused_upd = (not use_pallas and not _HALF_UPDATE
@@ -379,6 +387,17 @@ def _aec_process(state, ins, params, ctx):
     if not use_pallas and not fused_upd:
         p3 = promote[:, None, None]
         r3 = reseed[:, None, None]
+        h3 = hard_reset[:, None, None]
+        # reseed + hard-reset ride the update pass; the promote select then
+        # reads the FINAL Ws (valid — the three decisions are mutually
+        # exclusive per leg, see the mask note above).  Reading the
+        # materialized final value instead of the pre-reseed intermediate
+        # stops XLA REMATERIALIZING the whole NLMS update inside the
+        # promote-select fusion (a second full read of Ws + Xh, ~630 MB/
+        # tick at 8192 legs — tools/hlo_traffic.py ranked that remat
+        # fusion equal-first in the tick).
+        Ws_r = jnp.where(h3, 0.0, jnp.where(r3, Wm_r_f, Ws_r))
+        Ws_i = jnp.where(h3, 0.0, jnp.where(r3, Wm_i_f, Ws_i))
         if _COND_PROMOTE:
             # promotes are rare (hysteretic, steady-state ~never): gate the
             # [B,P,F] bf16 main-tap rewrite on any(promote) so the common
@@ -393,9 +412,7 @@ def _aec_process(state, ins, params, ctx):
         else:
             Wm_r = jnp.where(p3, Ws_r.astype(STORE_DTYPE), state["Wm_r"])
             Wm_i = jnp.where(p3, Ws_i.astype(STORE_DTYPE), state["Wm_i"])
-        Ws_r = jnp.where(r3, Wm_r_f, Ws_r)
-        Ws_i = jnp.where(r3, Wm_i_f, Ws_i)
-    if not fused_upd:                  # the fused kernel zeroes in-pass
+    elif not fused_upd:                # pallas megakernel: zero outside
         h3 = hard_reset[:, None, None]
         Ws_r = jnp.where(h3, 0.0, Ws_r)
         Ws_i = jnp.where(h3, 0.0, Ws_i)
