@@ -327,10 +327,10 @@ def latency_curve(n_head: int) -> list:
                   f"-> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
             if ok:
                 best = (n, res)
-                nxt = (n * 3 // 2) // 64 * 64    # climb while budget lasts
+                # climb while budget lasts (at least one 64-leg step:
+                # 64*3//2//64*64 == 64 would otherwise cap small starts)
+                nxt = max(n + 64, (n * 3 // 2) // 64 * 64)
                 if first_fail is not None and nxt >= first_fail:
-                    break
-                if nxt <= n:
                     break
                 n = nxt
                 retried_here = False

@@ -48,8 +48,79 @@ class TickerStats:
     def mean_step_ms(self) -> float:
         return self.total_step_ms / max(self.ticks, 1)
 
+    def record(self, dt_ms: float, interval_ms: float):
+        """Fold one tick's host step time into the beat accounting
+        (EWMA load + late-tick telemetry, parity msticker.c:486-515).
+        Shared by Ticker and FleetTicker so the two can never drift."""
+        self.ticks += 1
+        self.total_step_ms += dt_ms
+        self.max_step_ms = max(self.max_step_ms, dt_ms)
+        self.avg_load = 0.9 * self.avg_load + 0.1 * (dt_ms / interval_ms)
+        if dt_ms > interval_ms:
+            self.late_ticks += 1
+            self.last_late_tick = self.ticks
 
-class Ticker:
+
+class _PacedBeat:
+    """Shared tick-loop plumbing for Ticker and FleetTicker: realtime
+    pacing against absolute edges (cf. wait_next_tick msticker.c:419-445),
+    background-thread start/stop, and optional SCHED_RR elevation.
+    Subclasses provide do_tick(), drain(), and the realtime/interval_ms/
+    name/stats attributes."""
+
+    def _elevate_priority(self):
+        """Elevated real-time scheduling for the tick loop, parity with
+        ms_ticker_start's SCHED_RR/FIFO escalation (msticker.c:330-399):
+        the MS2TPU_TICKER_SCHEDPRIO env var (like MS_TICKER_SCHEDPRIO,
+        msticker.c:370) requests a priority; failures degrade gracefully
+        to normal scheduling with a log line, exactly like the reference
+        falling back when not privileged."""
+        import logging
+        import os
+        prio = os.environ.get("MS2TPU_TICKER_SCHEDPRIO")
+        if not prio or not self.realtime:
+            return
+        try:
+            want = min(int(prio), os.sched_get_priority_max(os.SCHED_RR))
+            os.sched_setscheduler(0, os.SCHED_RR, os.sched_param(want))
+            logging.getLogger(__name__).info(
+                "ticker %s: SCHED_RR priority %d", self.name, want)
+        except (OSError, PermissionError, ValueError) as e:
+            logging.getLogger(__name__).warning(
+                "ticker %s: cannot elevate scheduling (%s); continuing "
+                "with normal priority", self.name, e)
+
+    def run(self, n_ticks: int):
+        """Run n ticks; paced to the interval if realtime, else free-run."""
+        self._elevate_priority()
+        next_edge = time.perf_counter()
+        for _ in range(n_ticks):
+            if self._stop.is_set():
+                break
+            self.do_tick()
+            if self.realtime:
+                next_edge += self.interval_ms / 1e3
+                now = time.perf_counter()
+                if now < next_edge:
+                    time.sleep(next_edge - now)
+                else:
+                    next_edge = now
+        self.drain()
+
+    def start(self, n_ticks: int = 10**9):
+        self._stop.clear()
+        self._run_thread = threading.Thread(
+            target=self.run, args=(n_ticks,), name=self.name, daemon=True)
+        self._run_thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._run_thread:
+            self._run_thread.join()
+            self._run_thread = None
+
+
+class Ticker(_PacedBeat):
     def __init__(self, graph, name: str = "ticker", interval_ms: int = TICK_MS,
                  realtime: bool = True, event_queue: Optional[EventQueue] = None,
                  pipeline_depth: int = 0, step_fn=None):
@@ -175,17 +246,8 @@ class Ticker:
                 ext_out = {}
         else:
             ext_out = self._publish(self.stats.ticks, ext_out, events)
-        dt_ms = (time.perf_counter() - t0) * 1e3
-        s = self.stats
-        s.ticks += 1
         self.time_ms += self.interval_ms
-        s.total_step_ms += dt_ms
-        s.max_step_ms = max(s.max_step_ms, dt_ms)
-        load = dt_ms / self.interval_ms
-        s.avg_load = 0.9 * s.avg_load + 0.1 * load     # parity: msticker.c EWMA
-        if dt_ms > self.interval_ms:
-            s.late_ticks += 1
-            s.last_late_tick = s.ticks
+        self.stats.record((time.perf_counter() - t0) * 1e3, self.interval_ms)
         return ext_out
 
     def drain(self):
@@ -207,57 +269,6 @@ class Ticker:
             self._publish(tick, out, ev)
         except BaseException as e:               # noqa: BLE001
             self._publish_err = e
-
-    def _elevate_priority(self):
-        """Elevated real-time scheduling for the tick loop, parity with
-        ms_ticker_start's SCHED_RR/FIFO escalation (msticker.c:330-399):
-        the MS2TPU_TICKER_SCHEDPRIO env var (like MS_TICKER_SCHEDPRIO,
-        msticker.c:370) requests a priority; failures degrade gracefully
-        to normal scheduling with a log line, exactly like the reference
-        falling back when not privileged."""
-        import logging
-        import os
-        prio = os.environ.get("MS2TPU_TICKER_SCHEDPRIO")
-        if not prio or not self.realtime:
-            return
-        try:
-            want = min(int(prio), os.sched_get_priority_max(os.SCHED_RR))
-            os.sched_setscheduler(0, os.SCHED_RR, os.sched_param(want))
-            logging.getLogger(__name__).info(
-                "ticker %s: SCHED_RR priority %d", self.name, want)
-        except (OSError, PermissionError, ValueError) as e:
-            logging.getLogger(__name__).warning(
-                "ticker %s: cannot elevate scheduling (%s); continuing "
-                "with normal priority", self.name, e)
-
-    def run(self, n_ticks: int):
-        """Run n ticks; paced to the interval if realtime, else free-run."""
-        self._elevate_priority()
-        next_edge = time.perf_counter()
-        for _ in range(n_ticks):
-            if self._stop.is_set():
-                break
-            self.do_tick()
-            if self.realtime:
-                next_edge += self.interval_ms / 1e3
-                now = time.perf_counter()
-                if now < next_edge:
-                    time.sleep(next_edge - now)   # cf. wait_next_tick msticker.c:419-445
-                else:
-                    next_edge = now
-        self.drain()
-
-    def start(self, n_ticks: int = 10**9):
-        self._stop.clear()
-        self._run_thread = threading.Thread(
-            target=self.run, args=(n_ticks,), name=self.name, daemon=True)
-        self._run_thread.start()
-
-    def stop(self):
-        self._stop.set()
-        if self._run_thread:
-            self._run_thread.join()
-            self._run_thread = None
 
     def get_average_load(self) -> float:
         return self.stats.avg_load
@@ -304,7 +315,7 @@ class Ticker:
         self.mutate(apply)
 
 
-class FleetTicker:
+class FleetTicker(_PacedBeat):
     """Drive SEVERAL compiled graphs from ONE paced loop — heterogeneous
     co-residency on one chip.
 
@@ -354,47 +365,11 @@ class FleetTicker:
         for t, stride in self.members:
             if self.stats.ticks % stride == 0:
                 t.do_tick()
-        dt_ms = (time.perf_counter() - t0) * 1e3
-        s = self.stats
-        s.ticks += 1
-        s.total_step_ms += dt_ms
-        s.max_step_ms = max(s.max_step_ms, dt_ms)
-        load = dt_ms / self.interval_ms
-        s.avg_load = 0.9 * s.avg_load + 0.1 * load
-        if dt_ms > self.interval_ms:
-            s.late_ticks += 1
-            s.last_late_tick = s.ticks
-
-    def run(self, n_ticks: int):
-        next_edge = time.perf_counter()
-        for _ in range(n_ticks):
-            if self._stop.is_set():
-                break
-            self.do_tick()
-            if self.realtime:
-                next_edge += self.interval_ms / 1e3
-                now = time.perf_counter()
-                if now < next_edge:
-                    time.sleep(next_edge - now)
-                else:
-                    next_edge = now
-        self.drain()
+        self.stats.record((time.perf_counter() - t0) * 1e3, self.interval_ms)
 
     def drain(self):
         for t, _ in self.members:
             t.drain()
-
-    def start(self, n_ticks: int = 10**9):
-        self._stop.clear()
-        self._run_thread = threading.Thread(
-            target=self.run, args=(n_ticks,), name=self.name, daemon=True)
-        self._run_thread.start()
-
-    def stop(self):
-        self._stop.set()
-        if self._run_thread:
-            self._run_thread.join()
-            self._run_thread = None
 
 
 class TickerSynchronizer:

@@ -267,7 +267,10 @@ class E2EConferenceBench:
             # ONE forced transfer per block (see run_block packing note)
             a = np.asarray(packed)
             txs = a[:, :N]
-            sent_p = a[:, N:N + nprobe]
+            # .copy(): sent_p is retained for the whole trial via
+            # _sent_probe — a view would pin each block's full packed
+            # buffer (MBs) for the ~10 KB probe slice
+            sent_p = a[:, N:N + nprobe].copy()
             recv_p = np.ascontiguousarray(a[:, N + nprobe:]).reshape(
                 K, nprobe, S8, 4).view(np.float32)[..., 0]
             return txs, sent_p, recv_p

@@ -180,6 +180,7 @@ class MixedFleetBench:
                 tk.realtime = True
                 n_ticks = int(seconds * 100)
                 sent0 = sum(s.stats.sent_packets for s in ab.sessions if s)
+                recv0 = sum(s.stats.recv_packets for s in ab.sessions if s)
                 base_late, base_ticks = tk.stats.late_ticks, tk.stats.ticks
                 tk.run(n_ticks)
                 tk.drain()
@@ -190,7 +191,8 @@ class MixedFleetBench:
                         s.poll()
                 sent = sum(s.stats.sent_packets for s in ab.sessions if s) \
                     - sent0
-                recv = sum(s.stats.recv_packets for s in ab.sessions if s)
+                recv = sum(s.stats.recv_packets for s in ab.sessions if s) \
+                    - recv0
                 ticks = tk.stats.ticks - base_ticks
                 return {
                     "legs": ab.batch, "ticks": ticks,

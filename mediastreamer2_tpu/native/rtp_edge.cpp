@@ -762,27 +762,29 @@ class RtpRx {
           int len = int(msgs_[i].msg_len);
           int seg = gro_seg_size(msgs_[i].msg_hdr);
           if (seg <= 0 || seg >= len) {
-            segs_.push_back({buf, len});
+            segs_.push_back({buf, len, leg_of(buf, len)});
           } else {                       // GRO: split coalesced datagrams
-            for (int off = 0; off < len; off += seg)
-              segs_.push_back({buf + off,
-                               len - off < seg ? len - off : seg});
+            for (int off = 0; off < len; off += seg) {
+              int sl = len - off < seg ? len - off : seg;
+              segs_.push_back({buf + off, sl, leg_of(buf + off, sl)});
+            }
           }
         }
         total += int(segs_.size());
         if (pool_) {
+          // routing (header parse + SSRC lookup) ran ONCE above on the
+          // poll thread; workers shard only the crypto + ring insert —
+          // per non-owned segment they pay one int compare, not a parse
           const int T = pool_->workers();
           pool_->run([&](int part) {
             for (const Seg& s : segs_) {
-              int leg = leg_of(s.p, s.len);
-              if (leg < 0 || leg % T != part) continue;
-              insert_leg(leg, s.p, s.len, gcm_tmp_[part]);
+              if (s.leg < 0 || s.leg % T != part) continue;
+              insert_leg(s.leg, s.p, s.len, gcm_tmp_[part]);
             }
           });
         } else {
           for (const Seg& s : segs_) {
-            int leg = leg_of(s.p, s.len);
-            if (leg >= 0) insert_leg(leg, s.p, s.len, gcm_tmp_[0]);
+            if (s.leg >= 0) insert_leg(s.leg, s.p, s.len, gcm_tmp_[0]);
           }
         }
         if (r < kRxChunk) break;
@@ -977,6 +979,7 @@ class RtpRx {
   struct Seg {
     const uint8_t* p;
     int len;
+    int leg;                             // routed once on the poll thread
   };
   std::vector<Seg> segs_;                // per-recvmmsg-chunk segment list
   std::vector<std::vector<uint8_t>> gcm_tmp_{1};  // per-worker AEAD scratch

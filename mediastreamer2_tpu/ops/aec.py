@@ -307,11 +307,11 @@ def _aec_process(state, ins, params, ctx):
     fused_upd = (not use_pallas and not _HALF_UPDATE
                  and pk.update_tile(B) > 0)
     if fused_upd:
-        # one VMEM pass over [B,P,F] for gradient + NLMS step + constraint
-        # select + promote/reseed/hard-reset transfers, Ws/Wm donated in
-        # place (ops/pallas_kernels.py mdf_update_fused; equivalent to the
-        # jnp branch below within ~1 ulp/tick, which remains the
-        # PALLAS_DISABLE / AEC_PALLAS_UPDATE=0 fallback)
+        # OPT-IN (AEC_PALLAS_UPDATE=1; measured slower than the default
+        # jnp branch below — see pallas_kernels.update_tile): one VMEM
+        # pass over [B,P,F] for gradient + NLMS step + constraint select
+        # + promote/reseed/hard-reset transfers, Ws/Wm donated in place;
+        # equivalent to the jnp branch within ~1 ulp/tick
         Ws_r, Ws_i, Wm_r, Wm_i = pk.mdf_update_fused(
             cpos, state["Ws_r"], state["Ws_i"],
             state["Wm_r"], state["Wm_i"], Xh_r, Xh_i, Er, Ei,

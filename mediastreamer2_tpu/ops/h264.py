@@ -317,9 +317,19 @@ class H264Decoder:
                         ctypes.POINTER(ctypes.c_void_p))[0] = buf
             _w32(ctx, s_off, len(extradata))
             if _rptr(ctx, p_off) != buf or _r32(ctx, s_off) != len(extradata):
+                # un-install before freeing so the context never owns buf
+                # (avoids double-free) and nothing leaks on the raise
+                ctypes.cast(ctx + p_off,
+                            ctypes.POINTER(ctypes.c_void_p))[0] = None
+                _w32(ctx, s_off, 0)
+                _avu.av_free(ctypes.c_void_p(buf))
+                _av.avcodec_free_context(
+                    ctypes.byref(ctypes.c_void_p(ctx)))
                 raise RuntimeError("extradata install readback mismatch")
         if _av.avcodec_open2(ctypes.c_void_p(ctx), ctypes.c_void_p(codec),
                              None) != 0:
+            # frees any installed extradata along with the context
+            _av.avcodec_free_context(ctypes.byref(ctypes.c_void_p(ctx)))
             raise RuntimeError(
                 f"avcodec_open2({self.CODEC_NAME.decode()}) failed")
         self.ctx = ctx

@@ -246,8 +246,10 @@ class Vp8Decoder:
         if threads <= 0:
             import os
             threads = min(4, os.cpu_count() or 1)
-        # vpx_codec_dec_cfg_t = {threads, w, h}; w/h 0 = from stream
-        dec_cfg = struct.pack("<III", threads, 0, 0)
+        # vpx_codec_dec_cfg_t = {threads, w, h}; w/h 0 = from stream.
+        # Kept alive on self: init stores the raw pointer in
+        # ctx->config.dec (no copy), and later libvpx paths may re-read it.
+        dec_cfg = self._dec_cfg = struct.pack("<III", threads, 0, 0)
         r = _vpx.vpx_codec_dec_init_ver(
             self.ctx, ctypes.c_void_p(_vpx.vpx_codec_vp8_dx()),
             dec_cfg, 0, ABI)

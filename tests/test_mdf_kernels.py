@@ -65,10 +65,11 @@ def _run_ec_knob(factory, pallas_update, ticks=40, B=4, seed=3):
 
 
 def test_fused_update_matches_jnp(factory):
-    """The fused update+transfer kernel (mdf_update_fused, the default
-    production path) matches the jnp branch to ~1 ulp/tick — the residual
-    is FMA contraction inside XLA's fusions, within the project's
-    quality-equivalence criterion."""
+    """The fused update+transfer kernel (mdf_update_fused — measured
+    slower than XLA's fusions and kept OPT-IN behind AEC_PALLAS_UPDATE=1,
+    see pallas_kernels.update_tile) matches the default jnp branch to
+    ~1 ulp/tick — the residual is FMA contraction inside XLA's fusions,
+    within the project's quality-equivalence criterion."""
     if os.environ.get("AEC_HALF_UPDATE", "0") != "0":
         pytest.skip("AEC_HALF_UPDATE A/B knob intentionally diverges")
     out_f, st_f = _run_ec_knob(factory, "1")

@@ -431,10 +431,10 @@ def main():
           file=sys.stderr)
     res = measure(batch, rtt)
     for k, v in res.items():
-        if isinstance(v, dict):
-            print(f"# {k}: {v}", file=sys.stderr)
-        else:
+        if isinstance(v, (int, float)):
             print(f"# {k}: {v:.3f} ms/tick", file=sys.stderr)
+        else:   # dicts, None (e.g. cost_analysis unavailable over the tunnel)
+            print(f"# {k}: {v}", file=sys.stderr)
     print(json.dumps(summarize(batch, res)))
 
 
