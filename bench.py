@@ -504,9 +504,12 @@ def main():
         else srtp_e2e(n_e2e or 1024)
     n_gcm, res_g = (0, None) if over_budget("srtp_gcm") \
         else srtp_e2e(n_srtp or n_e2e or 1024, suite="AEAD_AES_128_GCM")
+    # latency curve BEFORE fleet/video: it is the operating-envelope
+    # deliverable and must not fall off the end of the time budget when
+    # the fleet's (many) compiles run long
+    curve = [] if over_budget("latency") else latency_curve(n_e2e or 1024)
     fleet = {} if over_budget("fleet") else mixed_fleet(n_e2e or 1024,
                                                         n_srtp or 512)
-    curve = [] if over_budget("latency") else latency_curve(n_e2e or 1024)
     if over_budget("video"):
         n_vid, res_v, rec = 0, None, False
     else:

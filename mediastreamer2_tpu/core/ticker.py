@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mediastreamer2_tpu.core import devlock
 from mediastreamer2_tpu.core.block import TICK_MS
 from mediastreamer2_tpu.core.events import EventQueue
 
@@ -199,12 +200,14 @@ class Ticker(_PacedBeat):
         """Force device->host readback and hand outputs/events to the app.
         np.asarray (not block_until_ready, which is a no-op over the axon
         tunnel) guarantees the data actually landed on the host."""
-        ext_out = {k: np.asarray(v) for k, v in ext_out.items()}
+        with devlock.held():
+            ext_out = {k: np.asarray(v) for k, v in ext_out.items()}
+            ev_np = ({k: np.asarray(v) for k, v in events.items()}
+                     if events else None)
         if self._io_push:
             self._io_push(tick, ext_out)
-        if events:
-            self.event_queue.post_tensor_events(
-                {k: np.asarray(v) for k, v in events.items()}, tick)
+        if ev_np:
+            self.event_queue.post_tensor_events(ev_np, tick)
         return ext_out
 
     def do_tick(self) -> Dict:
@@ -223,7 +226,9 @@ class Ticker(_PacedBeat):
         t0 = time.perf_counter()
         ext_in = self._io_pull(self.stats.ticks) if self._io_pull else {
             k: np.zeros(shape, dtype) for k, (shape, dtype) in self.graph.ext_inputs.items()}
-        self.state, ext_out, events = self._step(self.state, self.params, ext_in)
+        with devlock.held():
+            self.state, ext_out, events = self._step(self.state, self.params,
+                                                     ext_in)
         if self.pipeline_depth > 0:
             # async: dispatch returned immediately; publish the tick that
             # has had `depth` intervals to complete, then return.

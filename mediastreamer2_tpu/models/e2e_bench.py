@@ -32,6 +32,7 @@ from typing import Optional
 
 import numpy as np
 
+from mediastreamer2_tpu.core import devlock
 from mediastreamer2_tpu.core.block import Format, tick_samples
 from mediastreamer2_tpu.core.graph import GraphBuilder
 
@@ -265,7 +266,8 @@ class E2EConferenceBench:
 
         def fetch(packed):
             # ONE forced transfer per block (see run_block packing note)
-            a = np.asarray(packed)
+            with devlock.held():
+                a = np.asarray(packed)
             txs = a[:, :N]
             # .copy(): sent_p is retained for the whole trial via
             # _sent_probe — a view would pin each block's full packed
@@ -276,9 +278,10 @@ class E2EConferenceBench:
             return txs, sent_p, recv_p
 
         def gpu_block(stage_copy):
-            x = jax.device_put(stage_copy)
-            self.state, self._t_dev, packed = self._run_block(
-                self.state, self._t_dev, x)
+            with devlock.held():
+                x = jax.device_put(stage_copy)
+                self.state, self._t_dev, packed = self._run_block(
+                    self.state, self._t_dev, x)
             return reader.submit(fetch, packed)
 
         # 0xFF is mu-law digital silence; zeros would decode loud (-0.24)

@@ -215,10 +215,25 @@ class MixedFleetBench:
             runners[name] = threading.Thread(
                 target=guarded, args=(name, fn), name=f"fleet-{name}",
                 daemon=True)
-        for th in runners.values():
-            th.start()
-        for th in runners.values():
-            th.join()
+        # Serialize device touches while co-resident: concurrent dispatch
+        # from many threads wedged the tunnel-attached chip (see
+        # core/devlock.py). Pipelining between members survives — the
+        # lock covers dispatch/transfer, not device compute.
+        from mediastreamer2_tpu.core import devlock
+        devlock.enable(True)
+        try:
+            for th in runners.values():
+                th.start()
+            # a member must NEVER hang the fleet (a hung join here would
+            # cost the whole bench artifact): bounded join, report the
+            # straggler as an error and move on (threads are daemonic)
+            deadline = time.monotonic() + seconds * 3 + 240
+            for name, th in runners.items():
+                th.join(timeout=max(5.0, deadline - time.monotonic()))
+                if th.is_alive():
+                    errors[name] = "hung (member did not finish in time)"
+        finally:
+            devlock.enable(False)
         return MixedFleetResult(
             seconds=seconds,
             flagship=results.get("flagship"),
