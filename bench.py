@@ -479,6 +479,26 @@ def tpu_correctness() -> dict:
     return {"error": "no output", "rc": proc.returncode}
 
 
+def _bounded_section(name, fn, timeout_s: float, fallback):
+    """Run a bench section on a daemon thread with a hard wall-clock
+    bound.  A section that wedges the device (it happened: co-resident
+    dispatch, see core/devlock.py) must cost only ITSELF, never the rows
+    already measured — the artifact is written either way.  Returns
+    (result, hung)."""
+    import threading
+    box = {}
+    th = threading.Thread(target=lambda: box.update(r=fn()),
+                          name=f"bench-{name}", daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        print(f"# {name}: watchdog fired after {timeout_s:.0f}s — "
+              f"abandoning section (daemon thread left behind)",
+              file=sys.stderr)
+        return fallback, True
+    return box.get("r", fallback), False
+
+
 def main():
     import jax
     backend = jax.default_backend()
@@ -504,18 +524,31 @@ def main():
         else srtp_e2e(n_e2e or 1024)
     n_gcm, res_g = (0, None) if over_budget("srtp_gcm") \
         else srtp_e2e(n_srtp or n_e2e or 1024, suite="AEAD_AES_128_GCM")
-    # latency curve BEFORE fleet/video: it is the operating-envelope
-    # deliverable and must not fall off the end of the time budget when
-    # the fleet's (many) compiles run long
+    # Section order = deliverable priority with the riskiest LAST among
+    # device sections: latency curve and video are proven paths; the
+    # mixed fleet (many host threads + co-resident dispatch) once wedged
+    # the tunnel, so it runs after them under a watchdog, and the
+    # correctness subprocess (second TPU client) stays last.
     curve = [] if over_budget("latency") else latency_curve(n_e2e or 1024)
-    fleet = {} if over_budget("fleet") else mixed_fleet(n_e2e or 1024,
-                                                        n_srtp or 512)
     if over_budget("video"):
         n_vid, res_v, rec = 0, None, False
     else:
         n_vid, res_v, rec = video_e2e()
     mfu = {} if over_budget("mfu") else mfu_summary()
-    corr = {} if over_budget("corr") else tpu_correctness()
+    fleet_hung = False
+    if over_budget("fleet"):
+        fleet = {}
+    else:
+        fleet, fleet_hung = _bounded_section(
+            "fleet", lambda: mixed_fleet(n_e2e or 1024, n_srtp or 512),
+            timeout_s=900.0,
+            fallback={"error": "hung (watchdog)", "passes": False})
+    if over_budget("corr") or fleet_hung:
+        # a hung fleet means the device is likely wedged — launching a
+        # second client would hang too; keep what's measured
+        corr = {"skipped": "fleet hung"} if fleet_hung else {}
+    else:
+        corr = tpu_correctness()
 
     result = {
         "metric": ("end-to-end 48kHz AEC+resample+mix G.711 legs per chip "
