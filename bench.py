@@ -37,6 +37,49 @@ MAX_BATCH = 1 << 20
 E2E_BLOCKS = 24         # blocks per e2e trial (K=32 -> ~7.7 s paced)
 
 
+def _wait_for_device(patience_s: float = None) -> bool:
+    """Wait out a wedged tunnel before committing this process to it.
+
+    A stale device claim (e.g. a client killed mid-dispatch) can leave the
+    axon backend hanging in init for tens of minutes (observed: ~30 min to
+    an UNAVAILABLE, wedge itself lasting hours).  Probing from SUBPROCESSES
+    keeps this process's jax state clean: each probe exits naturally
+    (success, UNAVAILABLE, or its own hang ending), and we only proceed —
+    or give up and let the caller hang honestly — once a probe ran a real
+    op.  Never kills a probe mid-op (CLAUDE.md: that wedges the tunnel)."""
+    import subprocess
+    patience_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", "1800")
+                       if patience_s is None else patience_s)
+    code = ("import jax,numpy as np;"
+            "x=jax.device_put(np.ones(8,np.float32));"
+            "print('DEVICE_OK',float(jax.jit(lambda a:a.sum())(x)))")
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.Popen([sys.executable, "-c", code],
+                                    stdout=subprocess.PIPE,
+                                    stderr=subprocess.DEVNULL, text=True)
+            out, _ = proc.communicate()   # natural exit only — no kill
+        except Exception as e:            # noqa: BLE001
+            print(f"# device probe spawn failed: {e}", file=sys.stderr)
+            return False
+        if "DEVICE_OK" in (out or ""):
+            if attempt > 1:
+                print(f"# device available after {attempt} probes / "
+                      f"{time.monotonic() - t0:.0f}s", file=sys.stderr)
+            return True
+        waited = time.monotonic() - t0
+        if waited > patience_s:
+            print(f"# device still unavailable after {waited:.0f}s — "
+                  f"proceeding anyway", file=sys.stderr)
+            return False
+        print(f"# device probe {attempt} failed ({waited:.0f}s in) — "
+              f"retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def _rtt_ms():
     import jax
     import jax.numpy as jnp
@@ -501,7 +544,16 @@ def _bounded_section(name, fn, timeout_s: float, fallback):
 
 def main():
     import jax
-    backend = jax.default_backend()
+    # The wedged-tunnel wait must happen BEFORE any in-process backend
+    # init (jax.default_backend() would itself hang on a stale claim), so
+    # gate on the configured platform string, not the live backend.  The
+    # axon sitecustomize sets jax_platforms='axon,cpu' (env overrides are
+    # too late, CLAUDE.md), so the gate keys on axon/tpu presence, not on
+    # cpu absence.
+    platforms = (jax.config.jax_platforms or "").lower()
+    if "axon" in platforms or "tpu" in platforms:
+        _wait_for_device()          # subprocess probes; wait time is not
+    backend = jax.default_backend()  # billed to the section budget
     skip = set(os.environ.get("BENCH_SKIP", "").split(","))
     budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
     t_start = time.perf_counter()
