@@ -1,0 +1,79 @@
+"""bench.py harness robustness: the artifact must survive a section that
+hangs or a wedged device at startup (observed: a co-resident fleet run
+wedged the tunnel for hours; a stale claim hangs backend init ~30 min).
+CPU-only tests of the pure harness pieces — no device is touched."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_bounded_section_returns_result():
+    out, hung = bench._bounded_section("t", lambda: {"x": 1}, 5.0, {"e": 1})
+    assert out == {"x": 1} and not hung
+
+
+def test_bounded_section_watchdog_fires_and_keeps_fallback():
+    t0 = time.monotonic()
+    out, hung = bench._bounded_section(
+        "t", lambda: time.sleep(60), 0.3, {"error": "hung", "passes": False})
+    assert hung and out == {"error": "hung", "passes": False}
+    # the watchdog must not wait for the hung section
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_bounded_section_exception_inside_section():
+    def boom():
+        raise RuntimeError("section blew up")
+    # an exception in the section thread must not propagate or hang the
+    # join; the fallback is returned (box never populated)
+    out, hung = bench._bounded_section("t", boom, 5.0, {"e": "fb"})
+    assert not hung and out == {"e": "fb"}
+
+
+def test_device_wait_gate_string():
+    """The sitecustomize pins jax_platforms='axon,cpu'; tests pin 'cpu'.
+    The wait gate must fire for the former and not the latter."""
+    def gated(platforms: str) -> bool:
+        p = platforms.lower()
+        return "axon" in p or "tpu" in p
+    assert gated("axon,cpu")
+    assert gated("tpu")
+    assert not gated("cpu")
+
+    import jax
+    # under the test conftest the live config is cpu-only: the gate the
+    # bench actually evaluates must be off here (ensures importing bench
+    # in tests can never start device probes)
+    assert not gated(jax.config.jax_platforms or "")
+
+
+def test_wait_for_device_success_short_circuits(monkeypatch):
+    """First successful probe returns immediately with no sleeps."""
+    calls = []
+
+    class FakeProc:
+        def communicate(self):
+            calls.append(1)
+            return "DEVICE_OK 8.0\n", ""
+
+    import subprocess as sp
+    monkeypatch.setattr(sp, "Popen", lambda *a, **k: FakeProc())
+    assert bench._wait_for_device(patience_s=0.0) is True
+    assert calls == [1]
+
+
+def test_wait_for_device_gives_up_after_patience(monkeypatch):
+    class FakeProc:
+        def communicate(self):
+            return "", ""
+
+    import subprocess as sp
+    monkeypatch.setattr(sp, "Popen", lambda *a, **k: FakeProc())
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    t0 = time.monotonic()
+    assert bench._wait_for_device(patience_s=0.0) is False
+    assert time.monotonic() - t0 < 5.0
