@@ -595,10 +595,13 @@ def main():
             "fleet", lambda: mixed_fleet(n_e2e or 1024, n_srtp or 512),
             timeout_s=900.0,
             fallback={"error": "hung (watchdog)", "passes": False})
-    if over_budget("corr") or fleet_hung:
-        # a hung fleet means the device is likely wedged — launching a
-        # second client would hang too; keep what's measured
-        corr = {"skipped": "fleet hung"} if fleet_hung else {}
+    member_hung = any("hung" in str(v)
+                      for v in ((fleet or {}).get("errors") or {}).values())
+    if over_budget("corr") or fleet_hung or member_hung:
+        # a hung fleet (or member) means the device is likely wedged —
+        # launching a second client would hang too; keep what's measured
+        corr = ({"skipped": "fleet hung"} if (fleet_hung or member_hung)
+                else {})
     else:
         corr = tpu_correctness()
 
