@@ -432,7 +432,9 @@ def main():
     res = measure(batch, rtt)
     for k, v in res.items():
         if isinstance(v, (int, float)):
-            print(f"# {k}: {v:.3f} ms/tick", file=sys.stderr)
+            unit = ("bytes/tick" if "bytes" in k
+                    else "flops/tick" if "flops" in k else "ms/tick")
+            print(f"# {k}: {v:.3f} {unit}", file=sys.stderr)
         else:   # dicts, None (e.g. cost_analysis unavailable over the tunnel)
             print(f"# {k}: {v}", file=sys.stderr)
     print(json.dumps(summarize(batch, res)))
