@@ -522,6 +522,62 @@ def tpu_correctness() -> dict:
     return {"error": "no output", "rc": proc.returncode}
 
 
+def _bench_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH.json")
+
+
+def _write_artifact(result: dict):
+    try:
+        with open(_bench_path(), "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+    except OSError as e:
+        print(f"# BENCH.json write failed: {e}", file=sys.stderr)
+
+
+def _compact_line(result: dict) -> str:
+    compact = {k: v for k, v in result.items()
+               if k not in ("mfu", "tpu_vs_cpu", "latency_curve",
+                            "mixed_fleet")}
+    compact["latency_curve_legs"] = {
+        f"{r['added_latency_ms']:g}ms": r["legs"]
+        for r in result.get("latency_curve") or []}
+    mf = result.get("mixed_fleet") or {}
+    compact["mixed_fleet_passes"] = mf.get("passes")
+    compact["mixed_fleet_counts"] = {
+        k: (v or {}).get("legs", (v or {}).get("streams"))
+        for k, v in mf.items()
+        if isinstance(v, dict)}
+    return json.dumps(compact)
+
+
+def _arm_hard_deadline(result: dict, deadline_s: float):
+    """Last-resort watchdog: if ANY section wedges the device and hangs the
+    main thread past `deadline_s`, dump whatever has been measured so far
+    (the `result` dict is updated in place after every section) and exit.
+    Without this, a wedge inside a main-thread section (e2e search, latency
+    curve) produces NO artifact at all — the one failure mode that cost the
+    round-3 latency rows. os._exit is deliberate: if we are wedged, the
+    device claim is already stale and a clean interpreter teardown would
+    hang too."""
+    import threading
+
+    def fire():
+        print(f"# HARD DEADLINE {deadline_s:.0f}s reached — emitting "
+              f"partial artifact and exiting", file=sys.stderr)
+        result.setdefault("error", "hard deadline: partial artifact")
+        _write_artifact(result)
+        print(json.dumps(result), flush=True)
+        print(_compact_line(result), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _bounded_section(name, fn, timeout_s: float, fallback):
     """Run a bench section on a daemon thread with a hard wall-clock
     bound.  A section that wedges the device (it happened: co-resident
@@ -566,20 +622,24 @@ def main():
                       "BENCH_DEVICE_WAIT_S; see prior round artifacts "
                       "for last measured numbers"),
         }
-        try:
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH.json"), "w") as f:
-                json.dump(result, f)
-                f.write("\n")
-        except OSError:
-            pass
+        _write_artifact(result)
         print(json.dumps(result))
         return
     backend = jax.default_backend()  # wait time not billed to budget
     skip = set(os.environ.get("BENCH_SKIP", "").split(","))
     budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
     t_start = time.perf_counter()
+
+    # progressive artifact: updated after every section and checkpointed to
+    # disk, so a wedge in any later section still leaves the measured rows
+    result = {
+        "metric": ("end-to-end 48kHz AEC+resample+mix G.711 legs per chip "
+                   "over real localhost UDP at 10ms deadline"),
+        "value": 0, "unit": "legs", "vs_baseline": 0.0, "backend": backend,
+        "partial": True,
+    }
+    deadline_timer = _arm_hard_deadline(result, float(
+        os.environ.get("BENCH_HARD_DEADLINE_S", str(budget_s * 1.8))))
 
     def over_budget(section):
         if time.perf_counter() - t_start > budget_s:
@@ -590,26 +650,75 @@ def main():
 
     rtt = _rtt_ms()
     print(f"# null-op RTT {rtt:.2f} ms", file=sys.stderr)
+    result["rtt_ms"] = round(rtt, 2)
 
     dev_legs, dev_ms = device_only_legs(rtt)
+    result["device_only_legs"] = int(dev_legs)
+    result["device_only_ms_per_tick"] = (None if dev_ms is None
+                                         else round(dev_ms, 3))
+    _write_artifact(result)
+
     link = tunnel_mbps(rtt)
     print(f"# measured tunnel bandwidth {link:.1f} MB/s", file=sys.stderr)
+    result["tunnel_MBps"] = round(link, 1)
+
     n_e2e, res = e2e_legs(link_mbps=link)
+    result.update({
+        "value": int(n_e2e),
+        "vs_baseline": round(n_e2e / TARGET_BASELINE, 3),
+        "e2e_ms_per_tick": (None if res is None
+                            else round(res.ms_per_tick, 3)),
+        "e2e_loss_rate": None if res is None else round(res.loss_rate, 5),
+        "e2e_fidelity": None if res is None else round(res.fidelity, 4),
+        "e2e_added_latency_ms": (None if res is None
+                                 else res.mouth_to_ear_ms),
+    })
+    _write_artifact(result)
+
     n_srtp, res_s = (0, None) if over_budget("srtp") \
         else srtp_e2e(n_e2e or 1024)
+    result.update({
+        "srtp_e2e_legs": int(n_srtp),
+        "srtp_e2e_ms_per_tick": (None if res_s is None
+                                 else round(res_s.ms_per_tick, 3)),
+        "srtp_e2e_fidelity": (None if res_s is None
+                              else round(res_s.fidelity, 4)),
+        "srtp_auth_failures": (None if res_s is None
+                               else int(res_s.auth_failures)),
+    })
+    _write_artifact(result)
+
     n_gcm, res_g = (0, None) if over_budget("srtp_gcm") \
         else srtp_e2e(n_srtp or n_e2e or 1024, suite="AEAD_AES_128_GCM")
+    result["srtp_gcm_e2e_legs"] = int(n_gcm)
+    result["srtp_gcm_e2e_fidelity"] = (None if res_g is None
+                                       else round(res_g.fidelity, 4))
+    _write_artifact(result)
+
     # Section order = deliverable priority with the riskiest LAST among
     # device sections: latency curve and video are proven paths; the
     # mixed fleet (many host threads + co-resident dispatch) once wedged
     # the tunnel, so it runs after them under a watchdog, and the
     # correctness subprocess (second TPU client) stays last.
     curve = [] if over_budget("latency") else latency_curve(n_e2e or 1024)
+    result["latency_curve"] = curve
+    _write_artifact(result)
+
     if over_budget("video"):
         n_vid, res_v, rec = 0, None, False
     else:
         n_vid, res_v, rec = video_e2e()
-    mfu = {} if over_budget("mfu") else mfu_summary()
+    result.update({
+        "video_e2e_streams": int(n_vid),
+        "video_e2e_fps_min": (None if res_v is None
+                              else round(res_v.fps_received_min, 2)),
+        "video_pli_recovery_ok": bool(rec),
+    })
+    _write_artifact(result)
+
+    result["mfu"] = {} if over_budget("mfu") else mfu_summary()
+    _write_artifact(result)
+
     fleet_hung = False
     if over_budget("fleet"):
         fleet = {}
@@ -618,6 +727,9 @@ def main():
             "fleet", lambda: mixed_fleet(n_e2e or 1024, n_srtp or 512),
             timeout_s=900.0,
             fallback={"error": "hung (watchdog)", "passes": False})
+    result["mixed_fleet"] = fleet
+    _write_artifact(result)
+
     member_hung = any("hung" in str(v)
                       for v in ((fleet or {}).get("errors") or {}).values())
     if over_budget("corr") or fleet_hung or member_hung:
@@ -627,71 +739,19 @@ def main():
                 else {})
     else:
         corr = tpu_correctness()
+    result["tpu_vs_cpu"] = corr
+    result.pop("partial", None)
+    deadline_timer.cancel()
 
-    result = {
-        "metric": ("end-to-end 48kHz AEC+resample+mix G.711 legs per chip "
-                   "over real localhost UDP at 10ms deadline"),
-        "value": int(n_e2e),
-        "unit": "legs",
-        "vs_baseline": round(n_e2e / TARGET_BASELINE, 3),
-        "backend": backend,
-        "device_only_legs": int(dev_legs),
-        "device_only_ms_per_tick": (None if dev_ms is None
-                                    else round(dev_ms, 3)),
-        "e2e_ms_per_tick": (None if res is None
-                            else round(res.ms_per_tick, 3)),
-        "e2e_loss_rate": None if res is None else round(res.loss_rate, 5),
-        "e2e_fidelity": None if res is None else round(res.fidelity, 4),
-        "e2e_added_latency_ms": (None if res is None
-                                 else res.mouth_to_ear_ms),
-        "srtp_e2e_legs": int(n_srtp),
-        "srtp_e2e_ms_per_tick": (None if res_s is None
-                                 else round(res_s.ms_per_tick, 3)),
-        "srtp_e2e_fidelity": (None if res_s is None
-                              else round(res_s.fidelity, 4)),
-        "srtp_auth_failures": (None if res_s is None
-                               else int(res_s.auth_failures)),
-        "srtp_gcm_e2e_legs": int(n_gcm),
-        "srtp_gcm_e2e_fidelity": (None if res_g is None
-                                  else round(res_g.fidelity, 4)),
-        "mixed_fleet": fleet,
-        "latency_curve": curve,
-        "video_e2e_streams": int(n_vid),
-        "video_e2e_fps_min": (None if res_v is None
-                              else round(res_v.fps_received_min, 2)),
-        "video_pli_recovery_ok": bool(rec),
-        "mfu": mfu,
-        "tpu_vs_cpu": corr,
-        "rtt_ms": round(rtt, 2),
-        "tunnel_MBps": round(link, 1),
-    }
     # Artifact robustness (VERDICT r3 weak item 5): the driver captures a
     # bounded TAIL of stdout, and the full line (mfu/correctness subdicts)
     # can overflow it, cutting off the leading headline fields.  So: (1)
     # persist the full result to BENCH.json on disk, (2) print the full
     # line, (3) print a COMPACT line LAST — short enough that any sane
     # tail capture keeps it intact, with the headline fields parseable.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH.json"), "w") as f:
-            json.dump(result, f)
-            f.write("\n")
-    except OSError as e:
-        print(f"# BENCH.json write failed: {e}", file=sys.stderr)
+    _write_artifact(result)
     print(json.dumps(result))
-    compact = {k: v for k, v in result.items()
-               if k not in ("mfu", "tpu_vs_cpu", "latency_curve",
-                            "mixed_fleet")}
-    compact["latency_curve_legs"] = {
-        f"{r['added_latency_ms']:g}ms": r["legs"]
-        for r in result["latency_curve"]}
-    mf = result.get("mixed_fleet") or {}
-    compact["mixed_fleet_passes"] = mf.get("passes")
-    compact["mixed_fleet_counts"] = {
-        k: (v or {}).get("legs", (v or {}).get("streams"))
-        for k, v in mf.items()
-        if isinstance(v, dict)}
-    print(json.dumps(compact))
+    print(_compact_line(result))
 
 
 if __name__ == "__main__":

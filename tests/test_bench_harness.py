@@ -77,3 +77,46 @@ def test_wait_for_device_gives_up_after_patience(monkeypatch):
     t0 = time.monotonic()
     assert bench._wait_for_device(patience_s=0.0) is False
     assert time.monotonic() - t0 < 5.0
+
+def test_compact_line_handles_missing_sections():
+    """The hard-deadline path prints a compact line from a PARTIAL result
+    (later sections may be absent entirely)."""
+    import json
+    line = bench._compact_line({"metric": "m", "value": 0})
+    d = json.loads(line)
+    assert d["latency_curve_legs"] == {} and d["mixed_fleet_counts"] == {}
+    line = bench._compact_line({
+        "metric": "m", "value": 7,
+        "latency_curve": [{"added_latency_ms": 150.0, "legs": 256}],
+        "mixed_fleet": {"passes": True, "video": {"streams": 4}}})
+    d = json.loads(line)
+    assert d["latency_curve_legs"] == {"150ms": 256}
+    assert d["mixed_fleet_counts"] == {"video": 4}
+
+
+def test_hard_deadline_writes_partial_artifact(tmp_path, monkeypatch):
+    """A wedged main thread past the deadline still produces BENCH.json
+    with the rows measured so far. os._exit is stubbed: the timer thread
+    must have completed the write+prints before calling it."""
+    import json
+    import threading
+    bench_file = tmp_path / "BENCH.json"
+    monkeypatch.setattr(bench, "_bench_path", lambda: str(bench_file))
+    exited = threading.Event()
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exited.set())
+    result = {"metric": "m", "value": 0, "partial": True}
+    t = bench._arm_hard_deadline(result, 0.2)
+    result["value"] = 1234              # a section completed meanwhile
+    assert exited.wait(5.0)
+    d = json.loads(bench_file.read_text())
+    assert d["value"] == 1234 and "hard deadline" in d["error"]
+    t.cancel()
+
+
+def test_hard_deadline_cancel_before_fire(tmp_path, monkeypatch):
+    bench_file = tmp_path / "BENCH.json"
+    monkeypatch.setattr(bench, "_bench_path", lambda: str(bench_file))
+    t = bench._arm_hard_deadline({"metric": "m", "value": 0}, 30.0)
+    t.cancel()
+    time.sleep(0.1)
+    assert not bench_file.exists()
