@@ -13,9 +13,9 @@ rtp -> decoder -> display with fps/SSRC/PLI assertions) at bench scale
 (tools/bench.c shape: stack streams until the ticker misses).
 
 Pass criteria per trial: ticker keeps the 10 ms beat (late ticks bounded),
-each leg receives >= 60% of nominal fps (self-loop: sent==received modulo
-codec latency), and the decoded pictures carry real luma (the mire
-pattern, not black).  A loss-recovery phase (netsim burst + FIR/PLI
+each leg receives >= 90% of nominal fps in the steady-state window after
+the warmup cut (self-loop: sent==received modulo codec latency), and the
+decoded pictures carry real luma (the mire pattern, not black).  A loss-recovery phase (netsim burst + FIR/PLI
 keyframe recovery) can be asserted separately via run_loss_recovery().
 """
 from __future__ import annotations
