@@ -120,3 +120,50 @@ def test_hard_deadline_cancel_before_fire(tmp_path, monkeypatch):
     t.cancel()
     time.sleep(0.1)
     assert not bench_file.exists()
+
+
+def test_main_wiring_incremental_artifact(tmp_path, monkeypatch, capsys):
+    """main() with every section stubbed: the artifact must checkpoint
+    incrementally, end complete (no 'partial' key), and print the full +
+    compact JSON lines."""
+    import json
+    import types
+    bench_file = tmp_path / "BENCH.json"
+    monkeypatch.setattr(bench, "_bench_path", lambda: str(bench_file))
+
+    res = types.SimpleNamespace(ms_per_tick=9.1, loss_rate=0.0,
+                                fidelity=0.99, mouth_to_ear_ms=1280.0,
+                                auth_failures=0, late_ticks=0, ticks=768)
+    monkeypatch.setattr(bench, "_rtt_ms", lambda: 1.0)
+    monkeypatch.setattr(bench, "device_only_legs", lambda rtt: (4096, 8.0))
+    monkeypatch.setattr(bench, "tunnel_mbps", lambda rtt: 100.0)
+    monkeypatch.setattr(bench, "e2e_legs", lambda link_mbps: (1024, res))
+    monkeypatch.setattr(bench, "srtp_e2e",
+                        lambda n, suite="AES_CM_128_HMAC_SHA1_80": (512, res))
+    monkeypatch.setattr(bench, "latency_curve", lambda n: [
+        {"K": 4, "D": 2, "added_latency_ms": 150.0, "legs": 256,
+         "ms_per_tick": 9.0}])
+    monkeypatch.setattr(bench, "video_e2e", lambda: (4, types.SimpleNamespace(
+        fps_received_min=14.1), True))
+    monkeypatch.setattr(bench, "mfu_summary", lambda: {"flagship_mfu": 0.1})
+    monkeypatch.setattr(bench, "mixed_fleet",
+                        lambda a, b: {"passes": True,
+                                      "flagship": {"legs": 512}})
+    monkeypatch.setattr(bench, "tpu_correctness", lambda: {"pass": True})
+    bench.main()
+
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 2
+    full = json.loads(lines[0])
+    compact = json.loads(lines[1])
+    assert full["value"] == 1024 and "partial" not in full
+    assert full["device_only_legs"] == 4096
+    assert full["srtp_e2e_legs"] == 512 and full["srtp_gcm_e2e_legs"] == 512
+    assert full["latency_curve"][0]["legs"] == 256
+    assert full["video_e2e_streams"] == 4 and full["video_pli_recovery_ok"]
+    assert full["mixed_fleet"]["passes"] is True
+    assert compact["latency_curve_legs"] == {"150ms": 256}
+    assert compact["mixed_fleet_counts"] == {"flagship": 512}
+    disk = json.loads(bench_file.read_text())
+    assert disk == full
