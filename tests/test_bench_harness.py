@@ -62,6 +62,7 @@ def test_wait_for_device_success_short_circuits(monkeypatch):
 
     import subprocess as sp
     monkeypatch.setattr(sp, "Popen", lambda *a, **k: FakeProc())
+    monkeypatch.setattr(bench, "_relay_listening", lambda: True)
     assert bench._wait_for_device(patience_s=0.0) is True
     assert calls == [1]
 
@@ -73,10 +74,68 @@ def test_wait_for_device_gives_up_after_patience(monkeypatch):
 
     import subprocess as sp
     monkeypatch.setattr(sp, "Popen", lambda *a, **k: FakeProc())
+    monkeypatch.setattr(bench, "_relay_listening", lambda: True)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     t0 = time.monotonic()
     assert bench._wait_for_device(patience_s=0.0) is False
     assert time.monotonic() - t0 < 5.0
+
+
+def test_wait_for_device_outage_skips_blocking_probes(monkeypatch):
+    """Relay ports closed: no blocking communicate() probe is ever made —
+    only ONE non-blocking background validation probe, which is polled and
+    never killed."""
+    spawned = []
+
+    class FakeBgProc:
+        def __init__(self):
+            spawned.append(self)
+            self.killed = False
+
+        def poll(self):
+            return None          # still hanging in backend init
+
+        def communicate(self):   # pragma: no cover - must never be called
+            raise AssertionError("blocking probe during outage")
+
+        def kill(self):          # pragma: no cover - must never be called
+            self.killed = True
+            raise AssertionError("probe killed (wedges the tunnel)")
+
+    import subprocess as sp
+    monkeypatch.setattr(sp, "Popen", lambda *a, **k: FakeBgProc())
+    monkeypatch.setattr(bench, "_relay_listening", lambda: False)
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    assert bench._wait_for_device(patience_s=0.0) is False
+    assert len(spawned) == 1 and not spawned[0].killed
+
+
+def test_wait_for_device_outage_background_probe_can_succeed(monkeypatch):
+    """If the port heuristic is stale (ports moved) the background probe's
+    DEVICE_OK still unblocks the wait."""
+    class FakeDoneProc:
+        def poll(self):
+            return 0
+
+    class FakeFile:
+        def __init__(self, text):
+            self._t = text
+
+        def seek(self, *_):
+            pass
+
+        def read(self):
+            return self._t
+
+    import subprocess as sp
+    import tempfile
+    monkeypatch.setattr(sp, "Popen", lambda *a, **k: FakeDoneProc())
+    monkeypatch.setattr(tempfile, "TemporaryFile",
+                        lambda *a, **k: FakeFile("DEVICE_OK 8.0\n"))
+    monkeypatch.setattr(bench, "_relay_listening", lambda: False)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._wait_for_device(patience_s=30.0) is True
 
 def test_compact_line_handles_missing_sections():
     """The hard-deadline path prints a compact line from a PARTIAL result
