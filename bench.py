@@ -435,15 +435,37 @@ def latency_curve(n_head: int) -> list:
                 break                            # refined enough
             n = max(64, n // 2 // 64 * 64)
             retried_here = False
+        confirmed = None
+        if best is not None and (K, D) in ((4, 2), (8, 2)):
+            # VERDICT r3 item 2 wants the 150/280 ms rows REPRODUCED, not
+            # hit once: re-run the found operating point; on a fail demote
+            # 25% and retry, so the published legs passed twice in a row
+            # (a lower confirmed point beats a higher one-off).
+            confirmed, n_c = False, best[0]
+            for _ in range(3):
+                res_c = e2e_trial(n_c, K, D,
+                                  blocks=max(12, 256 // max(K, 8)))
+                ok_c = e2e_passes(res_c)
+                print(f"# latency K={K} D={D} n={n_c}: confirm -> "
+                      f"{'PASS' if ok_c else 'FAIL'}", file=sys.stderr)
+                if ok_c:
+                    confirmed = True
+                    if n_c < best[0]:
+                        best = (n_c, res_c)
+                    break
+                n_c = max(64, n_c * 3 // 4 // 64 * 64)
         from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
-        rows.append({
+        row = {
             "K": K, "D": D,
             "added_latency_ms": (best[1].mouth_to_ear_ms if best
                                  else E2EConferenceBench.added_latency_ms(K, D)),
             "legs": 0 if best is None else best[0],
             "ms_per_tick": (None if best is None
                             else round(best[1].ms_per_tick, 3)),
-        })
+        }
+        if confirmed is not None:
+            row["confirmed"] = confirmed
+        rows.append(row)
     return rows
 
 
