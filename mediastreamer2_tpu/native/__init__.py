@@ -23,15 +23,28 @@ _build_lock = threading.Lock()
 
 
 def _build_so(src: str, so: str) -> Optional[ctypes.CDLL]:
-    """Compile src -> so if stale, then load (None on any failure)."""
-    if not os.path.exists(so) or os.path.getmtime(src) > os.path.getmtime(so):
-        try:
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-pthread", src, "-o",
-                 so + ".tmp", "-ldl"],
-                check=True, capture_output=True, timeout=120)
-            os.replace(so + ".tmp", so)
-        except (subprocess.SubprocessError, OSError):
+    """Compile src -> so if stale, then load (None on any failure).
+
+    Built on (and for) the machine it runs on, so -march=native is safe
+    and lets the packet loops vectorize + the SRTP intrinsics path
+    (aesni_crypto.h: AES-NI/SHA-NI/PCLMUL) compile; if the local g++
+    rejects it (exotic arch), retry portable."""
+    src_dir = os.path.dirname(src)
+    newest = max([os.path.getmtime(src)]
+                 + [os.path.getmtime(os.path.join(src_dir, f))
+                    for f in os.listdir(src_dir) if f.endswith(".h")])
+    if not os.path.exists(so) or newest > os.path.getmtime(so):
+        for extra in (["-O3", "-march=native"], ["-O2"]):
+            try:
+                subprocess.run(
+                    ["g++", *extra, "-shared", "-fPIC", "-pthread", src,
+                     "-o", so + ".tmp", "-ldl"],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(so + ".tmp", so)
+                break
+            except (subprocess.SubprocessError, OSError):
+                continue
+        else:
             return None
     try:
         return ctypes.CDLL(so)
@@ -191,6 +204,13 @@ def _srtp_session_keys(master_key: bytes, master_salt: bytes, suite: str):
 
 def rtp_edge_available() -> bool:
     return _ensure_rtp_built() is not None
+
+
+def rtp_edge_hw_crypto() -> bool:
+    """True when the edge binary carries the AES-NI/SHA-NI/PCLMUL
+    per-packet SRTP path (aesni_crypto.h) instead of libcrypto EVP."""
+    lib = _ensure_rtp_built()
+    return bool(lib is not None and lib.ms2_rtp_hw_crypto())
 
 
 class BatchRtpTx:

@@ -37,6 +37,12 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+// Defines MS2_HW_CRYPTO when the build arch has AES-NI/SHA-NI/PCLMUL
+// (-march=native on the build==run host); SrtpLeg then runs per-packet
+// crypto with zero library calls instead of libcrypto EVP (~3x less
+// per-packet time at SRTP sizes, tools/edge_profile.py).
+#include "aesni_crypto.h"
+
 #ifndef UDP_SEGMENT
 #define UDP_SEGMENT 103
 #endif
@@ -228,6 +234,11 @@ struct SrtpLeg {
   EVP_CIPHER_CTX_* ecb = nullptr;        // pre-keyed AES-ECB / AES-GCM (k_e)
   uint8_t salt[14];                      // k_s (CM: 14 bytes; GCM: 12)
   Sha1Ctx inner, outer;                  // HMAC-SHA1(k_a) midstates (CM)
+#if defined(MS2_HW_CRYPTO)
+  ms2hw::AesKey hw_key;                  // CM keystream key schedule
+  ms2hw::Sha1State hw_inner, hw_outer;   // CM HMAC midstates
+  ms2hw::GcmKey hw_gcm;                  // GCM key schedule + GHASH key
+#endif
   uint8_t tag_len = 0;                   // 10/4 (CM) or 16 (GCM); 0 = off
   uint8_t gcm = 0;
   uint32_t roc = 0;
@@ -268,12 +279,27 @@ struct SrtpLeg {
   bool init(const uint8_t* k_e, int k_e_len, const uint8_t* k_s,
             const uint8_t* k_a, int tlen, int payload_size,
             int use_gcm, int is_tx) {
-    const CryptoApi& c = crypto_api();
     // reject payloads the fixed CTR scratch can't cover AT CONFIG TIME —
     // a runtime ctr_xor failure would otherwise tag-and-send plaintext
-    if (!c.ok || (k_e_len != 16 && k_e_len != 32) || tlen > kMaxTag ||
+    if ((k_e_len != 16 && k_e_len != 32) || tlen > kMaxTag ||
         (payload_size + 15) / 16 > kMaxCtrBlocks)
       return false;
+#if defined(MS2_HW_CRYPTO)
+    (void)is_tx;                         // direction-free key schedules
+    gcm = use_gcm ? 1 : 0;
+    if (gcm) {
+      if (tlen != 16) return false;      // RFC 7714 tags are 16 bytes
+      ms2hw::gcm_expand(k_e, k_e_len, &hw_gcm);
+      memset(salt, 0, sizeof salt);
+      memcpy(salt, k_s, 12);
+    } else {
+      ms2hw::aes_expand(k_e, k_e_len, &hw_key);
+      memcpy(salt, k_s, 14);
+      ms2hw::hmac_midstates(k_a, 20, &hw_inner, &hw_outer);
+    }
+#else
+    const CryptoApi& c = crypto_api();
+    if (!c.ok) return false;
     if (!ecb) ecb = c.ctx_new();
     if (!ecb) return false;
     gcm = use_gcm ? 1 : 0;
@@ -301,6 +327,7 @@ struct SrtpLeg {
       c.sha1_init(&outer);
       c.sha1_update(&outer, pad, 64);
     }
+#endif
     // mid-call REKEY keeps the packet-index state: RFC 3711 ROC continues
     // across key changes on the same stream (only a fresh session resets)
     if (!tag_len) {
@@ -337,6 +364,14 @@ struct SrtpLeg {
   // In-place AEAD protect: header is AAD, payload -> ct, tag appended.
   bool gcm_protect(uint32_t ssrc, uint32_t roc_val, uint16_t seq,
                    uint8_t* pkt, int hdr_len, int payload_len) {
+#if defined(MS2_HW_CRYPTO)
+    uint8_t iv[12];
+    gcm_iv(ssrc, roc_val, seq, iv);
+    ms2hw::gcm_crypt(hw_gcm, iv, pkt, hdr_len, pkt + hdr_len, pkt + hdr_len,
+                     payload_len, /*encrypt=*/true,
+                     pkt + hdr_len + payload_len);
+    return true;
+#else
     const CryptoApi& c = crypto_api();
     uint8_t iv[12];
     gcm_iv(ssrc, roc_val, seq, iv);
@@ -350,12 +385,22 @@ struct SrtpLeg {
     if (c.enc_final(ecb, fin, &outl) != 1) return false;
     return c.ctx_ctrl(ecb, kCtrlGcmGetTag, 16,
                       pkt + hdr_len + payload_len) == 1;
+#endif
   }
 
   // Verify+decrypt payload into `out` (may differ from pkt). 1 = authentic.
+  // `out` receives plaintext even on auth failure (same as EVP DecryptUpdate
+  // before Final) — callers must discard it when this returns false.
   bool gcm_unprotect(uint32_t ssrc, uint32_t roc_val, uint16_t seq,
                      const uint8_t* pkt, int hdr_len, int payload_len,
                      uint8_t* out) {
+#if defined(MS2_HW_CRYPTO)
+    uint8_t iv[12], tag[16];
+    gcm_iv(ssrc, roc_val, seq, iv);
+    ms2hw::gcm_crypt(hw_gcm, iv, pkt, hdr_len, pkt + hdr_len, out,
+                     payload_len, /*encrypt=*/false, tag);
+    return ms2hw::tag_eq(tag, pkt + hdr_len + payload_len);
+#else
     const CryptoApi& c = crypto_api();
     uint8_t iv[12], tag[16];
     memcpy(tag, pkt + hdr_len + payload_len, 16);
@@ -368,6 +413,7 @@ struct SrtpLeg {
       return false;
     uint8_t fin[16];
     return c.dec_final(ecb, fin, &outl) == 1;
+#endif
   }
 
   // RFC 3711 §4.1.1 IV, as counter blocks: salt||0x0000 ^ ssrc<<64 ^ index<<16
@@ -392,19 +438,28 @@ struct SrtpLeg {
   // XOR keystream for `len` payload bytes into buf (in place).
   // len <= kMaxCtrBlocks*16 is guaranteed by the init()-time check.
   bool ctr_xor(uint32_t ssrc, uint64_t index, uint8_t* buf, int len) {
-    const CryptoApi& c = crypto_api();
     int nblocks = (len + 15) / 16;
     uint8_t ctr[kMaxCtrBlocks * 16], ks[kMaxCtrBlocks * 16];
     if (nblocks > kMaxCtrBlocks) return false;
     build_counters(ssrc, index, ctr, nblocks);
+#if defined(MS2_HW_CRYPTO)
+    ms2hw::aes_enc_blocks(hw_key, ctr, ks, nblocks);
+#else
+    const CryptoApi& c = crypto_api();
     int outl = 0;
     if (c.enc_update(ecb, ks, &outl, ctr, nblocks * 16) != 1) return false;
+#endif
     for (int i = 0; i < len; i++) buf[i] ^= ks[i];
     return true;
   }
 
   // HMAC-SHA1(data || ROC)[:tag_len] from the midstates.
   void auth_tag(const uint8_t* data, int len, uint32_t roc_val, uint8_t* tag) {
+#if defined(MS2_HW_CRYPTO)
+    uint8_t digest[20];
+    ms2hw::hmac_sha1_tag(hw_inner, hw_outer, data, len, roc_val, digest);
+    memcpy(tag, digest, tag_len);
+#else
     const CryptoApi& c = crypto_api();
     uint8_t rocb[4] = {uint8_t(roc_val >> 24), uint8_t(roc_val >> 16),
                        uint8_t(roc_val >> 8), uint8_t(roc_val)};
@@ -417,8 +472,19 @@ struct SrtpLeg {
     c.sha1_update(&o, digest, 20);
     c.sha1_final(digest, &o);
     memcpy(tag, digest, tag_len);
+#endif
   }
 };
+
+// Introspection for tests/benches: 1 when this binary was compiled with
+// the AES-NI/SHA-NI/PCLMUL per-packet path, 0 when it uses libcrypto EVP.
+extern "C" int ms2_rtp_hw_crypto() {
+#if defined(MS2_HW_CRYPTO)
+  return 1;
+#else
+  return 0;
+#endif
+}
 
 struct TxLeg {
   sockaddr_in dest{};

@@ -484,3 +484,19 @@ def test_threaded_edge_gso_path():
         assert flags.all()
         np.testing.assert_array_equal(out, pay)
     tx.close(); tx_sock.close(); rx.close(); rx_sock.close()
+
+
+def test_hw_crypto_path_active_when_cpu_supports_it():
+    """The edge binary must carry the AES-NI/SHA-NI/PCLMUL per-packet
+    path (native/aesni_crypto.h) whenever the build host's CPU has the
+    instructions — falling back to libcrypto EVP silently would forfeit
+    the measured ~3x per-packet crypto cut (tools/edge_profile.py).
+    Every other test in this file then exercises THAT path byte-exactly
+    against the KAT-pinned Python contexts."""
+    from mediastreamer2_tpu.native import rtp_edge_hw_crypto
+    flags = open("/proc/cpuinfo").read()
+    cpu_has = all(f in flags for f in (" aes", "sha_ni", "pclmulqdq"))
+    if not cpu_has:
+        import pytest
+        pytest.skip("CPU lacks AES-NI/SHA-NI/PCLMUL")
+    assert rtp_edge_hw_crypto()
