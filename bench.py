@@ -38,6 +38,42 @@ E2E_BLOCKS = 24         # blocks per e2e trial (K=32 -> ~7.7 s paced)
 
 
 _RELAY_PORTS = (8082, 8083)
+_DEVICE_LOCK_PATH = "/tmp/ms2tpu_device.lock"
+
+
+def _acquire_device_lock(timeout_s: float = None):
+    """One full device job per HOST at a time, across processes.
+
+    The remote TPU is single-lease: two concurrent clients (e.g. an
+    auto-recovery bench still running when the round driver starts its
+    own) hang each other and can wedge the tunnel for hours.  flock is
+    kernel-released on process death, so a held lock always means a LIVE
+    holder — wait for it.  Returns the open lock file (hold it for the
+    process lifetime) or None after timeout_s (holder likely wedged on
+    the device; a second client would wedge too — callers should emit
+    the honest zero artifact instead of starting)."""
+    import fcntl
+    timeout_s = float(os.environ.get("BENCH_LOCK_WAIT_S", "5400")
+                      if timeout_s is None else timeout_s)
+    f = open(_DEVICE_LOCK_PATH, "w")
+    t0 = time.monotonic()
+    announced = False
+    while True:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            f.write(f"{os.getpid()}\n")
+            f.flush()
+            return f
+        except OSError:
+            waited = time.monotonic() - t0
+            if waited > timeout_s:
+                f.close()
+                return None
+            if not announced or int(waited) % 300 < 15:
+                announced = True
+                print(f"# device lock held by another process "
+                      f"({waited:.0f}s in) — waiting", file=sys.stderr)
+            time.sleep(15)
 _PROBE_CODE = ("import jax,numpy as np;"
                "x=jax.device_put(np.ones(8,np.float32));"
                "print('DEVICE_OK',float(jax.jit(lambda a:a.sum())(x)))")
@@ -676,24 +712,39 @@ def main():
     # too late, CLAUDE.md), so the gate keys on axon/tpu presence, not on
     # cpu absence.
     platforms = (jax.config.jax_platforms or "").lower()
-    if ("axon" in platforms or "tpu" in platforms) \
-            and not _wait_for_device():
-        # The device never answered a probe within the patience window
-        # (observed: relay outages lasting hours). Committing this
-        # process to the backend now would hang ~30 min and crash with
-        # no JSON at all — emit an honest zero-valued artifact instead
-        # so the capture records WHY there are no numbers.
-        result = {
-            "metric": ("end-to-end 48kHz AEC+resample+mix G.711 legs per "
-                       "chip over real localhost UDP at 10ms deadline"),
-            "value": 0, "unit": "legs", "vs_baseline": 0.0,
-            "error": ("device unavailable: no probe succeeded within "
-                      "BENCH_DEVICE_WAIT_S; see prior round artifacts "
-                      "for last measured numbers"),
-        }
-        _write_artifact(result)
-        print(json.dumps(result))
-        return
+    device_lock = None
+    if "axon" in platforms or "tpu" in platforms:
+        device_lock = _acquire_device_lock()   # held until process exit
+        err = None
+        if device_lock is None:
+            err = ("another device job held the lock past "
+                   "BENCH_LOCK_WAIT_S (likely wedged); a second client "
+                   "would wedge the single-lease tunnel too — see "
+                   "BENCH.json on disk for that job's artifact")
+        elif not _wait_for_device():
+            # The device never answered a probe within the patience window
+            # (observed: relay outages lasting hours). Committing this
+            # process to the backend now would hang ~30 min and crash with
+            # no JSON at all — emit an honest zero-valued artifact instead
+            # so the capture records WHY there are no numbers.
+            err = ("device unavailable: no probe succeeded within "
+                   "BENCH_DEVICE_WAIT_S; see prior round artifacts "
+                   "for last measured numbers")
+        if err is not None:
+            result = {
+                "metric": ("end-to-end 48kHz AEC+resample+mix G.711 legs "
+                           "per chip over real localhost UDP at 10ms "
+                           "deadline"),
+                "value": 0, "unit": "legs", "vs_baseline": 0.0,
+                "error": err,
+            }
+            if device_lock is None:
+                # do NOT overwrite the running job's BENCH.json
+                print(json.dumps(result))
+            else:
+                _write_artifact(result)
+                print(json.dumps(result))
+            return
     backend = jax.default_backend()  # wait time not billed to budget
     skip = set(os.environ.get("BENCH_SKIP", "").split(","))
     budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))

@@ -226,3 +226,30 @@ def test_main_wiring_incremental_artifact(tmp_path, monkeypatch, capsys):
     assert compact["mixed_fleet_counts"] == {"flagship": 512}
     disk = json.loads(bench_file.read_text())
     assert disk == full
+
+
+def test_device_lock_exclusive_across_processes(tmp_path, monkeypatch):
+    """The cross-process device lock: a second acquirer must time out
+    while a live holder exists, and succeed once the holder dies
+    (flock is kernel-released on process death — no stale locks)."""
+    import subprocess
+    import sys as _sys
+    lock_path = str(tmp_path / "dev.lock")
+    monkeypatch.setattr(bench, "_DEVICE_LOCK_PATH", lock_path)
+    # holder: grabs the lock and sleeps
+    holder = subprocess.Popen(
+        [_sys.executable, "-c", f"""
+import fcntl, sys, time
+f = open({lock_path!r}, 'w')
+fcntl.flock(f, fcntl.LOCK_EX)
+print('HELD', flush=True)
+time.sleep(30)
+"""], stdout=subprocess.PIPE, text=True)
+    assert holder.stdout.readline().strip() == "HELD"
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._acquire_device_lock(timeout_s=0.0) is None
+    holder.kill()
+    holder.wait()
+    f = bench._acquire_device_lock(timeout_s=0.0)
+    assert f is not None
+    f.close()

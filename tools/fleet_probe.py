@@ -37,6 +37,17 @@ def main():
     t.daemon = True
     t.start()
 
+    # one device job per host (single-lease tunnel): share bench.py's
+    # cross-process lock so a probe can't overlap a running bench
+    import bench
+    lock = bench._acquire_device_lock(
+        float(os.environ.get("FLEET_PROBE_LOCK_WAIT_S", "600")))
+    if lock is None:
+        print(json.dumps({"ok": False,
+                          "error": "device lock held by another job"}),
+              flush=True)
+        return
+
     from mediastreamer2_tpu.core.factory import Factory
     from mediastreamer2_tpu.models.mixed_fleet import MixedFleetBench
 
