@@ -24,6 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # one device job per host (single-lease tunnel): share bench.py's
+    # cross-process lock so a probe can't overlap a running bench.
+    # Acquired BEFORE the watchdog arms — a lock wait is not a wedge.
+    import bench
+    lock = bench._acquire_device_lock(
+        float(os.environ.get("FLEET_PROBE_LOCK_WAIT_S", "600")))
+    if lock is None:
+        print(json.dumps({"ok": False,
+                          "error": "device lock held by another job"}),
+              flush=True)
+        return
+
     hard_s = float(os.environ.get("FLEET_PROBE_DEADLINE_S", "600"))
 
     def fire():
@@ -36,17 +48,6 @@ def main():
     t = threading.Timer(hard_s, fire)
     t.daemon = True
     t.start()
-
-    # one device job per host (single-lease tunnel): share bench.py's
-    # cross-process lock so a probe can't overlap a running bench
-    import bench
-    lock = bench._acquire_device_lock(
-        float(os.environ.get("FLEET_PROBE_LOCK_WAIT_S", "600")))
-    if lock is None:
-        print(json.dumps({"ok": False,
-                          "error": "device lock held by another job"}),
-              flush=True)
-        return
 
     from mediastreamer2_tpu.core.factory import Factory
     from mediastreamer2_tpu.models.mixed_fleet import MixedFleetBench
