@@ -55,12 +55,15 @@ def _acquire_device_lock(timeout_s: float = None):
     import fcntl
     timeout_s = float(os.environ.get("BENCH_LOCK_WAIT_S", "5400")
                       if timeout_s is None else timeout_s)
-    f = open(_DEVICE_LOCK_PATH, "w")
+    # "a" (no O_TRUNC): opening must not clobber the live holder's
+    # recorded PID — truncate only once the lock is OURS
+    f = open(_DEVICE_LOCK_PATH, "a")
     t0 = time.monotonic()
     announced = False
     while True:
         try:
             fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            f.truncate(0)
             f.write(f"{os.getpid()}\n")
             f.flush()
             return f
@@ -108,27 +111,59 @@ def _wait_for_device(patience_s: float = None) -> bool:
 
     Fast path: while the relay ports are closed (full outage), blocking
     probes are pointless 30-min hangs — poll the ports every 30 s instead,
-    and keep ONE non-blocking validation probe alive in the background in
-    case the port heuristic is ever stale (ports moved).  The background
-    probe is polled, never killed, and never blocks the loop."""
+    and keep AT MOST ONE validation probe alive in the background in case
+    the port heuristic is ever stale (ports moved).  There is never more
+    than one probe process: when the ports reopen while the background
+    probe lives, the loop WAITS for that probe instead of spawning a
+    second client (two concurrent clients are the wedge scenario).  The
+    background probe also self-expires via SIGALRM while stuck in init so
+    a patience timeout cannot orphan a client into the next locked run."""
     import subprocess
     import tempfile
     patience_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", "1800")
                        if patience_s is None else patience_s)
+    # self-expiry ONLY arms while the probe is stuck in backend init (the
+    # op itself takes seconds once a connection exists, cancelling it)
+    bg_code = ("import signal; signal.alarm(900)\n" + _PROBE_CODE +
+               "\nimport signal; signal.alarm(0)")
     t0 = time.monotonic()
     attempt = 0
     bg_proc, bg_file, bg_spent = None, None, False
+
+    def reap_bg(block=False):
+        """Collect the background probe (optionally waiting for its
+        natural exit). Returns its output, or None if still running."""
+        nonlocal bg_proc, bg_file, bg_spent
+        if bg_proc is None:
+            return None
+        if block:
+            bg_proc.wait()                     # natural exit only — no kill
+        elif bg_proc.poll() is None:
+            return None
+        bg_file.seek(0)
+        out = bg_file.read()
+        bg_proc, bg_spent = None, True
+        return out or ""
+
     while True:
         if _relay_listening():
             attempt += 1
-            try:
-                proc = subprocess.Popen([sys.executable, "-c", _PROBE_CODE],
-                                        stdout=subprocess.PIPE,
-                                        stderr=subprocess.DEVNULL, text=True)
-                out, _ = proc.communicate()   # natural exit only — no kill
-            except Exception as e:            # noqa: BLE001
-                print(f"# device probe spawn failed: {e}", file=sys.stderr)
-                return False
+            if bg_proc is not None:
+                # never run a second client beside the live probe: adopt it
+                print("# relay back — waiting for the in-flight probe",
+                      file=sys.stderr)
+                out = reap_bg(block=True)
+            else:
+                try:
+                    proc = subprocess.Popen(
+                        [sys.executable, "-c", _PROBE_CODE],
+                        stdout=subprocess.PIPE,
+                        stderr=subprocess.DEVNULL, text=True)
+                    out, _ = proc.communicate()  # natural exit — no kill
+                except Exception as e:           # noqa: BLE001
+                    print(f"# device probe spawn failed: {e}",
+                          file=sys.stderr)
+                    return False
             if "DEVICE_OK" in (out or ""):
                 if attempt > 1 or time.monotonic() - t0 > 5:
                     print(f"# device available after {attempt} probes / "
@@ -140,18 +175,15 @@ def _wait_for_device(patience_s: float = None) -> bool:
                 try:
                     bg_file = tempfile.TemporaryFile(mode="w+")
                     bg_proc = subprocess.Popen(
-                        [sys.executable, "-c", _PROBE_CODE],
+                        [sys.executable, "-c", bg_code],
                         stdout=bg_file, stderr=subprocess.DEVNULL, text=True)
                 except Exception:              # noqa: BLE001
                     bg_spent = True            # rely on port checks alone
-            if bg_proc is not None and bg_proc.poll() is not None:
-                bg_file.seek(0)
-                out = bg_file.read()
-                bg_proc, bg_spent = None, True
-                if "DEVICE_OK" in (out or ""):
-                    print("# device answered despite closed relay ports — "
-                          "port heuristic stale", file=sys.stderr)
-                    return True
+            out = reap_bg()
+            if out is not None and "DEVICE_OK" in out:
+                print("# device answered despite closed relay ports — "
+                      "port heuristic stale", file=sys.stderr)
+                return True
             sleep_s, note = 30.0, "relay ports closed (outage)"
         waited = time.monotonic() - t0
         if waited > patience_s:
@@ -418,7 +450,10 @@ def srtp_e2e(n_start: int, suite: str = "AES_CM_128_HMAC_SHA1_80") -> tuple:
     return best
 
 
-LATENCY_LADDER = [(1, 1), (1, 4), (4, 2), (8, 2), (16, 3), (32, 3)]
+# (K, D, confirm): confirm=True rows re-verify their operating point
+# before publication (the VERDICT r3 "reproduced, not hit once" rows)
+LATENCY_LADDER = [(1, 1, False), (1, 4, False), (4, 2, True),
+                  (8, 2, True), (16, 3, False), (32, 3, False)]
 
 
 def latency_curve(n_head: int) -> list:
@@ -436,7 +471,7 @@ def latency_curve(n_head: int) -> list:
     a pass climbs while budget remains so the row isn't capped by a
     conservative start."""
     rows = []
-    for K, D in LATENCY_LADDER:
+    for K, D, want_confirm in LATENCY_LADDER:
         # smaller K amortizes less transfer: start lower
         n = max(64, min(n_head, n_head * K // 64) // 64 * 64)
         best = None
@@ -472,24 +507,33 @@ def latency_curve(n_head: int) -> list:
             n = max(64, n // 2 // 64 * 64)
             retried_here = False
         confirmed = None
-        if best is not None and (K, D) in ((4, 2), (8, 2)):
-            # VERDICT r3 item 2 wants the 150/280 ms rows REPRODUCED, not
-            # hit once: re-run the found operating point; on a fail demote
-            # 25% and retry, so the published legs passed twice in a row
-            # (a lower confirmed point beats a higher one-off).
+        if best is not None and want_confirm:
+            # VERDICT r3 item 2 wants these rows REPRODUCED, not hit once:
+            # `confirmed` certifies the published point passed TWICE — the
+            # search pass + this re-run for best[0]; a demoted point (never
+            # visited by the search) must pass two fresh runs before it
+            # may claim the flag (a lower confirmed point beats a higher
+            # one-off).
             confirmed, n_c = False, best[0]
-            for _ in range(3):
+            passes_needed = 1
+            trials_left = 4
+            while trials_left > 0:
+                trials_left -= 1
                 res_c = e2e_trial(n_c, K, D,
                                   blocks=max(12, 256 // max(K, 8)))
                 ok_c = e2e_passes(res_c)
                 print(f"# latency K={K} D={D} n={n_c}: confirm -> "
                       f"{'PASS' if ok_c else 'FAIL'}", file=sys.stderr)
                 if ok_c:
-                    confirmed = True
-                    if n_c < best[0]:
-                        best = (n_c, res_c)
-                    break
-                n_c = max(64, n_c * 3 // 4 // 64 * 64)
+                    passes_needed -= 1
+                    if passes_needed <= 0:
+                        confirmed = True
+                        if n_c < best[0]:
+                            best = (n_c, res_c)
+                        break
+                else:
+                    n_c = max(64, n_c * 3 // 4 // 64 * 64)
+                    passes_needed = 2          # fresh point: two fresh passes
         from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
         row = {
             "K": K, "D": D,

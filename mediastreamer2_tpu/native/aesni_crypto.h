@@ -434,6 +434,8 @@ static inline void gcm_expand(const uint8_t* key, int key_len, GcmKey* g) {
 // AES-GCM with a 12-byte IV: in -> out (len bytes), header as AAD, tag out.
 // encrypt=true: out=ciphertext, tag computed.  encrypt=false: in is
 // ciphertext, out=plaintext, tag computed over the INPUT — caller compares.
+// in==out (in-place) is safe in BOTH directions: the GHASH over the
+// ciphertext runs before the decrypt XOR can overwrite it.
 static inline void gcm_crypt(const GcmKey& g, const uint8_t iv[12],
                              const uint8_t* aad, int aad_len,
                              const uint8_t* in, uint8_t* out, int len,
@@ -451,11 +453,16 @@ static inline void gcm_crypt(const GcmKey& g, const uint8_t iv[12],
   }
   uint8_t ks[16 * 65];
   aes_enc_blocks(g.aes, ctr, ks, nblocks + 1);  // ks[0..15] = E(J0)
-  for (int i = 0; i < len; i++) out[i] = in[i] ^ ks[16 + i];
-  const uint8_t* ct = encrypt ? out : in;
   __m128i y = _mm_setzero_si128();
   y = ghash_update(y, g.h, aad, aad_len);
-  y = ghash_update(y, g.h, ct, len);
+  if (encrypt) {
+    for (int i = 0; i < len; i++) out[i] = in[i] ^ ks[16 + i];
+    y = ghash_update(y, g.h, out, len);
+  } else {
+    y = ghash_update(y, g.h, in, len);   // ct hashed BEFORE it may be
+    for (int i = 0; i < len; i++)        // overwritten by an in-place XOR
+      out[i] = in[i] ^ ks[16 + i];
+  }
   uint8_t lens[16] = {0};
   uint64_t abits = uint64_t(aad_len) * 8, cbits = uint64_t(len) * 8;
   for (int i = 0; i < 8; i++) {

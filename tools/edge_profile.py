@@ -53,8 +53,7 @@ def make_pair(n, psz, suite=None, threads=1):
     return tx, rx, (tx_sock, rx_sock)
 
 
-def profile(n=2048, psz=80, ticks=200, suite=None, threads=1,
-            rx_too=True):
+def profile(n=2048, psz=80, ticks=200, suite=None, threads=1):
     import numpy as np
     tx, rx, socks = make_pair(n, psz, suite, threads)
     payloads = np.random.randint(0, 256, (n, psz), dtype=np.uint8)
