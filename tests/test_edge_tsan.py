@@ -24,9 +24,11 @@ def test_threaded_edge_tsan_clean(tmp_path):
         capture_output=True, text=True, timeout=180)
     if build.returncode != 0:
         pytest.skip(f"tsan build unavailable: {build.stderr[:200]}")
-    run = subprocess.run([exe], capture_output=True, text=True, timeout=120,
-                         env={**os.environ, "EDGE_TSAN_THREADS": "3"})
-    sys.stderr.write(run.stdout + run.stderr)
-    assert run.returncode == 0, run.stderr[:500]
-    assert "WARNING: ThreadSanitizer" not in run.stderr
-    assert "got=" in run.stdout and "auth_fail=0" in run.stdout
+    for extra in ({}, {"EDGE_TSAN_GSO": "1"}):
+        run = subprocess.run(
+            [exe], capture_output=True, text=True, timeout=120,
+            env={**os.environ, "EDGE_TSAN_THREADS": "3", **extra})
+        sys.stderr.write(run.stdout + run.stderr)
+        assert run.returncode == 0, run.stderr[:500]
+        assert "WARNING: ThreadSanitizer" not in run.stderr
+        assert "got=" in run.stdout and "auth_fail=0" in run.stdout

@@ -79,6 +79,12 @@ int main() {
   if (const char* w = getenv("EDGE_TSAN_THREADS")) workers = atoi(w);
   ms2_rtptx_set_threads(tx, workers);
   ms2_rtprx_set_threads(rx, workers);
+  if (const char* g = getenv("EDGE_TSAN_GSO"); g && atoi(g)) {
+    // single-destination fast path: kernel splits one send into
+    // segments (UDP_SEGMENT); covers send_gso_range under the pool
+    connect(txs, (sockaddr*)&a, sizeof a);
+    ms2_rtptx_set_gso(tx, 1);
+  }
 
   std::vector<uint8_t> pay(size_t(N) * PSZ);
   for (size_t i = 0; i < pay.size(); i++) pay[i] = uint8_t(i * 31);
