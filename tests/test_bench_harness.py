@@ -253,3 +253,125 @@ time.sleep(30)
     f = bench._acquire_device_lock(timeout_s=0.0)
     assert f is not None
     f.close()
+
+
+class _FakeVideoRes:
+    def __init__(self, ok, fps_min=14.0):
+        self._ok = ok
+        self.ms_per_tick = 66.0
+        self.late_ticks = 0
+        self.fps_received_min = fps_min
+        self.fps_nominal = 15.0
+
+    def passes(self):
+        return self._ok
+
+
+def test_video_e2e_walks_down_to_a_nonzero_row(monkeypatch):
+    """A failing first trial (n=4) must not zero the row: the search walks
+    down to the largest passing N (the r4 snapshot artifact recorded
+    video_e2e_streams=0 because the old search broke on first FAIL)."""
+    import mediastreamer2_tpu.models.video_e2e_bench as veb
+    tried = []
+
+    class FakeBench:
+        def __init__(self, factory, n, **kw):
+            self.n = n
+            tried.append(n)
+
+        def run(self, **kw):
+            # only n<=2 sustains nominal fps on this fake host; the fail
+            # is decisive (fps far below nominal -> no transient retry)
+            return _FakeVideoRes(self.n <= 2,
+                                 fps_min=14.2 if self.n <= 2 else 3.0)
+
+        def run_loss_recovery(self, **kw):
+            return True
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(veb, "VideoE2EBench", FakeBench)
+    best, res, rec = bench.video_e2e()
+    assert best == 2 and rec is True
+    assert tried[:2] == [4, 2]          # walked down, then climbed back
+
+
+def test_video_e2e_transient_near_miss_retried_once(monkeypatch):
+    """A near-miss (frames flowed, fps just short) is retried once at the
+    same N before the search walks down — same policy as latency rows."""
+    import mediastreamer2_tpu.models.video_e2e_bench as veb
+    calls = {"n4": 0}
+
+    class FakeBench:
+        def __init__(self, factory, n, **kw):
+            self.n = n
+
+        def run(self, **kw):
+            if self.n == 4:
+                calls["n4"] += 1
+                # first trial: near-miss (>=0.5x nominal); second: pass
+                return _FakeVideoRes(calls["n4"] >= 2, fps_min=13.0)
+            return _FakeVideoRes(False, fps_min=3.0)
+
+        def run_loss_recovery(self, **kw):
+            return True
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(veb, "VideoE2EBench", FakeBench)
+    best, res, rec = bench.video_e2e()
+    assert best == 4 and calls["n4"] == 2
+
+
+def test_mixed_fleet_shrinks_and_retries(monkeypatch):
+    """A deadline miss shrinks the fleet and retries; the artifact reports
+    the PASSING co-resident point plus the attempt history."""
+    import mediastreamer2_tpu.models.mixed_fleet as mf
+    built = []
+
+    class FakeFleet:
+        def __init__(self, factory_cls, n_flagship, n_srtp, n_opus,
+                     n_video, **kw):
+            self.sizes = dict(n_flagship=n_flagship, n_srtp=n_srtp,
+                              n_opus=n_opus, n_video=n_video)
+            built.append(dict(self.sizes))
+
+        def run(self, seconds):
+            ok = self.sizes["n_flagship"] <= 256
+            fleet_self = self
+
+            class R:
+                def summary(self):
+                    return {"passes": ok,
+                            "flagship": {"legs":
+                                         fleet_self.sizes["n_flagship"]}}
+            return R()
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(mf, "MixedFleetBench", FakeFleet)
+    out = bench.mixed_fleet(n_flagship=2048, n_srtp=1024)
+    assert out["passes"] is True
+    assert len(out["attempts"]) >= 2
+    assert built[-1]["n_flagship"] <= 256
+    # sizes shrink monotonically between attempts
+    assert built[1]["n_flagship"] < built[0]["n_flagship"]
+    assert "host_cores" in out
+
+
+def test_mixed_fleet_structural_error_does_not_retry(monkeypatch):
+    import mediastreamer2_tpu.models.mixed_fleet as mf
+    built = []
+
+    class FakeFleet:
+        def __init__(self, factory_cls, **kw):
+            built.append(1)
+            raise RuntimeError("no such codec")
+
+    monkeypatch.setattr(mf, "MixedFleetBench", FakeFleet)
+    out = bench.mixed_fleet(n_flagship=1024, n_srtp=512)
+    assert out["passes"] is False and "error" in out
+    assert len(built) == 1              # errors are structural: no retry
