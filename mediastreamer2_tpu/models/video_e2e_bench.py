@@ -70,7 +70,10 @@ class VideoE2EBench:
                                    codec=codec)
         self.ticks_per_s = 100.0
         if frame_tick:
-            self.vs.ticker.interval_ms = int(round(1000.0 / fps))
+            # exact fractional interval: int(round(1000/15))=67 ms would
+            # quantize nominal pacing to 14.93 fps BEFORE any overhead,
+            # silently eating a third of the 10% fps budget passes() allows
+            self.vs.ticker.interval_ms = 1000.0 / fps
             self.vs._tick_per_frame = 1
             self.ticks_per_s = fps
         self.transports = []
