@@ -44,3 +44,38 @@ def held():
             yield
     else:
         yield
+
+
+def read_all(tree):
+    """Device->host readback that holds the lock only while ISSUING.
+
+    Holding the lock across a blocking ``np.asarray`` serializes the whole
+    dispatch->compute->download wait (measured ~50-110 ms per block over
+    the tunnel), starving every co-resident member on a 10 ms cadence —
+    the r4 fleet probe's opus class was late on 273/500 ticks for exactly
+    this.  The hazard the lock exists for is concurrent *issuance* of
+    client commands; concurrent *waiting* on already-issued transfers is
+    the same overlap single-member benches run unlocked all day.  So:
+    issue ``copy_to_host_async`` under the lock (measured ~0.15 ms), wait
+    outside it.  Values without the method (host numpy, or a client that
+    rejects async copies) are read under the lock — the conservative
+    pre-fix behavior."""
+    import jax
+    import numpy as np
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = [None] * len(leaves)
+    pend = []
+    with _lock if _enabled else contextlib.nullcontext():
+        for i, v in enumerate(leaves):
+            f = getattr(v, "copy_to_host_async", None)
+            if f is None:
+                out[i] = np.asarray(v)
+            else:
+                try:
+                    f()
+                    pend.append(i)
+                except Exception:          # unsupported: blocking fallback
+                    out[i] = np.asarray(v)
+    for i in pend:                         # wait OUTSIDE the lock
+        out[i] = np.asarray(leaves[i])
+    return jax.tree_util.tree_unflatten(treedef, out)

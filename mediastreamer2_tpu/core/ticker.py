@@ -199,11 +199,12 @@ class Ticker(_PacedBeat):
     def _publish(self, tick: int, ext_out, events):
         """Force device->host readback and hand outputs/events to the app.
         np.asarray (not block_until_ready, which is a no-op over the axon
-        tunnel) guarantees the data actually landed on the host."""
-        with devlock.held():
-            ext_out = {k: np.asarray(v) for k, v in ext_out.items()}
-            ev_np = ({k: np.asarray(v) for k, v in events.items()}
-                     if events else None)
+        tunnel) guarantees the data actually landed on the host.  Under
+        co-resident serialization the devlock covers only the readback
+        ISSUE, never the wait (devlock.read_all) — a lock held across the
+        whole transfer starves every other member's tick cadence."""
+        ext_out, ev_np = devlock.read_all(
+            (ext_out, dict(events) if events else None))
         if self._io_push:
             self._io_push(tick, ext_out)
         if ev_np:

@@ -265,9 +265,11 @@ class E2EConferenceBench:
         nprobe = min(FIDELITY_LEGS, N)
 
         def fetch(packed):
-            # ONE forced transfer per block (see run_block packing note)
-            with devlock.held():
-                a = np.asarray(packed)
+            # ONE forced transfer per block (see run_block packing note);
+            # co-resident: the devlock covers only the copy ISSUE, the wait
+            # happens unlocked (devlock.read_all) so 10 ms-cadence members
+            # aren't starved behind this ~50-110 ms block wait
+            a = devlock.read_all(packed)
             txs = a[:, :N]
             # .copy(): sent_p is retained for the whole trial via
             # _sent_probe — a view would pin each block's full packed

@@ -80,3 +80,68 @@ def test_disable_releases_waiters_semantics():
     assert done.wait(timeout=5)
     th.join(timeout=5)
     assert not th.is_alive()
+
+
+def test_read_all_values_and_tree_shape():
+    """read_all returns host numpy values for a mixed tree (jax arrays,
+    numpy arrays, None) with the tree structure preserved."""
+    import jax
+    import numpy as np
+    _reset()
+    devlock.enable(True)
+    try:
+        tree = ({"a": jax.numpy.arange(4.0), "b": np.ones(3)}, None)
+        (out, none_part) = devlock.read_all(tree)
+        assert none_part is None
+        assert np.allclose(out["a"], [0, 1, 2, 3])
+        assert np.allclose(out["b"], 1.0)
+        assert isinstance(out["a"], np.ndarray)
+    finally:
+        _reset()
+
+
+def test_read_all_issues_under_lock_waits_outside():
+    """The async-copy ISSUE runs while the devlock is held; the wait
+    (np.asarray) runs after the lock is released."""
+    import numpy as np
+    _reset()
+    devlock.enable(True)
+    seen = {}
+
+    class FakeDeviceVal:
+        def copy_to_host_async(self):
+            # RLock._is_owned: true only while read_all holds the lock
+            seen["issue_locked"] = devlock._lock._is_owned()
+
+        def __array__(self, dtype=None, copy=None):
+            seen["wait_locked"] = devlock._lock._is_owned()
+            return np.zeros(2, np.float32)
+
+    try:
+        out = devlock.read_all([FakeDeviceVal()])
+        assert seen == {"issue_locked": True, "wait_locked": False}
+        assert np.allclose(out[0], 0.0)
+    finally:
+        _reset()
+
+
+def test_read_all_async_copy_failure_falls_back_to_locked_read():
+    import numpy as np
+    _reset()
+    devlock.enable(True)
+    seen = {}
+
+    class Stubborn:
+        def copy_to_host_async(self):
+            raise RuntimeError("unsupported")
+
+        def __array__(self, dtype=None, copy=None):
+            seen["read_locked"] = devlock._lock._is_owned()
+            return np.ones(2, np.float32)
+
+    try:
+        out = devlock.read_all([Stubborn()])
+        assert seen == {"read_locked": True}   # conservative: wait locked
+        assert np.allclose(out[0], 1.0)
+    finally:
+        _reset()
