@@ -79,3 +79,23 @@ def read_all(tree):
     for i in pend:                         # wait OUTSIDE the lock
         out[i] = np.asarray(leaves[i])
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def issue_copies(tree) -> None:
+    """Start device->host copies for every leaf that supports it (no wait).
+
+    Calling this at pipeline-pop time makes a single-worker publish queue
+    bandwidth-bound instead of RTT-bound: without it the worker issues
+    tick N's copy only when it reaches that item, so each publish costs a
+    full round-trip (~26 ms over the tunnel) and a 10 ms-cadence member's
+    publish backlog grows without bound (fleet probe: opus delivery 0.69).
+    Issuing is idempotent — read_all on the same values later just waits."""
+    import jax
+    with _lock if _enabled else contextlib.nullcontext():
+        for v in jax.tree_util.tree_leaves(tree):
+            f = getattr(v, "copy_to_host_async", None)
+            if f is not None:
+                try:
+                    f()
+                except Exception:
+                    pass

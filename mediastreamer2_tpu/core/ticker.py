@@ -237,6 +237,10 @@ class Ticker(_PacedBeat):
             if len(self._inflight) > self.pipeline_depth:
                 tick, out, ev = self._inflight.pop(0)
                 if self.async_publish:
+                    # start the D2H copies NOW so the single publish worker
+                    # overlaps transfers instead of paying one round-trip
+                    # per tick (devlock.issue_copies)
+                    devlock.issue_copies((out, ev))
                     if self._publish_err is not None:
                         err, self._publish_err = self._publish_err, None
                         raise err
