@@ -86,6 +86,26 @@ class MixedFleetResult:
         return bool(ok)
 
 
+def _elevate_paced_thread() -> None:
+    """Best-effort SCHED_RR for the calling (paced member) thread.
+
+    On a host whose cores are saturated by co-resident codec/crypto work,
+    a normal-priority paced loop wakes milliseconds late at its tick edge
+    — the fleet probe showed 85/500 late opus ticks from scheduler jitter
+    alone.  Real-time round-robin keeps the cadence: the paced threads
+    sleep between edges, so normal-priority publish/codec workers still
+    run in the gaps.  Mirrors the reference ticker's elevated priority
+    (ms_ticker_set_priority, msticker.c:330-399; env MS_TICKER_SCHEDPRIO).
+    MS2TPU_SCHEDPRIO=0 disables; non-root / non-Linux silently degrade."""
+    import os
+    try:
+        prio = int(os.environ.get("MS2TPU_SCHEDPRIO", "1"))
+        if prio > 0:
+            os.sched_setscheduler(0, os.SCHED_RR, os.sched_param(prio))
+    except (AttributeError, OSError, ValueError):
+        pass
+
+
 class MixedFleetBench:
     """Build the classes, compile everything, then run them concurrently."""
 
@@ -165,6 +185,7 @@ class MixedFleetBench:
 
         def guarded(name, fn):
             try:
+                _elevate_paced_thread()
                 barrier.wait(timeout=120)
                 results[name] = fn()
             except Exception as e:                     # noqa: BLE001
