@@ -89,17 +89,18 @@ class MixedFleetResult:
 def _elevate_paced_thread() -> None:
     """Best-effort SCHED_RR for the calling (paced member) thread.
 
-    On a host whose cores are saturated by co-resident codec/crypto work,
-    a normal-priority paced loop wakes milliseconds late at its tick edge
-    — the fleet probe showed 85/500 late opus ticks from scheduler jitter
-    alone.  Real-time round-robin keeps the cadence: the paced threads
-    sleep between edges, so normal-priority publish/codec workers still
-    run in the gaps.  Mirrors the reference ticker's elevated priority
+    Parity with the reference ticker's elevated priority
     (ms_ticker_set_priority, msticker.c:330-399; env MS_TICKER_SCHEDPRIO).
-    MS2TPU_SCHEDPRIO=0 disables; non-root / non-Linux silently degrade."""
+    OFF by default (MS2TPU_SCHEDPRIO unset/0): measured on the 1-core
+    bench host, RT paced loops LIVELOCK the fleet — a loop that falls
+    behind stops sleeping (catch-up path) and, at RT priority, starves
+    the normal-priority publish/codec workers it depends on; the probe
+    run hit its 600 s watchdog.  On multi-core deployments where paced
+    threads genuinely sleep between edges, set MS2TPU_SCHEDPRIO=<prio>
+    to enable; non-root / non-Linux silently degrade."""
     import os
     try:
-        prio = int(os.environ.get("MS2TPU_SCHEDPRIO", "1"))
+        prio = int(os.environ.get("MS2TPU_SCHEDPRIO", "0"))
         if prio > 0:
             os.sched_setscheduler(0, os.SCHED_RR, os.sched_param(prio))
     except (AttributeError, OSError, ValueError):
