@@ -91,18 +91,24 @@ def _elevate_paced_thread() -> None:
 
     Parity with the reference ticker's elevated priority
     (ms_ticker_set_priority, msticker.c:330-399; env MS_TICKER_SCHEDPRIO).
-    OFF by default (MS2TPU_SCHEDPRIO unset/0): measured on the 1-core
-    bench host, RT paced loops LIVELOCK the fleet — a loop that falls
-    behind stops sleeping (catch-up path) and, at RT priority, starves
-    the normal-priority publish/codec workers it depends on; the probe
-    run hit its 600 s watchdog.  On multi-core deployments where paced
-    threads genuinely sleep between edges, set MS2TPU_SCHEDPRIO=<prio>
-    to enable; non-root / non-Linux silently degrade."""
+
+    Default: per-thread niceness -10 (CFS weight ~10x) — the paced thread
+    wins the wakeup race at its tick edge but canNOT starve the
+    normal-priority publish/codec workers it depends on (CFS always
+    schedules everyone).  SCHED_RR is available via MS2TPU_SCHEDPRIO=<prio>
+    but measured DANGEROUS on the 1-core bench host: an RT loop that falls
+    behind stops sleeping (catch-up path) and livelocks the fleet — the
+    probe run hit its 600 s watchdog.  MS2TPU_SCHEDPRIO=0 disables both;
+    non-root / non-Linux silently degrade."""
     import os
+    import threading
+    env = os.environ.get("MS2TPU_SCHEDPRIO", "")
     try:
-        prio = int(os.environ.get("MS2TPU_SCHEDPRIO", "0"))
-        if prio > 0:
+        prio = int(env) if env else None
+        if prio is not None and prio > 0:
             os.sched_setscheduler(0, os.SCHED_RR, os.sched_param(prio))
+        elif prio is None:               # default: safe CFS boost
+            os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), -10)
     except (AttributeError, OSError, ValueError):
         pass
 
