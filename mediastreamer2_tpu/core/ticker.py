@@ -122,7 +122,11 @@ class _PacedBeat:
 
 
 class Ticker(_PacedBeat):
-    def __init__(self, graph, name: str = "ticker", interval_ms: int = TICK_MS,
+    # interval_ms is a float contract: pacing, stats and time_ms all use it
+    # as float, and frame-tick video legs set fractional intervals
+    # (1000/15 ms) — ADVICE r4: the int annotation mismatched actual use.
+    def __init__(self, graph, name: str = "ticker",
+                 interval_ms: float = TICK_MS,
                  realtime: bool = True, event_queue: Optional[EventQueue] = None,
                  pipeline_depth: int = 0, step_fn=None):
         """pipeline_depth > 0 enables double-buffered async dispatch: tick

@@ -616,6 +616,16 @@ class VideoStreamBatch:
 
     CAMERA_DEAD_TICKS = 100      # 1 s without frames => camera presumed dead
 
+    def _now_s(self) -> float:
+        """Stream-clock seconds for the FIR limiter / VideoStarter /
+        frame-listener timestamps.  Must scale with the ticker's ACTUAL
+        interval: under frame_tick pacing (interval 1000/fps ms) a
+        hardcoded ticks*0.01 ran the clock 6.67x slow, stretching the 2 s
+        FIR-limiter window to ~13 wall-seconds and starving the recovery
+        FIR out of the bench's loss-recovery phase (the round-4
+        video_pli_recovery_ok:false root cause)."""
+        return self.ticker.stats.ticks * (self.ticker.interval_ms / 1e3)
+
     def enable_nack(self, leg: int, history: int = 256):
         """cf. video_stream_enable_retransmission_on_nack
         (videostream.c:725): the sender keeps a retransmission history;
@@ -724,7 +734,7 @@ class VideoStreamBatch:
         if session.rtcp is None:
             session.attach_rtcp(interval_s=5.0)
         self.sessions[leg] = session
-        self.starters[leg].activate(now=self.ticker.stats.ticks * 0.01)
+        self.starters[leg].activate(now=self._now_s())
 
     def set_transport(self, leg: int, transport: Transport):
         self.sessions[leg] = RtpSession(transport, payload_type=VIDEO_PT,
@@ -735,7 +745,7 @@ class VideoStreamBatch:
         self.sessions[leg].attach_rtcp(interval_s=5.0)
         # starter runs on the stream's virtual clock (ticks), not wall time,
         # so free-running tests and realtime behave identically
-        self.starters[leg].activate(now=self.ticker.stats.ticks * 0.01)
+        self.starters[leg].activate(now=self._now_s())
 
     # -- host frame <-> bytes --------------------------------------------
     def _frame_to_bytes(self, frame: np.ndarray) -> bytes:
@@ -844,7 +854,7 @@ class VideoStreamBatch:
                     self.starters[i].on_frame_decoded()
                     for cb in getattr(self, "_frame_listeners",
                                       {}).get(i, ()):
-                        cb(self.ticker.stats.ticks * 10, f)
+                        cb(int(self.ticker.stats.ticks * self.ticker.interval_ms), f)
                 else:
                     # complete AU but nothing decodable (e.g. P-frames
                     # without parameter sets after loss) — the reference's
@@ -866,7 +876,7 @@ class VideoStreamBatch:
             # + msiframerequestslimiter rate limiting): request a keyframe
             # when nothing decodable arrived (starter) or an access unit
             # was lost to packet loss (decode-error PLI path)
-            now_s = self.ticker.stats.ticks * 0.01
+            now_s = self._now_s()
             # damage = incomplete AUs dropped + inter-frame seq gaps (whole
             # frames lost; reference chain broken even though later AUs
             # arrive complete)
