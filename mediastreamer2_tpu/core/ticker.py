@@ -249,8 +249,13 @@ class Ticker(_PacedBeat):
                         err, self._publish_err = self._publish_err, None
                         raise err
                     if self._publish_pool is None:
-                        from concurrent.futures import ThreadPoolExecutor
-                        self._publish_pool = ThreadPoolExecutor(max_workers=1)
+                        # nice 0 even when created from an elevated paced
+                        # thread (ADVICE r4: inherited -10 erased the
+                        # paced-vs-worker priority differential)
+                        from mediastreamer2_tpu.core.worker import (
+                            normal_priority_pool)
+                        self._publish_pool = normal_priority_pool(
+                            1, f"{self.name}-publish")
                     self._publish_pool.submit(self._publish_guarded,
                                               tick, out, ev)
                     ext_out = {}

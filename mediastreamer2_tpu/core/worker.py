@@ -150,3 +150,27 @@ class StreamRegulator:
     def reset(self):
         self._queue.clear()
         self._origin_ts = None
+
+
+def reset_thread_priority() -> None:
+    """Reset the calling thread's niceness to 0 (best-effort).
+
+    Linux threads inherit the creator's nice value, so worker pools
+    created lazily from an elevated (nice -10) paced thread would run
+    elevated too — defeating the documented differential where the paced
+    loop wins the wakeup race over publish/codec workers (ADVICE r4:
+    models/mixed_fleet.py).  Use as a ThreadPoolExecutor initializer."""
+    import os
+    try:
+        os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 0)
+    except (AttributeError, OSError):
+        pass
+
+
+def normal_priority_pool(max_workers: int = 1, name: str = "ms2tpu-worker"):
+    """ThreadPoolExecutor whose workers always run at nice 0, regardless
+    of the creating thread's elevation (see reset_thread_priority)."""
+    from concurrent.futures import ThreadPoolExecutor
+    return ThreadPoolExecutor(max_workers=max_workers,
+                              thread_name_prefix=name,
+                              initializer=reset_thread_priority)

@@ -246,45 +246,64 @@ class E2EConferenceBench:
         _ = np.asarray(packed)
         self._warmed = True
 
+    def default_warmup_blocks(self) -> int:
+        """Blocks to exclude from measurement: pipeline fill + jitter-ring
+        priming (shared by run() and E2EStepper so the two paths can never
+        drift)."""
+        return self.D + 2 + (self.prefill + self.K - 1) // self.K
+
+    def _fetch(self, packed):
+        """Force the ONE packed device->host transfer for a block and split
+        it into (tx payloads, sent probe, recv probe) — see run_block's
+        packing note.  Runs on the reader worker."""
+        N, K, S8 = self.n, self.K, self.S8
+        nprobe = min(FIDELITY_LEGS, N)
+        a = devlock.read_all(packed)
+        txs = a[:, :N]
+        # .copy(): sent probes are retained for the whole trial — a view
+        # would pin each block's full packed buffer (MBs) for ~10 KB
+        sent_p = a[:, N:N + nprobe].copy()
+        recv_p = np.ascontiguousarray(a[:, N + nprobe:]).reshape(
+            K, nprobe, S8, 4).view(np.float32)[..., 0]
+        return txs, sent_p, recv_p
+
+    def _gpu_block(self, stage_copy, reader):
+        """Upload + dispatch one K-tick block (uploader worker), handing
+        the transfer-forcing fetch to the reader worker."""
+        import jax
+        with devlock.held():
+            x = jax.device_put(stage_copy)
+            self.state, self._t_dev, packed = self._run_block(
+                self.state, self._t_dev, x)
+        return reader.submit(self._fetch, packed)
+
+    def make_jitter_ctrl(self):
+        """Warmup-only adaptive prefill controller (see __init__ note)."""
+        from mediastreamer2_tpu.net.jitter import BatchEdgeJitterController
+        return BatchEdgeJitterController(
+            self.rx, self.n, min_prefill=self.prefill,
+            max_prefill=self.prefill + 8,
+            shrink_after=10 ** 9,            # no shrink inside a trial
+            apply_initial=False)             # ring already primed
+
     def run(self, n_blocks: int, paced: bool = True,
             warmup_blocks: Optional[int] = None) -> E2EResult:
         import jax
-        from concurrent.futures import ThreadPoolExecutor
+        from mediastreamer2_tpu.core.worker import normal_priority_pool
         N, K, D, S8 = self.n, self.K, self.D, self.S8
         if warmup_blocks is None:
-            # cover pipeline fill + jitter-ring priming before measuring
-            warmup_blocks = D + 2 + (self.prefill + K - 1) // K
+            warmup_blocks = self.default_warmup_blocks()
         # The paced thread must NEVER block on the device: uploads+dispatch
         # run on one worker (calls serialize there, so device state chains
         # correctly) and downloads on another, overlapping both transfer
         # directions with the tick loop (np.asarray/device_put release the
-        # GIL during tunnel/PCIe I/O).
-        uploader = ThreadPoolExecutor(max_workers=1)
-        reader = ThreadPoolExecutor(max_workers=1)
-
-        nprobe = min(FIDELITY_LEGS, N)
-
-        def fetch(packed):
-            # ONE forced transfer per block (see run_block packing note);
-            # co-resident: the devlock covers only the copy ISSUE, the wait
-            # happens unlocked (devlock.read_all) so 10 ms-cadence members
-            # aren't starved behind this ~50-110 ms block wait
-            a = devlock.read_all(packed)
-            txs = a[:, :N]
-            # .copy(): sent_p is retained for the whole trial via
-            # _sent_probe — a view would pin each block's full packed
-            # buffer (MBs) for the ~10 KB probe slice
-            sent_p = a[:, N:N + nprobe].copy()
-            recv_p = np.ascontiguousarray(a[:, N + nprobe:]).reshape(
-                K, nprobe, S8, 4).view(np.float32)[..., 0]
-            return txs, sent_p, recv_p
+        # GIL during tunnel/PCIe I/O).  nice 0 even when run() is called
+        # from an elevated fleet member thread (ADVICE r4).
+        uploader = normal_priority_pool(1, "e2e-upload")
+        reader = normal_priority_pool(1, "e2e-read")
 
         def gpu_block(stage_copy):
-            with devlock.held():
-                x = jax.device_put(stage_copy)
-                self.state, self._t_dev, packed = self._run_block(
-                    self.state, self._t_dev, x)
-            return reader.submit(fetch, packed)
+            return self._gpu_block(stage_copy, reader)
 
         # 0xFF is mu-law digital silence; zeros would decode loud (-0.24)
         stage = np.full((K, N, S8), 0xFF, np.uint8)
@@ -301,12 +320,7 @@ class E2EConferenceBench:
         self.warm()
 
         if self.adaptive_prefill and paced:
-            from mediastreamer2_tpu.net.jitter import BatchEdgeJitterController
-            self._jitter_ctrl = BatchEdgeJitterController(
-                self.rx, N, min_prefill=self.prefill,
-                max_prefill=self.prefill + 8,
-                shrink_after=10 ** 9,            # no shrink inside a trial
-                apply_initial=False)             # ring already primed
+            self._jitter_ctrl = self.make_jitter_ctrl()
 
         # phase trace (MS2TPU_E2E_TRACE=1): attribute overruns to the
         # loop phase that ate the interval — the instrumentation VERDICT
@@ -429,3 +443,118 @@ class E2EConferenceBench:
                     best = max(best, float(np.dot(aa, bb) / denom))
             sims.append(best)
         return float(min(sims)) if sims else 0.0
+
+
+class E2EStepper:
+    """Tick-at-a-time driver over an E2EConferenceBench — the single-loop
+    (FleetTicker-shaped) alternative to run()'s self-paced loop, used by
+    the mixed fleet so MANY heterogeneous members share ONE paced host
+    thread (models/mixed_fleet.py; reference contrast: one ticker thread
+    per stream, msticker.c:448 — the right shape for many cores, the wrong
+    one for a 1-core host driving a remote chip).
+
+    The fleet loop calls tick() once per 10 ms edge.  Edge I/O runs inline
+    (native, bounded); device upload+dispatch runs on the SHARED uploader
+    worker at block (K-tick) granularity and the transfer-forcing fetch on
+    the shared reader worker, so the loop never blocks on the tunnel
+    except at block pops whose data has had K*D ticks to land.
+
+    Accounting matches run(): same warmup window, same loss/fidelity
+    oracles, same E2EResult.
+    """
+
+    def __init__(self, bench: E2EConferenceBench, uploader, reader,
+                 n_blocks: int, warmup_blocks: Optional[int] = None):
+        b = bench
+        self.b = b
+        self.uploader, self.reader = uploader, reader
+        self.n_blocks = n_blocks
+        self.warmup_blocks = (b.default_warmup_blocks()
+                              if warmup_blocks is None else warmup_blocks)
+        self.stage = np.full((b.K, b.n, b.S8), 0xFF, np.uint8)
+        self.cur_tx = np.full((b.K, b.n, b.S8), 0xFF, np.uint8)
+        self.q: list = []
+        self.tick_i = 0
+        self.flags_missing = 0
+        self.flags_total = 0
+        self.late_ticks = 0
+        self._t_start: Optional[float] = None
+        self._t_end: Optional[float] = None
+        b.warm()
+        b._sent_probe, b._recv_probe = [], []
+        b._jitter_ctrl = b.make_jitter_ctrl() if b.adaptive_prefill else None
+
+    @property
+    def done(self) -> bool:
+        return self.tick_i >= self.n_blocks * self.b.K
+
+    @property
+    def interval_ms(self) -> float:
+        return 10.0
+
+    def tick(self, late_by: int = 0) -> bool:
+        """One 10 ms edge.  late_by: whole intervals the fleet loop was
+        behind at this member's edge (folded into late_ticks during the
+        measured window — parity with run()'s missed-edge accounting)."""
+        b = self.b
+        blk, k = divmod(self.tick_i, b.K)
+        if blk >= self.n_blocks:
+            return False
+        measured = blk >= self.warmup_blocks
+        if k == 0:
+            if blk == self.warmup_blocks:
+                self._t_start = time.perf_counter()
+            if b._jitter_ctrl is not None and 0 < blk < self.warmup_blocks:
+                b._jitter_ctrl.control()      # warmup-only adaptation
+        if measured and late_by:
+            self.late_ticks += late_by
+        b.tx.send(self.cur_tx[k], ts_inc=b.S8)
+        b.rx.poll()
+        pay, fl = b.rx.read_tick()
+        self.stage[k] = pay
+        missing = fl == 0
+        if missing.any():
+            self.stage[k][missing] = 0xFF             # mu-law silence
+        if measured:
+            self.flags_total += b.n
+            self.flags_missing += int(b.n - fl.sum())
+        self.tick_i += 1
+        if k == b.K - 1:
+            self.q.append(self.uploader.submit(b._gpu_block,
+                                               self.stage.copy(),
+                                               self.reader))
+            if len(self.q) > b.D:
+                self.cur_tx, sent_p, recv_p = self.q.pop(0).result().result()
+                if measured:
+                    b._sent_probe.append(sent_p)
+                    b._recv_probe.append(recv_p)
+            if self.done:
+                self._t_end = time.perf_counter()
+        return not self.done
+
+    def finish(self) -> E2EResult:
+        b = self.b
+        if self._t_end is None:
+            self._t_end = time.perf_counter()
+        for fut in self.q:
+            _, sent_p, recv_p = fut.result().result()
+            b._sent_probe.append(sent_p)
+            b._recv_probe.append(recv_p)
+        self.q = []
+        blocks_run = min(self.tick_i // b.K, self.n_blocks)
+        ticks_timed = max(0, blocks_run - self.warmup_blocks) * b.K
+        total_s = ((self._t_end - self._t_start)
+                   if self._t_start is not None else 0.0)
+        auth_fail = (sum(b.rx.auth_failures(i) for i in range(b.n))
+                     if b.srtp else 0)
+        eff_prefill = (max(b._jitter_ctrl.prefill)
+                       if b._jitter_ctrl is not None else b.prefill)
+        return E2EResult(
+            n_legs=b.n, ticks=ticks_timed, k_block=b.K,
+            pipeline_depth=b.D,
+            ms_per_tick=total_s * 1e3 / max(ticks_timed, 1),
+            late_ticks=self.late_ticks,
+            loss_rate=self.flags_missing / max(self.flags_total, 1),
+            fidelity=b.fidelity(),
+            mouth_to_ear_ms=(b.K * (b.D + 1) + eff_prefill) * 10.0,
+            srtp=b.srtp, auth_failures=auth_fail)

@@ -25,11 +25,13 @@ def _opus_ok():
 
 @pytest.mark.slow
 @pytest.mark.skipif(not rtp_edge_available(), reason="g++ build failed")
-def test_mixed_fleet_coresident(factory):
+@pytest.mark.parametrize("mode", ["loop", "threads"])
+def test_mixed_fleet_coresident(factory, mode):
     """Flagship G.711 e2e legs + SRTP legs + opus host-codec conference
     legs + VP8 video streams, all concurrently: every class keeps its own
     deadline while sharing the device, and traffic/fidelity oracles hold
-    per class."""
+    per class — in BOTH co-residency shapes (one paced loop / per-member
+    threads)."""
     n_opus = 2 if _opus_ok() else 0
     n_video = 2 if _vp8_ok() else 0
     fleet = MixedFleetBench(Factory, n_flagship=16, n_srtp=8,
@@ -37,7 +39,7 @@ def test_mixed_fleet_coresident(factory):
                             k_block=4, depth=1, opus_depth=0,
                             video_depth=0)
     try:
-        res = fleet.run(seconds=2.0)
+        res = fleet.run(seconds=2.0, mode=mode)
     finally:
         fleet.close()
     assert not res.errors, res.errors
