@@ -32,6 +32,40 @@ from mediastreamer2_tpu.models.qos import IFrameRequestLimiter, VideoStarter
 VIDEO_PT = 97
 
 
+def _rx_is_keyframe(codec_name, frame: bytes):
+    """Best-effort bitstream sniff: is this assembled access unit a
+    keyframe?  True/False when the codec's syntax is known (VP8 frame tag
+    bit 0, RFC 6386 §9.1; H.264 IDR/SPS NALs; H.265 IRAP NALs), None for
+    codecs we don't sniff (caller treats decode success as recovery)."""
+    if not frame:
+        return None
+    if codec_name == "vp8":
+        return (frame[0] & 0x01) == 0
+    if codec_name == "h264":
+        i, n = 0, len(frame)
+        while i + 4 < n:
+            j = frame.find(b"\x00\x00\x01", i)
+            if j < 0 or j + 3 >= n:
+                break
+            t = frame[j + 3] & 0x1F
+            if t in (5, 7):                  # IDR slice / SPS in-band
+                return True
+            i = j + 3
+        return False
+    if codec_name == "h265":
+        i, n = 0, len(frame)
+        while i + 4 < n:
+            j = frame.find(b"\x00\x00\x01", i)
+            if j < 0 or j + 3 >= n:
+                break
+            t = (frame[j + 3] >> 1) & 0x3F
+            if 16 <= t <= 21 or t == 33:     # IRAP / SPS
+                return True
+            i = j + 3
+        return False
+    return None
+
+
 class FrameCodec:
     """Host frame codec interface (cf. MSFilterVideoEncoder/Decoder
     interface).  encode(frame_bytes)->bytes; decode inverse.  The default
@@ -606,6 +640,16 @@ class VideoStreamBatch:
         # first frame of every leg is a keyframe; FIR sets this too
         self._force_kf = [True] * batch
         self._last_dropped = [0] * batch
+        self.codec_name = codec if isinstance(codec, str) else None
+        # Loss-damage latch: once a leg's reference chain breaks (seq gap /
+        # dropped AU / decode error) it WANTS a keyframe until one actually
+        # decodes — the damage events themselves are edge-triggered, so if
+        # the FIR limiter happens to be inside its window at that instant
+        # the request must retry on later ticks, not vanish (reference:
+        # the decoder-error callback keeps firing while errors persist and
+        # ms_iframe_requests_limiter paces the resulting PLIs,
+        # videostream.c decoding_error_cb + msiframerequestslimiter.c).
+        self._await_kf_rx = [False] * batch
         # dead-camera watchdog (ext-camera mode)
         self._cam_frames = [None] * batch
         self._cam_last_tick = [0] * batch
@@ -852,6 +896,14 @@ class VideoStreamBatch:
                     self._last_rx[i] = f
                     self.stats[i].frames_received += 1
                     self.starters[i].on_frame_decoded()
+                    if self._await_kf_rx[i]:
+                        # recovery completes only when a KEYFRAME decodes
+                        # (a concealed P-frame on a broken reference chain
+                        # "decodes" but the picture is damaged); unknown
+                        # bitstreams clear on any decode success
+                        kf = _rx_is_keyframe(self.codec_name, frame)
+                        if kf is not False:
+                            self._await_kf_rx[i] = False
                     for cb in getattr(self, "_frame_listeners",
                                       {}).get(i, ()):
                         cb(int(self.ticker.stats.ticks * self.ticker.interval_ms), f)
@@ -884,8 +936,10 @@ class VideoStreamBatch:
                        + getattr(self.packetizers[i], "seq_gaps", 0))
             broke = dropped > self._last_dropped[i]
             self._last_dropped[i] = dropped
-            if (self.starters[i].need_iframe(now=now_s) or broke
-                    or decode_failed) \
+            if broke or decode_failed:
+                self._await_kf_rx[i] = True      # latch until a kf decodes
+            if (self.starters[i].need_iframe(now=now_s)
+                    or self._await_kf_rx[i]) \
                     and self.fir_limiters[i].request_allowed(now=now_s):
                 self.stats[i].fir_sent += 1
                 from mediastreamer2_tpu.net.rtcp import Feedback

@@ -6,7 +6,8 @@ from mediastreamer2_tpu.core.block import Format
 from mediastreamer2_tpu.models.video_stream import (VideoStreamBatch,
                                                     FrameAssembler,
                                                     fragment_frame)
-from mediastreamer2_tpu.net.rtp import LoopbackPair, RtpPacket
+from mediastreamer2_tpu.net.rtp import (LoopbackPair, RtpPacket,
+                                         UdpTransport)
 from mediastreamer2_tpu.net.netsim import NetworkSimulator, NetSimParams
 
 
@@ -313,3 +314,65 @@ def test_video_iterate_applies_tmmbr(factory):
     for _ in range(20):
         tx.ticker.do_tick(); rx.ticker.do_tick()
     assert rx.stats[0].frames_received > 0
+
+
+def test_rx_keyframe_sniff():
+    """_rx_is_keyframe: VP8 frame-tag bit (RFC 6386 §9.1), H.264 IDR/SPS
+    NALs, H.265 IRAP; unknown codecs return None (decode success clears
+    the damage latch for those)."""
+    from mediastreamer2_tpu.models.video_stream import _rx_is_keyframe
+    assert _rx_is_keyframe("vp8", bytes([0x10, 0, 0, 1, 2])) is True
+    assert _rx_is_keyframe("vp8", bytes([0x11, 0, 0, 1, 2])) is False
+    idr = b"\x00\x00\x00\x01\x65" + b"\x00" * 8
+    p = b"\x00\x00\x00\x01\x41" + b"\x00" * 8
+    assert _rx_is_keyframe("h264", idr) is True
+    assert _rx_is_keyframe("h264", p) is False
+    irap = b"\x00\x00\x01" + bytes([19 << 1, 1]) + b"\x00" * 8
+    trail = b"\x00\x00\x01" + bytes([1 << 1, 1]) + b"\x00" * 8
+    assert _rx_is_keyframe("h265", irap) is True
+    assert _rx_is_keyframe("h265", trail) is False
+    assert _rx_is_keyframe("mjpeg", b"\xff\xd8\xff") is None
+    assert _rx_is_keyframe("vp8", b"") is None
+
+
+def test_fir_latch_survives_limiter_window(factory):
+    """A seq-gap FIR suppressed by the rate limiter must RETRY on later
+    ticks until a keyframe decodes (the damage event is edge-triggered;
+    the want-keyframe state is not).  Reference: decoder error callbacks
+    keep firing while errors persist and msiframerequestslimiter paces
+    the PLIs — a suppressed request is deferred, never dropped."""
+    try:
+        from mediastreamer2_tpu.ops.vp8 import vp8_available
+        if not vp8_available():
+            import pytest
+            pytest.skip("libvpx missing")
+    except ImportError:
+        import pytest
+        pytest.skip("libvpx missing")
+    fmt = Format(kind="yuv420", width=64, height=48, fps=25.0)
+    vs = VideoStreamBatch(factory, 1, fmt=fmt, fps=25.0, codec="vp8")
+    t = UdpTransport()
+    t.set_remote("127.0.0.1", t.local_port)      # self-loop
+    vs.set_transport(0, t)
+    vs.bind_assemblers()
+    vs.ticker.realtime = False
+    vs.ticker.warm_up()
+    for _ in range(12):
+        vs.ticker.do_tick()
+    assert vs.stats[0].frames_received > 0
+    # damage the leg while the limiter window is CLOSED: latch must hold
+    vs._await_kf_rx[0] = True
+    vs.fir_limiters[0]._last = vs._now_s()            # window just opened
+    fir0 = vs.stats[0].fir_sent
+    vs.ticker.do_tick()
+    assert vs.stats[0].fir_sent == fir0               # suppressed, latched
+    assert vs._await_kf_rx[0]
+    # run past the limiter interval: the deferred FIR fires and the
+    # sender's keyframe clears the latch
+    for _ in range(int(vs.fir_limiters[0].min_interval_s / 0.01) + 30):
+        vs.ticker.do_tick()
+        if not vs._await_kf_rx[0]:
+            break
+    assert vs.stats[0].fir_sent > fir0
+    assert not vs._await_kf_rx[0]
+    t.close()
