@@ -20,15 +20,57 @@ ms_filter_process locking).
 from __future__ import annotations
 
 import contextlib
+import os
 import threading
+import time
 
 _lock = threading.RLock()
 _enabled = False
+_unlocked_wait_ok = None     # None = not probed yet (see _probe below)
+
+
+def _probe_unlocked_wait() -> bool:
+    """Decide whether read_all may WAIT outside the lock (ADVICE r4
+    medium): jax's ArrayImpl._value makes a synchronous client call, and
+    if the client did NOT cache the host literal from the earlier
+    copy_to_host_async, concurrent waiting threads issue concurrent
+    commands — exactly the wedge the lock exists to prevent.
+
+    Probe (once, at enable() time, before any member thread exists): time
+    a cold blocking readback to get the round-trip scale, then an
+    async-issued-then-waited readback.  If the post-issue asarray is far
+    below round-trip cost the literal was cached and the wait is
+    command-free in practice; otherwise fall back to fully-locked reads.
+    MS2TPU_DEVLOCK_UNLOCKED_WAIT=0/1 overrides the probe."""
+    env = os.environ.get("MS2TPU_DEVLOCK_UNLOCKED_WAIT", "")
+    if env:
+        return env != "0"
+    try:
+        import jax
+        import numpy as np
+        cold = jax.device_put(np.ones(1024, np.float32))
+        t0 = time.perf_counter()
+        np.asarray(cold)
+        rtt = time.perf_counter() - t0
+        x = jax.device_put(np.ones(1024, np.float32))
+        f = getattr(x, "copy_to_host_async", None)
+        if f is None:
+            return False
+        f()
+        time.sleep(min(0.5, rtt * 3 + 0.02))   # let the async copy land
+        t0 = time.perf_counter()
+        np.asarray(x)
+        wait = time.perf_counter() - t0
+        return wait < max(0.25 * rtt, 0.002)
+    except Exception:                          # unknown client: be safe
+        return False
 
 
 def enable(on: bool = True) -> None:
     """Turn co-resident serialization on/off (process-wide)."""
-    global _enabled
+    global _enabled, _unlocked_wait_ok
+    if on and _unlocked_wait_ok is None:
+        _unlocked_wait_ok = _probe_unlocked_wait()
     _enabled = on
 
 
