@@ -107,6 +107,9 @@ def read_all(tree):
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     out = [None] * len(leaves)
     pend = []
+    # the enable()-time probe decides whether the post-issue wait is safe
+    # outside the lock on this client (see _probe_unlocked_wait)
+    unlocked_wait = bool(_unlocked_wait_ok) or not _enabled
     with _lock if _enabled else contextlib.nullcontext():
         for i, v in enumerate(leaves):
             f = getattr(v, "copy_to_host_async", None)
@@ -115,7 +118,10 @@ def read_all(tree):
             else:
                 try:
                     f()
-                    pend.append(i)
+                    if unlocked_wait:
+                        pend.append(i)
+                    else:              # conservative: wait under the lock
+                        out[i] = np.asarray(v)
                 except Exception:          # unsupported: blocking fallback
                     out[i] = np.asarray(v)
     for i in pend:                         # wait OUTSIDE the lock
