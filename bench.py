@@ -287,7 +287,12 @@ def device_only_legs(rtt: float) -> tuple:
 
 def e2e_trial(n_legs: int, k_block: int, depth: int, srtp: bool = False,
               blocks: int = None, srtp_suite: str = "AES_CM_128_HMAC_SHA1_80"):
-    """One paced e2e run; returns E2EResult or None on failure."""
+    """One paced e2e run; returns E2EResult or None on failure.
+
+    Always traced: the per-tick phase attribution (edge / submit / pop)
+    costs a few perf_counter calls and gives every published row — and
+    every FAILED low-latency or SRTP row — a self-documenting breakdown
+    in the artifact (VERDICT r4 items 4/5)."""
     from mediastreamer2_tpu.core.factory import Factory
     from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
     try:
@@ -295,13 +300,19 @@ def e2e_trial(n_legs: int, k_block: int, depth: int, srtp: bool = False,
                                pipeline_depth=depth, srtp=srtp,
                                srtp_suite=srtp_suite)
         try:
-            return b.run(blocks or E2E_BLOCKS, paced=True)
+            return b.run(blocks or E2E_BLOCKS, paced=True, trace=True)
         finally:
             b.close()
     except Exception as e:
         print(f"# e2e n={n_legs}{' srtp' if srtp else ''}: failed "
               f"({type(e).__name__}: {str(e)[:120]})", file=sys.stderr)
         return None
+
+
+def _expired(deadline) -> bool:
+    """Cooperative per-section deadline (checked BETWEEN trials: a single
+    trial is bounded by its block count; compiles are the only spike)."""
+    return deadline is not None and time.perf_counter() > deadline
 
 
 def e2e_passes(res) -> bool:
@@ -342,7 +353,7 @@ def tunnel_mbps(rtt_ms: float) -> float:
     return nbytes / dt / 1e6
 
 
-def e2e_legs(link_mbps: float = None) -> tuple:
+def e2e_legs(link_mbps: float = None, deadline: float = None) -> tuple:
     """Largest N passing the paced e2e run. Returns (n, result).
 
     Strategy: start at a floor the link can certainly carry, climb ~1.5x
@@ -376,6 +387,10 @@ def e2e_legs(link_mbps: float = None) -> tuple:
     first_fail = None
     retried = False
     for _ in range(10):                       # bounded number of trials
+        if _expired(deadline) and best[0]:
+            print("# e2e search: section budget reached — keeping best",
+                  file=sys.stderr)
+            return best
         res, ok = trial(cur)
         if ok:
             best = (cur, res)
@@ -405,7 +420,8 @@ def e2e_legs(link_mbps: float = None) -> tuple:
     return best
 
 
-def srtp_e2e(n_start: int, suite: str = "AES_CM_128_HMAC_SHA1_80") -> tuple:
+def srtp_e2e(n_start: int, suite: str = "AES_CM_128_HMAC_SHA1_80",
+             deadline: float = None) -> tuple:
     """Largest N passing the e2e run with per-leg SRTP protect/unprotect
     inline on the native edge — the encrypted operating point the
     reference runs by default (ms_srtp.cpp inline protection). Walks down
@@ -428,6 +444,8 @@ def srtp_e2e(n_start: int, suite: str = "AES_CM_128_HMAC_SHA1_80") -> tuple:
     last_fail = None
     best = (0, None)
     for _ in range(5):                    # walk down to a pass
+        if _expired(deadline) and best[0]:
+            return best
         res, ok = trial(n)
         if ok:
             best = (n, res)
@@ -437,7 +455,7 @@ def srtp_e2e(n_start: int, suite: str = "AES_CM_128_HMAC_SHA1_80") -> tuple:
             return 0, None
         n = max(256, int(n / 1.6) // 256 * 256)
     for _ in range(2):                    # refine upward toward the fail
-        if not (best[0] and last_fail):
+        if not (best[0] and last_fail) or _expired(deadline):
             break
         mid = (best[0] + last_fail) // 2 // 128 * 128
         if not (best[0] < mid < last_fail):
@@ -456,7 +474,8 @@ LATENCY_LADDER = [(1, 1, False), (1, 4, False), (4, 2, True),
                   (8, 2, True), (16, 3, False), (32, 3, False)]
 
 
-def latency_curve(n_head: int) -> list:
+def latency_curve(n_head: int, rtt_ms_meas: float = None,
+                  deadline: float = None) -> list:
     """Measured latency/capacity points: for each (K, D) in the ladder,
     the largest N found that passes (bounded trials), with the config's
     added mouth-to-ear latency. On a tunnel-attached chip the small-K
@@ -472,12 +491,19 @@ def latency_curve(n_head: int) -> list:
     conservative start."""
     rows = []
     for K, D, want_confirm in LATENCY_LADDER:
+        if _expired(deadline) and rows:
+            print("# latency curve: section budget reached — remaining "
+                  "rows skipped", file=sys.stderr)
+            break
         # smaller K amortizes less transfer: start lower
         n = max(64, min(n_head, n_head * K // 64) // 64 * 64)
         best = None
+        last_fail_res = None
         retried_here = False
         first_fail = None
         for _ in range(7):                       # bounded trial budget
+            if _expired(deadline) and (best or rows):
+                break
             res = e2e_trial(n, K, D, blocks=max(12, 256 // max(K, 8)))
             ok = e2e_passes(res)
             print(f"# latency K={K} D={D} n={n}: "
@@ -496,6 +522,7 @@ def latency_curve(n_head: int) -> list:
                 n = nxt
                 retried_here = False
                 continue
+            last_fail_res = res or last_fail_res
             transient = (res is not None and res.fidelity >= 0.9
                          and res.loss_rate < 0.1)
             if transient and not retried_here:
@@ -545,35 +572,53 @@ def latency_curve(n_head: int) -> list:
         }
         if confirmed is not None:
             row["confirmed"] = confirmed
+        if best is None:
+            # A zero must read as PHYSICS or a diagnosed bind, not silent
+            # failure (VERDICT r4 item 5): the oldest in-flight block must
+            # complete its device round trip within K*D ticks, so on a
+            # tunnel with RTT >= that budget the config is unreachable at
+            # ANY leg count; K=1,D=1 is the canonical case (10 ms budget
+            # vs ~26-32 ms measured RTT).  The failed trial's phase
+            # breakdown shows what actually ate the interval otherwise.
+            budget = K * D * 10.0
+            row["inflight_budget_ms"] = budget
+            if rtt_ms_meas is not None:
+                row["rtt_ms"] = round(rtt_ms_meas, 2)
+                row["infeasible_rtt_bound"] = bool(rtt_ms_meas >= budget)
+            if last_fail_res is not None and last_fail_res.phases_ms:
+                row["fail_phases_ms"] = last_fail_res.phases_ms
         rows.append(row)
     return rows
 
 
-def mixed_fleet(n_flagship: int, n_srtp: int) -> dict:
-    """Heterogeneous co-residency on one chip (VERDICT r3 item 1): G.711
-    flagship legs + SRTP legs + opus host-codec conference legs + VP8
-    video, each class on its own paced loop, sharing the device.
+def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
+    """Heterogeneous co-residency on one chip (the round's #1 row since
+    VERDICT r3): G.711 flagship legs + SRTP legs + opus host-codec
+    conference legs + VP8 video sharing the device under one 10 ms beat.
+    Default shape: ONE paced loop interleaving all members (FleetTicker,
+    models/mixed_fleet.py) — the reference's arbitrary-mix default
+    condition (msticker.c:448) re-expressed for a few-core host.
 
-    This is a CAPACITY SEARCH, not a single shot: sizes start from the
-    measured homogeneous headlines scaled by the host's core count (four
-    paced host loops share those cores — on the 1-core bench host the
-    whole fleet rides one core), and on a deadline miss the fleet shrinks
-    and retries, so the artifact reports the co-resident operating point
-    that PASSES rather than a single oversized failure (the r4 snapshot
-    artifact's mixed_fleet row was exactly that failure mode)."""
+    Search policy (VERDICT r4 item 1c): start at a floor that plausibly
+    passes, CONFIRM a pass by re-running the same built fleet (cheap: no
+    rebuild/recompile), then grow while budget remains; a fail after a
+    pass ends the search at the confirmed point.  The artifact reports
+    per-class counts, the attempt history, the shape used, and a
+    `confirmed` flag certifying the published point passed twice."""
     import os as _os
     from mediastreamer2_tpu.core.factory import Factory
     from mediastreamer2_tpu.models.mixed_fleet import MixedFleetBench
     cores = _os.cpu_count() or 1
-    # fraction of the homogeneous headline each audio class starts at:
-    # plenty of cores -> half each; starved hosts start near a quarter
-    frac = 2 if cores >= 4 else 4
-    sizes = {
-        "n_flagship": max(256, n_flagship // frac // 256 * 256),
-        "n_srtp": max(128, n_srtp // frac // 128 * 128),
-        "n_opus": (8 if cores <= 1 else 16) if cores <= 2 else 64,
-        "n_video": (1 if cores <= 2 else 4),
+    mode = _os.environ.get("MS2TPU_FLEET_MODE", "loop")
+    caps = {                       # never grow past the homogeneous halves
+        "n_flagship": max(256, n_flagship // 2 // 256 * 256),
+        "n_srtp": max(128, n_srtp // 2 // 128 * 128),
+        "n_opus": 64, "n_video": 4,
     }
+    sizes = {"n_flagship": 512, "n_srtp": 256,
+             "n_opus": 8 if cores <= 2 else 32,
+             "n_video": 1 if cores <= 2 else 2}
+    sizes = {k: min(v, caps[k]) for k, v in sizes.items()}
     try:
         from mediastreamer2_tpu.ops import host_codecs as hc
         if not hc.opus_available():
@@ -583,43 +628,89 @@ def mixed_fleet(n_flagship: int, n_srtp: int) -> dict:
             sizes["n_video"] = 0
     except Exception:
         pass
+
     out = {"error": "no attempt ran", "passes": False}
     attempts = []
-    for attempt in range(3):
+    best = None
+    fail_at = None                 # smallest flagship size that failed
+
+    def one_fleet(sz):
+        """Build+run at sz; on a pass, immediately confirm on the SAME
+        instance (no recompile).  Returns (summary, confirmed)."""
+        fleet = MixedFleetBench(Factory, k_block=32, depth=3,
+                                video_depth=2, **sz)
         try:
-            fleet = MixedFleetBench(Factory, k_block=32, depth=3,
-                                    video_depth=2, **sizes)
-            try:
-                res = fleet.run(seconds=8.0)
-            finally:
-                fleet.close()
-            out = res.summary()
+            s = fleet.run(seconds=8.0).summary()
+            conf = None
+            if s.get("passes"):
+                s2 = fleet.run(seconds=8.0).summary()
+                conf = bool(s2.get("passes"))
+                if conf:
+                    s = s2                  # publish the confirming run
+                s["confirmed"] = conf
+            return s, conf
+        finally:
+            fleet.close()
+
+    for attempt in range(4):
+        if attempts and _expired(deadline):
+            print("# mixed-fleet: section budget reached", file=sys.stderr)
+            break
+        try:
+            out, confirmed = one_fleet(sizes)
         except Exception as e:                       # noqa: BLE001
             print(f"# mixed-fleet failed: {type(e).__name__}: "
                   f"{str(e)[:160]}", file=sys.stderr)
             out = {"error": f"{type(e).__name__}: {str(e)[:160]}",
                    "passes": False}
-        attempts.append({"sizes": dict(sizes), "passes": out.get("passes")})
+            confirmed = None
+        attempts.append({"sizes": dict(sizes), "passes": out.get("passes"),
+                         "confirmed": confirmed})
         print(f"# mixed-fleet attempt {attempt + 1} sizes={sizes}: "
               f"{json.dumps(out)}", file=sys.stderr)
-        if out.get("passes") or "error" in out:
+        if "error" in out:
             break                     # errors are structural, not capacity
-        shrunk = {
-            "n_flagship": max(128, sizes["n_flagship"] // 2 // 128 * 128),
-            "n_srtp": max(64, sizes["n_srtp"] // 2 // 64 * 64),
-            "n_opus": (sizes["n_opus"] // 2 if sizes["n_opus"] > 8
-                       else sizes["n_opus"]),
-            "n_video": min(sizes["n_video"], 1),
-        }
-        if shrunk == sizes:
-            break                     # already at the floor
-        sizes = shrunk
+        if out.get("passes"):
+            best = out
+            if _expired(deadline):
+                break
+            # grow toward (not onto) a known-fail point; double otherwise
+            fl = sizes["n_flagship"]
+            nxt = (min(caps["n_flagship"], (fl + fail_at) // 2 // 128 * 128)
+                   if fail_at is not None
+                   else min(caps["n_flagship"], fl * 2))
+            if nxt <= fl or (fail_at is not None and nxt >= fail_at):
+                break                 # at the cap / the edge is bracketed
+            sizes = dict(sizes,
+                         n_flagship=nxt,
+                         n_srtp=min(caps["n_srtp"],
+                                    max(64, sizes["n_srtp"] * nxt
+                                        // max(fl, 1) // 64 * 64)))
+        else:
+            fail_at = (sizes["n_flagship"] if fail_at is None
+                       else min(fail_at, sizes["n_flagship"]))
+            if best is not None:
+                break                 # edge found; keep the confirmed pass
+            shrunk = {
+                "n_flagship": max(128, sizes["n_flagship"] // 2
+                                  // 128 * 128),
+                "n_srtp": max(64, sizes["n_srtp"] // 2 // 64 * 64),
+                "n_opus": (sizes["n_opus"] // 2 if sizes["n_opus"] > 8
+                           else sizes["n_opus"]),
+                "n_video": min(sizes["n_video"], 1),
+            }
+            if shrunk == sizes:
+                break                 # already at the floor
+            sizes = shrunk
+    if best is not None:
+        out = best
     out["host_cores"] = cores
+    out["mode"] = mode
     out["attempts"] = attempts
     return out
 
 
-def video_e2e() -> tuple:
+def video_e2e(deadline: float = None) -> tuple:
     """Largest N video streams (mire -> device pixel path -> VP8 host codec
     -> RTP over localhost UDP -> decode -> device analyse) holding the
     10 ms beat at 15 fps, plus a PLI/FIR loss-recovery pass."""
@@ -630,6 +721,9 @@ def video_e2e() -> tuple:
     retried_at = None
     trials = 0
     while 1 <= n <= 256 and trials < 10:
+        if trials and _expired(deadline):
+            print("# video walk: section budget reached", file=sys.stderr)
+            break
         trials += 1
         try:
             b = VideoE2EBench(Factory(), n, codec="vp8", fps=15.0,
@@ -729,7 +823,8 @@ def _write_artifact(result: dict):
 def _compact_line(result: dict) -> str:
     compact = {k: v for k, v in result.items()
                if k not in ("mfu", "tpu_vs_cpu", "latency_curve",
-                            "mixed_fleet")}
+                            "mixed_fleet", "e2e_phases_ms",
+                            "srtp_phases_ms", "section_s")}
     compact["latency_curve_legs"] = {
         f"{r['added_latency_ms']:g}ms": r["legs"]
         for r in result.get("latency_curve") or []}
@@ -832,8 +927,9 @@ def main():
             return
     backend = jax.default_backend()  # wait time not billed to budget
     skip = set(os.environ.get("BENCH_SKIP", "").split(","))
-    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "2400"))
     t_start = time.perf_counter()
+    t_end = t_start + budget_s
 
     # progressive artifact: updated after every section and checkpointed to
     # disk, so a wedge in any later section still leaves the measured rows
@@ -843,11 +939,37 @@ def main():
         "value": 0, "unit": "legs", "vs_baseline": 0.0, "backend": backend,
         "partial": True,
     }
+    # the hard deadline must fire BEFORE any plausible driver timeout so
+    # the capture always ends with a parseable artifact (r4: the driver
+    # killed the run at rc=124 with no JSON line printed yet)
     deadline_timer = _arm_hard_deadline(result, float(
-        os.environ.get("BENCH_HARD_DEADLINE_S", str(budget_s * 1.8))))
+        os.environ.get("BENCH_HARD_DEADLINE_S", str(budget_s * 1.2 + 240))))
+
+    section_s = {}
+    result["section_s"] = section_s
+    _t_sec = [time.perf_counter()]
+
+    def checkpoint(section):
+        """Per-section bookkeeping: record wall time, persist the artifact,
+        and print the COMPACT line so a driver kill at ANY point still
+        leaves a parseable JSON line in the stdout tail (VERDICT r4 item
+        5 / next-2: BENCH_r04 was rc=124 with parsed=null)."""
+        now = time.perf_counter()
+        section_s[section] = round(now - _t_sec[0], 1)
+        _t_sec[0] = now
+        _write_artifact(result)
+        print(_compact_line(result), flush=True)
+
+    def sec_deadline(frac_of_remaining: float) -> float:
+        """Cooperative deadline for the NEXT section: a fraction of the
+        time left in the whole budget (sections that finish early donate
+        their slack to later ones; a section that starts late gets a
+        proportionally smaller slice)."""
+        rem = max(0.0, t_end - time.perf_counter())
+        return time.perf_counter() + rem * frac_of_remaining
 
     def over_budget(section):
-        if time.perf_counter() - t_start > budget_s:
+        if time.perf_counter() > t_end:
             print(f"# skipping {section}: over time budget", file=sys.stderr)
             skip.add(section)
             return True
@@ -865,27 +987,32 @@ def main():
     result["device_only_legs"] = int(dev_legs)
     result["device_only_ms_per_tick"] = (None if dev_ms is None
                                          else round(dev_ms, 3))
-    _write_artifact(result)
+    checkpoint("device_only")
 
     link = tunnel_mbps(rtt)
     print(f"# measured tunnel bandwidth {link:.1f} MB/s", file=sys.stderr)
     result["tunnel_MBps"] = round(link, 1)
 
-    n_e2e, res = e2e_legs(link_mbps=link)
+    n_e2e, res = e2e_legs(link_mbps=link, deadline=sec_deadline(0.30))
     result.update({
         "value": int(n_e2e),
         "vs_baseline": round(n_e2e / TARGET_BASELINE, 3),
+        # capacity normalized by link weather so cross-round numbers are
+        # comparable (r3 local 2560 -> r4 committed 1920 -> r4 driver 768
+        # were all tunnel-bound; VERDICT r4 weak item 7)
+        "legs_per_tunnel_MBps": round(n_e2e / max(link, 1e-9), 2),
         "e2e_ms_per_tick": (None if res is None
                             else round(res.ms_per_tick, 3)),
         "e2e_loss_rate": None if res is None else round(res.loss_rate, 5),
         "e2e_fidelity": None if res is None else round(res.fidelity, 4),
         "e2e_added_latency_ms": (None if res is None
                                  else res.mouth_to_ear_ms),
+        "e2e_phases_ms": getattr(res, "phases_ms", None),
     })
-    _write_artifact(result)
+    checkpoint("e2e")
 
     n_srtp, res_s = (0, None) if over_budget("srtp") \
-        else srtp_e2e(n_e2e or 1024)
+        else srtp_e2e(n_e2e or 1024, deadline=sec_deadline(0.25))
     result.update({
         "srtp_e2e_legs": int(n_srtp),
         "srtp_e2e_ms_per_tick": (None if res_s is None
@@ -894,54 +1021,73 @@ def main():
                               else round(res_s.fidelity, 4)),
         "srtp_auth_failures": (None if res_s is None
                                else int(res_s.auth_failures)),
+        # per-tick phase attribution at the SRTP operating point: the
+        # crypto+edge cost reads directly off `edge` vs the cleartext
+        # headline's (VERDICT r4 item 4)
+        "srtp_phases_ms": getattr(res_s, "phases_ms", None),
     })
-    _write_artifact(result)
+    checkpoint("srtp")
 
-    n_gcm, res_g = (0, None) if over_budget("srtp_gcm") \
-        else srtp_e2e(n_srtp or n_e2e or 1024, suite="AEAD_AES_128_GCM")
-    result["srtp_gcm_e2e_legs"] = int(n_gcm)
-    result["srtp_gcm_e2e_fidelity"] = (None if res_g is None
-                                       else round(res_g.fidelity, 4))
-    _write_artifact(result)
+    # The round's #1 row runs EARLY (right after the headlines it needs
+    # for sizing caps), not last: r4 ordered it after the video walk-down
+    # for wedge-safety and the driver timeout ate it (VERDICT r4 item 1).
+    # The wedge-risky threaded shape is no longer the default (loop mode
+    # dispatches like a single e2e bench); the watchdog stays regardless.
+    fleet_hung = False
+    if over_budget("fleet"):
+        fleet = {}
+    else:
+        fl_deadline = sec_deadline(0.35)
+        fleet, fleet_hung = _bounded_section(
+            "fleet", lambda: mixed_fleet(n_e2e or 1024, n_srtp or 512,
+                                         deadline=fl_deadline),
+            # the search self-bounds on fl_deadline; the watchdog exists
+            # only for a genuine wedge (ADVICE r4: don't let it fire
+            # mid-search) — give it the section slice plus one attempt
+            timeout_s=max(300.0, fl_deadline - time.perf_counter() + 240),
+            fallback={"error": "hung (watchdog)", "passes": False})
+    result["mixed_fleet"] = fleet
+    checkpoint("fleet")
 
-    # Section order = deliverable priority with the riskiest LAST among
-    # device sections: latency curve and video are proven paths; the
-    # mixed fleet (many host threads + co-resident dispatch) once wedged
-    # the tunnel, so it runs after them under a watchdog, and the
-    # correctness subprocess (second TPU client) stays last.
-    curve = [] if over_budget("latency") else latency_curve(n_e2e or 1024)
+    member_hung = any("hung" in str(v)
+                      for v in ((fleet or {}).get("errors") or {}).values())
+    if fleet_hung or member_hung:
+        # a hung fleet member means the device may be wedged — later
+        # sections would hang too; keep what's measured and stop device
+        # work (the artifact says why the rows are absent)
+        result["error"] = "fleet hung: later device sections skipped"
+        skip.update({"latency", "video", "srtp_gcm", "mfu", "corr"})
+
+    curve = [] if over_budget("latency") \
+        else latency_curve(n_e2e or 1024, rtt_ms_meas=rtt,
+                           deadline=sec_deadline(0.55))
     result["latency_curve"] = curve
-    _write_artifact(result)
+    checkpoint("latency")
 
     if over_budget("video"):
         n_vid, res_v, rec = 0, None, False
     else:
-        n_vid, res_v, rec = video_e2e()
+        n_vid, res_v, rec = video_e2e(deadline=sec_deadline(0.55))
     result.update({
         "video_e2e_streams": int(n_vid),
         "video_e2e_fps_min": (None if res_v is None
                               else round(res_v.fps_received_min, 2)),
         "video_pli_recovery_ok": bool(rec),
     })
-    _write_artifact(result)
+    checkpoint("video")
+
+    n_gcm, res_g = (0, None) if over_budget("srtp_gcm") \
+        else srtp_e2e(n_srtp or n_e2e or 1024, suite="AEAD_AES_128_GCM",
+                      deadline=sec_deadline(0.5))
+    result["srtp_gcm_e2e_legs"] = int(n_gcm)
+    result["srtp_gcm_e2e_fidelity"] = (None if res_g is None
+                                       else round(res_g.fidelity, 4))
+    checkpoint("srtp_gcm")
 
     result["mfu"] = {} if over_budget("mfu") else mfu_summary()
-    _write_artifact(result)
+    checkpoint("mfu")
 
-    fleet_hung = False
-    if over_budget("fleet"):
-        fleet = {}
-    else:
-        fleet, fleet_hung = _bounded_section(
-            "fleet", lambda: mixed_fleet(n_e2e or 1024, n_srtp or 512),
-            timeout_s=1500.0,   # capacity search: up to 3 sized attempts
-            fallback={"error": "hung (watchdog)", "passes": False})
-    result["mixed_fleet"] = fleet
-    _write_artifact(result)
-
-    member_hung = any("hung" in str(v)
-                      for v in ((fleet or {}).get("errors") or {}).values())
-    if over_budget("corr") or fleet_hung or member_hung:
+    if "corr" in skip or over_budget("corr"):
         # a hung fleet (or member) means the device is likely wedged —
         # launching a second client would hang too; keep what's measured
         corr = ({"skipped": "fleet hung"} if (fleet_hung or member_hung)
@@ -949,7 +1095,9 @@ def main():
     else:
         corr = tpu_correctness()
     result["tpu_vs_cpu"] = corr
+    checkpoint("corr")
     result.pop("partial", None)
+    result["total_s"] = round(time.perf_counter() - t_start, 1)
     deadline_timer.cancel()
 
     # Artifact robustness (VERDICT r3 weak item 5): the driver captures a

@@ -87,6 +87,12 @@ class E2EResult:
     mouth_to_ear_ms: float      # added pipeline latency (K*(D+1) + prefill)
     srtp: bool = False          # per-leg AES_CM_128_HMAC_SHA1_80 on the edge
     auth_failures: int = 0      # SRTP auth failures across all legs
+    # per-tick phase attribution (ms), present when run(trace=True):
+    # edge = tx pack/crypto/sendmmsg + rx recvmmsg/verify/insert,
+    # submit = staging copy + uploader handoff, pop = wait on the oldest
+    # in-flight block's device round trip.  The SRTP-vs-cleartext capacity
+    # delta reads directly off `edge` (VERDICT r4 item 4).
+    phases_ms: Optional[dict] = None
 
     @property
     def realtime_ok(self) -> bool:
@@ -287,8 +293,8 @@ class E2EConferenceBench:
             apply_initial=False)             # ring already primed
 
     def run(self, n_blocks: int, paced: bool = True,
-            warmup_blocks: Optional[int] = None) -> E2EResult:
-        import jax
+            warmup_blocks: Optional[int] = None,
+            trace: Optional[bool] = None) -> E2EResult:
         from mediastreamer2_tpu.core.worker import normal_priority_pool
         N, K, D, S8 = self.n, self.K, self.D, self.S8
         if warmup_blocks is None:
@@ -326,7 +332,8 @@ class E2EConferenceBench:
         # loop phase that ate the interval — the instrumentation VERDICT
         # r3 item 2 asks for when a low-latency (small-K) row fails
         import os as _os
-        trace = _os.environ.get("MS2TPU_E2E_TRACE", "0") != "0"
+        if trace is None:
+            trace = _os.environ.get("MS2TPU_E2E_TRACE", "0") != "0"
         ph = {"edge": 0.0, "submit": 0.0, "pop": 0.0} if trace else None
         ph_max = dict(ph) if trace else None
         pop_waits: list = [] if trace else None
@@ -401,6 +408,13 @@ class E2EConferenceBench:
         # converged (worst-leg) prefill is the honest latency component
         eff_prefill = (max(self._jitter_ctrl.prefill)
                        if self._jitter_ctrl is not None else self.prefill)
+        phases_ms = None
+        if trace:
+            total_ticks = n_blocks * K
+            phases_ms = {k: round(v * 1e3 / max(total_ticks, 1), 4)
+                         for k, v in ph.items()}
+            phases_ms.update({f"{k}_max": round(v * 1e3, 2)
+                              for k, v in ph_max.items()})
         return E2EResult(
             n_legs=N, ticks=ticks_timed, k_block=K, pipeline_depth=D,
             ms_per_tick=total_s * 1e3 / max(ticks_timed, 1),
@@ -408,7 +422,8 @@ class E2EConferenceBench:
             loss_rate=flags_missing / max(flags_total, 1),
             fidelity=self.fidelity(),
             mouth_to_ear_ms=(K * (D + 1) + eff_prefill) * 10.0,
-            srtp=self.srtp, auth_failures=auth_fail)
+            srtp=self.srtp, auth_failures=auth_fail,
+            phases_ms=phases_ms)
 
     def fidelity(self) -> float:
         """audio_diff between what probe legs sent and what they received

@@ -192,36 +192,53 @@ def test_main_wiring_incremental_artifact(tmp_path, monkeypatch, capsys):
 
     res = types.SimpleNamespace(ms_per_tick=9.1, loss_rate=0.0,
                                 fidelity=0.99, mouth_to_ear_ms=1280.0,
-                                auth_failures=0, late_ticks=0, ticks=768)
+                                auth_failures=0, late_ticks=0, ticks=768,
+                                phases_ms={"edge": 1.2})
     monkeypatch.setattr(bench, "_rtt_ms", lambda: 1.0)
     monkeypatch.setattr(bench, "device_only_legs", lambda rtt: (4096, 8.0))
     monkeypatch.setattr(bench, "tunnel_mbps", lambda rtt: 100.0)
-    monkeypatch.setattr(bench, "e2e_legs", lambda link_mbps: (1024, res))
-    monkeypatch.setattr(bench, "srtp_e2e",
-                        lambda n, suite="AES_CM_128_HMAC_SHA1_80": (512, res))
-    monkeypatch.setattr(bench, "latency_curve", lambda n: [
-        {"K": 4, "D": 2, "added_latency_ms": 150.0, "legs": 256,
-         "ms_per_tick": 9.0}])
-    monkeypatch.setattr(bench, "video_e2e", lambda: (4, types.SimpleNamespace(
-        fps_received_min=14.1), True))
+    monkeypatch.setattr(bench, "e2e_legs",
+                        lambda link_mbps, deadline=None: (1024, res))
+    monkeypatch.setattr(
+        bench, "srtp_e2e",
+        lambda n, suite="AES_CM_128_HMAC_SHA1_80", deadline=None: (512, res))
+    monkeypatch.setattr(bench, "latency_curve",
+                        lambda n, rtt_ms_meas=None, deadline=None: [
+                            {"K": 4, "D": 2, "added_latency_ms": 150.0,
+                             "legs": 256, "ms_per_tick": 9.0}])
+    monkeypatch.setattr(bench, "video_e2e",
+                        lambda deadline=None: (4, types.SimpleNamespace(
+                            fps_received_min=14.1), True))
     monkeypatch.setattr(bench, "mfu_summary", lambda: {"flagship_mfu": 0.1})
     monkeypatch.setattr(bench, "mixed_fleet",
-                        lambda a, b: {"passes": True,
-                                      "flagship": {"legs": 512}})
+                        lambda a, b, deadline=None: {"passes": True,
+                                                     "flagship":
+                                                     {"legs": 512}})
     monkeypatch.setattr(bench, "tpu_correctness", lambda: {"pass": True})
     bench.main()
 
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("{")]
-    assert len(lines) == 2
-    full = json.loads(lines[0])
-    compact = json.loads(lines[1])
+    # a compact checkpoint line after EVERY section (driver-kill safety),
+    # then the full line, then the final compact line LAST
+    assert len(lines) >= 4
+    full = json.loads(lines[-2])
+    compact = json.loads(lines[-1])
+    # every checkpoint line must itself be parseable and carry the headline
+    for ln in lines[:-2]:
+        d = json.loads(ln)
+        assert "value" in d and "mfu" not in d
     assert full["value"] == 1024 and "partial" not in full
     assert full["device_only_legs"] == 4096
+    assert full["legs_per_tunnel_MBps"] == 10.24
     assert full["srtp_e2e_legs"] == 512 and full["srtp_gcm_e2e_legs"] == 512
+    assert full["srtp_phases_ms"] == {"edge": 1.2}
     assert full["latency_curve"][0]["legs"] == 256
     assert full["video_e2e_streams"] == 4 and full["video_pli_recovery_ok"]
     assert full["mixed_fleet"]["passes"] is True
+    assert set(full["section_s"]) >= {"device_only", "e2e", "srtp", "fleet",
+                                      "latency", "video", "srtp_gcm", "mfu",
+                                      "corr"}
     assert compact["latency_curve_legs"] == {"150ms": 256}
     assert compact["mixed_fleet_counts"] == {"flagship": 512}
     disk = json.loads(bench_file.read_text())
@@ -325,9 +342,10 @@ def test_video_e2e_transient_near_miss_retried_once(monkeypatch):
     assert best == 4 and calls["n4"] == 2
 
 
-def test_mixed_fleet_shrinks_and_retries(monkeypatch):
-    """A deadline miss shrinks the fleet and retries; the artifact reports
-    the PASSING co-resident point plus the attempt history."""
+def test_mixed_fleet_search_brackets_edge_and_confirms(monkeypatch):
+    """The fleet search shrinks on a fail, CONFIRMS a pass by re-running
+    the same built fleet, grows toward the known-fail point, and publishes
+    the confirmed passing operating point (never an oversized failure)."""
     import mediastreamer2_tpu.models.mixed_fleet as mf
     built = []
 
@@ -355,11 +373,43 @@ def test_mixed_fleet_shrinks_and_retries(monkeypatch):
     monkeypatch.setattr(mf, "MixedFleetBench", FakeFleet)
     out = bench.mixed_fleet(n_flagship=2048, n_srtp=1024)
     assert out["passes"] is True
+    assert out["confirmed"] is True          # pass re-ran on the same fleet
+    assert out["flagship"]["legs"] == 256    # the edge point, not the fail
     assert len(out["attempts"]) >= 2
-    assert built[-1]["n_flagship"] <= 256
-    # sizes shrink monotonically between attempts
+    # first attempt failed (512 on this fake host) -> shrink happened
     assert built[1]["n_flagship"] < built[0]["n_flagship"]
-    assert "host_cores" in out
+    # after the pass the search probed BETWEEN the pass and the known fail
+    assert built[0]["n_flagship"] > built[-1]["n_flagship"] > 256
+    assert "host_cores" in out and out["mode"] in ("loop", "threads")
+
+
+def test_mixed_fleet_grows_from_passing_floor(monkeypatch):
+    """When the floor passes outright the search grows (doubling, capped by
+    the homogeneous halves) instead of publishing the floor."""
+    import mediastreamer2_tpu.models.mixed_fleet as mf
+    built = []
+
+    class FakeFleet:
+        def __init__(self, factory_cls, n_flagship, **kw):
+            self.n = n_flagship
+            built.append(n_flagship)
+
+        def run(self, seconds):
+            n = self.n
+
+            class R:
+                def summary(self):
+                    return {"passes": True, "flagship": {"legs": n}}
+            return R()
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(mf, "MixedFleetBench", FakeFleet)
+    out = bench.mixed_fleet(n_flagship=4096, n_srtp=2048)
+    assert out["passes"] is True and out["confirmed"] is True
+    assert built[0] == 512
+    assert out["flagship"]["legs"] > 512     # grew past the floor
 
 
 def test_mixed_fleet_structural_error_does_not_retry(monkeypatch):
