@@ -344,9 +344,15 @@ def measure(batch: int, rtt: float) -> dict:
                    (batch, S)).astype(np.float32),
                "spk_ref": 0.1 * np.random.default_rng(1).standard_normal(
                    (batch, S)).astype(np.float32)}
-        res["per_node_ms"] = {
-            k: round(v, 3) for k, v in cg.profile_nodes(
+        # each per-node probe forces one scalar readback, so the raw
+        # numbers are node_ms + tunnel RTT; publish NET of the null-op RTT
+        # measured by the same harness — four nodes at "16.9 ms" that are
+        # really 26 ms RTT + sub-ms compute read as RTT soup otherwise
+        # (VERDICT r4 weak item 5)
+        res["per_node_ms_net_of_rtt"] = {
+            k: round(max(0.0, v - rtt), 3) for k, v in cg.profile_nodes(
                 cg.init_state(), params, ext_in=ext, iters=3).items()}
+        res["per_node_probe_rtt_ms"] = round(rtt, 2)
     except Exception as e:                          # noqa: BLE001
         print(f"# profile_nodes failed: {type(e).__name__}: {str(e)[:80]}",
               file=sys.stderr)
