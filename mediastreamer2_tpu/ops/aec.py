@@ -83,6 +83,50 @@ STORE_DTYPE = jnp.bfloat16
 import os as _os
 _COND_PROMOTE = _os.environ.get("AEC_COND_PROMOTE", "0") != "0"
 
+# bf16 SHADOW taps with stochastic rounding (round-5 bandwidth lever):
+# the shadow RMW is the tick's top byte-mover (61.6 KB/leg-tick modeled,
+# 43% of EC traffic — VERDICT r4 weak item 6).  Plain bf16 shadow storage
+# was rejected in r2 because NLMS accumulation STALLS once per-tick
+# updates drop under one bf16 ulp (2^-8 relative).  Stochastic rounding
+# removes the stall: add a uniform 16-bit value to the f32 bit pattern's
+# discarded mantissa bits before truncating, so a sub-ulp update is
+# applied with probability proportional to its size — unbiased in
+# expectation (the standard bf16-training recipe; NLMS is itself a noisy
+# gradient method, so the added variance is in-family).  The PRNG is a
+# counter+index integer hash: exact on every backend, so CPU and TPU
+# still produce bit-identical taps (tpu_correctness discipline).
+# Active only on the default (XLA-fused) update path: the opt-in pallas /
+# half-update knob paths assume f32 shadow storage and stay that way.
+def _bf16_shadow_on() -> bool:
+    """Read at STATE-INIT time (the knob envs are runtime-toggled in
+    tests); the created state's Ws dtype then drives the process path,
+    so a state outlives any later env flips."""
+    return (_os.environ.get("AEC_BF16_SHADOW", "1") != "0"
+            and _os.environ.get("PALLAS_MDF", "0") != "1"
+            and _os.environ.get("AEC_PALLAS_UPDATE", "0") != "1"
+            and _os.environ.get("AEC_HALF_UPDATE", "0") == "0")
+
+
+def _sround_bf16(x, salt):
+    """Stochastically round f32 -> bf16 (unbiased; deterministic in
+    (shape position, salt)).  IEEE sign-magnitude makes the +rnd carry
+    round |x| away from zero with p = frac(|x|/ulp) — round-to-nearest
+    in expectation for either sign."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    shp = x.shape
+    lin = jnp.zeros(shp, jnp.uint32)
+    for d in range(len(shp)):
+        lin = lin * jnp.uint32(shp[d]) + jax.lax.broadcasted_iota(
+            jnp.uint32, shp, d)
+    h = lin * jnp.uint32(2654435761) + salt * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    bits = bits + (h & jnp.uint32(0xFFFF))
+    return jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.bfloat16)
+
+
 # Selective-partial-update NLMS (A/B knob): update only the partitions
 # whose index parity matches the tick parity — the shadow-tap update
 # (gradient + read-modify-write) runs on HALF the [B,P,F] taps per tick
@@ -101,11 +145,13 @@ def _aec_init(ctx):
     S = ctx.in_formats[0].samples_per_tick
     P = _partitions(ctx)
     F = _padded_bins(S)                    # storage bins (maybe lane-padded)
-    zc = lambda: jnp.zeros((B, P, F), jnp.float32)
+    sdt = jnp.bfloat16 if _bf16_shadow_on() else jnp.float32
+    zc = lambda: jnp.zeros((B, P, F), sdt)
     zh = lambda: jnp.zeros((B, P, F), STORE_DTYPE)
-    return {
+    st = {
         "Wm_r": zh(), "Wm_i": zh(),        # main (filtering) taps, bf16
-        "Ws_r": zc(), "Ws_i": zc(),        # shadow (adapting) taps, f32
+        "Ws_r": zc(), "Ws_i": zc(),        # shadow taps (bf16+stochastic
+                                           # rounding by default, f32 knob)
         "Xh_r": zh(), "Xh_i": zh(),        # far-end block spectra history
         "far_prev": jnp.zeros((B, S), jnp.float32),   # overlap-save
         "Hp": jnp.zeros((B, F), jnp.float32),   # exact per-bin history power
@@ -119,6 +165,9 @@ def _aec_init(ctx):
         "leak": jnp.ones((B,), jnp.float32),
         "cpos": jnp.zeros((), jnp.int32),   # round-robin constraint cursor
     }
+    if sdt == jnp.bfloat16:
+        st["srk"] = jnp.zeros((), jnp.uint32)   # stochastic-rounding salt
+    return st
 
 
 def _aec_params(ctx):
@@ -137,7 +186,12 @@ def _aec_process(state, ins, params, ctx):
     B, S = near.shape
     two_s = 2 * S
     P = state["Wm_r"].shape[1]
-    use_pallas = pk.mdf_available(B)
+    # the state's shadow dtype (set at init) picks the path: the pallas /
+    # half-update knob branches are f32-only, so bf16-shadow states always
+    # take the default XLA-fused branch regardless of later env flips
+    bf16_shadow = state["Ws_r"].dtype == jnp.bfloat16
+    use_pallas = pk.mdf_available(B) and not bf16_shadow
+    half_update = _HALF_UPDATE and not bf16_shadow
 
     F_nat = S + 1
     F_pad = state["Hp"].shape[1] - F_nat            # lane padding columns
@@ -186,10 +240,12 @@ def _aec_process(state, ins, params, ctx):
         # bit-identical (same products, same add order over P).
         xr = Xh_r.astype(jnp.float32)
         xi = Xh_i.astype(jnp.float32)
+        ws_r_f = state["Ws_r"].astype(jnp.float32)
+        ws_i_f = state["Ws_i"].astype(jnp.float32)
         terms = (Wm_r_f * xr - Wm_i_f * xi,
                  Wm_r_f * xi + Wm_i_f * xr,
-                 state["Ws_r"] * xr - state["Ws_i"] * xi,
-                 state["Ws_r"] * xi + state["Ws_i"] * xr)
+                 ws_r_f * xr - ws_i_f * xi,
+                 ws_r_f * xi + ws_i_f * xr)
         Ym_r, Ym_i, Ys_r, Ys_i = jax.lax.reduce(
             terms, tuple(jnp.zeros((), jnp.float32) for _ in terms),
             lambda acc, val: tuple(a + v for a, v in zip(acc, val)), (1,))
@@ -304,8 +360,8 @@ def _aec_process(state, ins, params, ctx):
     promote = promote & ~hard_reset
 
     # --- gradient + NLMS update + transfer copies ---------------------------
-    fused_upd = (not use_pallas and not _HALF_UPDATE
-                 and pk.update_tile(B) > 0)
+    fused_upd = (not use_pallas and not half_update
+                 and not bf16_shadow and pk.update_tile(B) > 0)
     if fused_upd:
         # OPT-IN (AEC_PALLAS_UPDATE=1; measured slower than the default
         # jnp branch below — see pallas_kernels.update_tile): one VMEM
@@ -323,7 +379,7 @@ def _aec_process(state, ins, params, ctx):
             promote.astype(jnp.float32), reseed.astype(jnp.float32))
         Wm_r = Wm_r.astype(STORE_DTYPE)
         Wm_i = Wm_i.astype(STORE_DTYPE)
-    elif _HALF_UPDATE:
+    elif half_update:
         # Partial-update NLMS: gradient + tap RMW on the half of the
         # partitions whose parity matches the tick parity.  [B,P,F] is
         # viewed as [B,P//2,2,F] (p = 2*i + j), so the parity slice is a
@@ -369,11 +425,11 @@ def _aec_process(state, ins, params, ctx):
         pmask = (jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1)
                  == cpos)
         step_w = mu[:, None, None] * inv_norm[:, None, :]
-        Ws_r = state["Ws_r"] + jnp.where(
+        Ws_r = state["Ws_r"].astype(jnp.float32) + jnp.where(
             pmask, (mu[:, None] * gc_r)[:, None, :], step_w * Gr)
-        Ws_i = state["Ws_i"] + jnp.where(
+        Ws_i = state["Ws_i"].astype(jnp.float32) + jnp.where(
             pmask, (mu[:, None] * gc_i)[:, None, :], step_w * Gi)
-    if not use_pallas and _HALF_UPDATE:
+    if not use_pallas and half_update:
         # the A/B knob path skips the fused masked constraint: overwrite
         # the round-robin partition from the pre-update taps, as before
         ws_p_r = jax.lax.dynamic_slice_in_dim(state["Ws_r"], cpos, 1,
@@ -398,6 +454,13 @@ def _aec_process(state, ins, params, ctx):
         # fusion equal-first in the tick).
         Ws_r = jnp.where(h3, 0.0, jnp.where(r3, Wm_r_f, Ws_r))
         Ws_i = jnp.where(h3, 0.0, jnp.where(r3, Wm_i_f, Ws_i))
+        if bf16_shadow:
+            # quantize ONCE, after all transfers, so the promote select
+            # below copies exactly the stored shadow value; fresh salt per
+            # tick keeps the rounding unbiased over time
+            salt = state["srk"] * jnp.uint32(2)
+            Ws_r = _sround_bf16(Ws_r, salt)
+            Ws_i = _sround_bf16(Ws_i, salt + jnp.uint32(1))
         if _COND_PROMOTE:
             # promotes are rare (hysteretic, steady-state ~never): gate the
             # [B,P,F] bf16 main-tap rewrite on any(promote) so the common
@@ -456,6 +519,8 @@ def _aec_process(state, ins, params, ctx):
                      "Dn": Dn, "Nf": Nf, "leak": state["leak"],
                      "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt,
                      "diverge_cnt": diverge_cnt, "cpos": (cpos + 1) % P}
+        if bf16_shadow:
+            new_state["srk"] = state["srk"] + jnp.uint32(1)
         return new_state, (e,), {}
 
     Ey = (y * y).mean(axis=1)
@@ -482,6 +547,8 @@ def _aec_process(state, ins, params, ctx):
                  "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt,
                  "diverge_cnt": diverge_cnt,
                  "cpos": (cpos + 1) % P}
+    if bf16_shadow:
+        new_state["srk"] = state["srk"] + jnp.uint32(1)
     return new_state, (out,), {}
 
 

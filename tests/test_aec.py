@@ -84,3 +84,45 @@ def test_aec_state_blob_roundtrip(factory):
     restored = set_state_blob(blob)
     for k, v in st["ec"].items():
         np.testing.assert_array_equal(np.asarray(v), np.asarray(restored[k]))
+
+
+def test_sround_bf16_unbiased_subulp():
+    """Stochastic rounding (the bf16-shadow enabler): accumulating a
+    sub-ulp increment must make statistical progress instead of stalling
+    at truncation (the failure that rejected plain bf16 shadow storage in
+    round 2), and the long-run mean must track the true sum."""
+    import jax
+    from mediastreamer2_tpu.ops.aec import _sround_bf16
+    n = 4096
+    x = jnp.ones((n,), jnp.float32)          # bf16 ulp at 1.0 = 2^-8
+    inc = jnp.float32(2.0 ** -11)            # 1/8 ulp per step
+    steps = 400
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            return _sround_bf16(acc.astype(jnp.float32) + inc,
+                                jnp.uint32(i))
+        return jax.lax.fori_loop(0, steps, body, x.astype(jnp.bfloat16))
+
+    got = np.asarray(run(x).astype(jnp.float32)).mean()
+    want = 1.0 + float(inc) * steps           # 1.1953...
+    # plain truncation (or round-to-nearest) would stay exactly 1.0
+    assert abs(got - want) < 0.01, (got, want)
+
+
+def test_aec_bf16_shadow_quality_parity(factory, monkeypatch):
+    """The default bf16+stochastic-rounding shadow must match the f32
+    shadow's converged ERLE within 2 dB and stay >15 dB — the quality
+    gate VERDICT r4 item 6 attached to this bandwidth lever."""
+    converged = slice(150 * S, 300 * S)
+    monkeypatch.setenv("AEC_BF16_SHADOW", "0")
+    _, echo32, _, out32, st32 = simulate(factory)
+    assert st32["ec"]["Ws_r"].dtype == jnp.float32
+    monkeypatch.setenv("AEC_BF16_SHADOW", "1")
+    _, echo16, _, out16, st16 = simulate(factory)
+    assert st16["ec"]["Ws_r"].dtype == jnp.bfloat16
+    e32 = erle_db(echo32, out32, converged)
+    e16 = erle_db(echo16, out16, converged)
+    assert e16 > 15, f"bf16-shadow converged ERLE {e16:.1f} dB"
+    assert e16 > e32 - 2.0, f"bf16 {e16:.1f} vs f32 {e32:.1f} dB"

@@ -13,6 +13,11 @@ from conftest import make_speechlike
 def _run_ec(factory, disable_pallas, ticks=20, B=2, seed=0):
     os.environ["PALLAS_DISABLE"] = "1" if disable_pallas else "0"
     os.environ["PALLAS_MDF"] = "0" if disable_pallas else "1"
+    # parity is defined on the f32-shadow algorithm both kernels
+    # implement; the default bf16+stochastic-rounding shadow is a
+    # different (intentionally noisier) storage mode, tested by the AEC
+    # quality suite instead
+    os.environ["AEC_BF16_SHADOW"] = "0"
     try:
         g = GraphBuilder(factory, batch=B)
         ns = g.add("ext_source", "near", fmt=Format(rate=16000))
@@ -37,6 +42,7 @@ def _run_ec(factory, disable_pallas, ticks=20, B=2, seed=0):
     finally:
         os.environ["PALLAS_DISABLE"] = "0"
         os.environ["PALLAS_MDF"] = "0"
+        os.environ.pop("AEC_BF16_SHADOW", None)
 
 
 @pytest.mark.slow
