@@ -21,10 +21,10 @@ Two co-residency shapes, selected by ``mode`` / ``MS2TPU_FLEET_MODE``:
 
 * ``"loop"`` (default): ONE paced host loop interleaves every member at
   its own cadence — the FleetTicker shape, TPU-native and the right fit
-  for a host with few cores driving a remote chip.  Device dispatch is
-  naturally serialized (loop + one shared uploader), so the devlock is
-  unnecessary; edge I/O runs inline, uploads/readbacks ride two shared
-  nice-0 workers.
+  for a host with few cores driving a remote chip.  ALL device dispatch
+  rides one shared uploader worker (single-threaded issuance — the
+  devlock is unnecessary by construction); the loop does only native
+  edge I/O + submits; readbacks ride a second nice-0 worker.
 * ``"threads"``: each class keeps its own paced loop/ticker on its own
   host thread (the reference's per-stream-ticker shape,
   msticker.c:448) behind a start barrier, with the process-wide devlock
@@ -37,6 +37,7 @@ passes iff every class does.
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import os
 import threading
@@ -54,6 +55,7 @@ class MixedFleetResult:
     opus: Optional[dict]
     video: Optional[object]             # VideoE2EResult
     errors: Dict[str, str]
+    trace: Optional[dict] = None        # loop-mode host-time attribution
 
     def summary(self) -> dict:
         def _e2e(r):
@@ -75,6 +77,7 @@ class MixedFleetResult:
             },
             "errors": self.errors or None,
             "passes": self.passes(),
+            "trace": self.trace,
         }
 
     def passes(self) -> bool:
@@ -286,10 +289,11 @@ class MixedFleetBench:
         (the FleetTicker shape, core/ticker.py:FleetTicker generalized to
         per-member intervals and the e2e steppers).
 
-        Device dispatch is issued from exactly two threads (this loop for
-        the ticker members, the shared uploader for the e2e blocks) — the
-        same concurrency a single e2e bench runs all day — so the devlock
-        stays OFF by default (MS2TPU_FLEET_DEVLOCK=1 re-enables it).
+        The loop itself issues NO device commands: every member's device
+        dispatch (e2e K-blocks, opus/video do_tick) rides the ONE shared
+        uploader worker, so issuance is single-threaded by construction
+        and the devlock stays OFF by default (MS2TPU_FLEET_DEVLOCK=1
+        re-enables it).  The loop only does native edge I/O and submits.
         Missed edges are skipped forward (late accounting, never a burst
         catch-up), exactly like _PacedBeat.run."""
         from mediastreamer2_tpu.core import devlock
@@ -311,13 +315,21 @@ class MixedFleetBench:
                                                 n_blocks)
             if "opus" in self._members:
                 steppers["opus"] = _OpusStepper(self._members["opus"],
-                                                seconds)
+                                                seconds, uploader)
             if "video" in self._members:
                 steppers["video"] = _VideoStepper(self._members["video"],
-                                                  seconds)
+                                                  seconds, uploader)
             if lock_on:
                 devlock.enable(True)
             _elevate_paced_thread()          # the loop IS the paced thread
+            # per-member host-time attribution (MS2TPU_FLEET_TRACE=1, or
+            # always-on cheap counters): names which member's tick() work
+            # is eating the shared loop when a co-resident run goes late
+            tick_s = {n: 0.0 for n in steppers}
+            tick_max = {n: 0.0 for n in steppers}
+            tick_n = {n: 0 for n in steppers}
+            sleep_s = 0.0
+            t_loop0 = time.perf_counter()
             now = time.perf_counter()
             # small start stagger so members' edge work interleaves
             edges = {n: now + 0.002 * i for i, n in enumerate(steppers)}
@@ -328,7 +340,9 @@ class MixedFleetBench:
                 nxt = min(edges[n] for n in active)
                 if nxt > now:
                     time.sleep(nxt - now)
-                    now = time.perf_counter()
+                    t_w = time.perf_counter()
+                    sleep_s += t_w - now
+                    now = t_w
                 for name in order:
                     if name not in active or edges[name] > now + 5e-4:
                         continue
@@ -348,7 +362,26 @@ class MixedFleetBench:
                     edges[name] += iv
                     if not alive:
                         active.discard(name)
-                    now = time.perf_counter()
+                    t_d = time.perf_counter()
+                    d = t_d - now
+                    tick_s[name] += d
+                    tick_max[name] = max(tick_max[name], d)
+                    tick_n[name] += 1
+                    now = t_d
+            loop_wall = time.perf_counter() - t_loop0
+            self.loop_trace = {
+                "wall_s": round(loop_wall, 3),
+                "sleep_s": round(sleep_s, 3),
+                "busy_other_s": round(loop_wall - sleep_s
+                                      - sum(tick_s.values()), 3),
+                "per_member_ms_mean": {
+                    n: round(tick_s[n] * 1e3 / max(tick_n[n], 1), 3)
+                    for n in steppers},
+                "per_member_ms_max": {n: round(tick_max[n] * 1e3, 2)
+                                      for n in steppers},
+                "per_member_busy_s": {n: round(tick_s[n], 3)
+                                      for n in steppers},
+            }
             for name, st in steppers.items():
                 if name in errors:
                     continue
@@ -367,7 +400,8 @@ class MixedFleetBench:
             srtp=results.get("srtp"),
             opus=results.get("opus"),
             video=results.get("video"),
-            errors=errors)
+            errors=errors,
+            trace=getattr(self, "loop_trace", None))
 
 
 def _drain_until_stable(sessions, max_wait_s: float = 2.0,
@@ -410,14 +444,56 @@ def _opus_summary(ab, sent0: int, recv0: int, base_late: int,
     }
 
 
-class _OpusStepper:
-    """Fleet-loop driver for the opus host-codec class (AudioStreamBatch
-    ticker at the 10 ms beat)."""
+class _TickerStepper:
+    """Fleet-loop driver base for ticker-owned members (opus, video).
 
-    def __init__(self, ab, seconds: float):
+    tick() only SUBMITS the member's do_tick to the shared dispatch
+    worker: inline dispatch (the jit call + transfer issuance over the
+    tunnel, ~1-3 ms each) was the fleet loop's top time thief — the r5
+    trace measured opus at 3.3 ms mean / 165 ms max per tick on the
+    shared loop, stealing every other member's edges.  Routing through
+    the ONE shared worker keeps device-command issuance single-threaded
+    (the loop mode's devlock-free invariant) and preserves tick order
+    (FIFO executor).  Backlog is bounded: when the worker falls
+    MAX_BACKLOG ticks behind, the edge is skipped and counted late —
+    deadline-honest, like the reference ticker's late accounting
+    (msticker.c:448)."""
+
+    MAX_BACKLOG = 4
+
+    def __init__(self, ticker, worker):
+        ticker.realtime = False              # the fleet loop owns pacing
+        self._tk = ticker
+        self._worker = worker
+        self._pending: collections.deque = collections.deque()
+
+    def _reap(self) -> None:
+        """Drop completed do_tick futures, re-raising worker errors on
+        the fleet loop (where the member gets error-discarded)."""
+        while self._pending and self._pending[0].done():
+            self._pending.popleft().result()
+
+    def _submit_tick(self) -> bool:
+        """Submit one do_tick unless backlogged; True if submitted."""
+        self._reap()
+        if len(self._pending) >= self.MAX_BACKLOG:
+            return False
+        self._pending.append(self._worker.submit(self._tk.do_tick))
+        return True
+
+    def _flush(self) -> None:
+        while self._pending:
+            self._pending.popleft().result()
+
+
+class _OpusStepper(_TickerStepper):
+    """Fleet-loop driver for the opus host-codec class (AudioStreamBatch
+    ticker at the 10 ms beat), dispatching via the shared worker."""
+
+    def __init__(self, ab, seconds: float, worker):
+        super().__init__(ab.ticker, worker)
         self.ab = ab
         tk = ab.ticker
-        tk.realtime = False                  # the fleet loop owns pacing
         self.interval_ms = float(tk.interval_ms)
         self.total = max(1, int(seconds * 1000.0 / self.interval_ms))
         self.i = 0
@@ -431,11 +507,13 @@ class _OpusStepper:
         if self.i >= self.total:
             return False
         self.fleet_late += late_by
-        self.ab.ticker.do_tick()
+        if not self._submit_tick():
+            self.fleet_late += 1             # backlogged = missed cadence
         self.i += 1
         return self.i < self.total
 
     def finish(self) -> dict:
+        self._flush()
         tk = self.ab.ticker
         tk.drain()
         _drain_until_stable(self.ab.sessions)
@@ -447,48 +525,54 @@ class _OpusStepper:
         return out
 
 
-class _VideoStepper:
+class _VideoStepper(_TickerStepper):
     """Fleet-loop driver for the video class: the member ticks at its own
-    frame cadence (fractional interval) inside the shared loop; fps is
-    measured over the steady-state window after a warmup cut, matching
-    VideoE2EBench.run()."""
+    frame cadence (fractional interval) inside the shared loop, with
+    do_tick dispatched via the shared worker; fps is measured over the
+    steady-state window after a warmup cut, matching VideoE2EBench.run().
+    The steady-state snapshot is itself a worker task so it is FIFO-ordered
+    with the do_ticks it delimits."""
 
-    def __init__(self, bench, seconds: float, warmup_seconds: float = 1.0):
+    def __init__(self, bench, seconds: float, worker,
+                 warmup_seconds: float = 1.0):
+        super().__init__(bench.vs.ticker, worker)
         self.b = bench
         tk = bench.vs.ticker
-        tk.realtime = False
         self.interval_ms = float(tk.interval_ms)
         self.total = max(2, int(seconds * bench.ticks_per_s))
         self.warm_ticks = max(1, int(warmup_seconds * bench.ticks_per_s))
         self.i = 0
         self.fleet_late = 0
-        self._snap = None
+        self._snap_fut = None
+
+    def _take_snap(self):
+        b, tk = self.b, self.b.vs.ticker
+        return (time.perf_counter(), tk.stats.ticks, tk.stats.late_ticks,
+                [s.frames_received for s in b.vs.stats])
 
     def tick(self, late_by: int = 0) -> bool:
-        b = self.b
-        tk = b.vs.ticker
         if self.i >= self.total:
             return False
         if self.i == self.warm_ticks:
-            self._snap = (time.perf_counter(), tk.stats.ticks,
-                          tk.stats.late_ticks,
-                          [s.frames_received for s in b.vs.stats])
+            self._snap_fut = self._worker.submit(self._take_snap)
         if self.i >= self.warm_ticks:
             self.fleet_late += late_by
-        tk.do_tick()
+        if not self._submit_tick() and self.i >= self.warm_ticks:
+            self.fleet_late += 1             # backlogged = missed cadence
         self.i += 1
         return self.i < self.total
 
     def finish(self):
         from mediastreamer2_tpu.models.video_e2e_bench import VideoE2EResult
+        self._flush()
         b = self.b
         tk = b.vs.ticker
         tk.drain()
         t_end = time.perf_counter()
-        if self._snap is None:               # never reached the window
-            self._snap = (t_end, tk.stats.ticks, tk.stats.late_ticks,
-                          [s.frames_received for s in b.vs.stats])
-        t0, base_ticks, base_late, base_rx = self._snap
+        snap = (self._snap_fut.result() if self._snap_fut is not None
+                else (t_end, tk.stats.ticks, tk.stats.late_ticks,
+                      [s.frames_received for s in b.vs.stats]))
+        t0, base_ticks, base_late, base_rx = snap
         wall = max(t_end - t0, 1e-9)
         ticks = tk.stats.ticks - base_ticks
         rx = np.array([s.frames_received - r0

@@ -23,6 +23,64 @@ def _opus_ok():
     return hc.opus_available()
 
 
+class _StubFut:
+    def __init__(self, err=None):
+        self._done = False
+        self._err = err
+
+    def done(self):
+        return self._done
+
+    def result(self):
+        if self._err:
+            raise self._err
+        return None
+
+
+class _StubWorker:
+    def __init__(self):
+        self.futs = []
+
+    def submit(self, fn):
+        f = _StubFut()
+        self.futs.append(f)
+        return f
+
+
+class _StubTicker:
+    realtime = True
+
+    def do_tick(self):
+        pass
+
+
+def test_ticker_stepper_backlog_bound():
+    """A dispatch worker that falls behind caps the stepper's in-flight
+    queue at MAX_BACKLOG (further edges are skipped, counted late by the
+    callers) and resumes as soon as a slot frees."""
+    from mediastreamer2_tpu.models.mixed_fleet import _TickerStepper
+    tk, w = _StubTicker(), _StubWorker()
+    st = _TickerStepper(tk, w)
+    assert tk.realtime is False          # fleet loop owns pacing
+    for _ in range(st.MAX_BACKLOG):
+        assert st._submit_tick()
+    assert not st._submit_tick()         # backlogged: skip, don't queue
+    assert len(w.futs) == st.MAX_BACKLOG
+    w.futs[0]._done = True               # worker caught up by one
+    assert st._submit_tick()
+
+
+def test_ticker_stepper_propagates_worker_errors():
+    """do_tick failures on the dispatch worker re-raise on the fleet loop
+    (where the member gets error-discarded) instead of vanishing."""
+    from mediastreamer2_tpu.models.mixed_fleet import _TickerStepper
+    st = _TickerStepper(_StubTicker(), _StubWorker())
+    st._pending.append(_StubFut(err=RuntimeError("boom")))
+    st._pending[0]._done = True
+    with pytest.raises(RuntimeError, match="boom"):
+        st._submit_tick()
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not rtp_edge_available(), reason="g++ build failed")
 @pytest.mark.parametrize("mode", ["loop", "threads"])
