@@ -171,6 +171,14 @@ class Ticker(_PacedBeat):
         self.async_publish = False
         self._publish_pool = None
         self._publish_err: Optional[BaseException] = None
+        # always-on per-phase host-time accumulators (sum + max, ms):
+        # pull = io_pull (host codec decode / capture), dispatch = the
+        # jitted step issuance, publish = pipeline pop + publish/submit.
+        # Two extra perf_counter() calls per tick; lets a co-residency
+        # trace name WHICH phase of a member's tick eats the shared loop.
+        self.phase_ms = {"pull": 0.0, "dispatch": 0.0, "publish": 0.0,
+                         "pull_max": 0.0, "dispatch_max": 0.0,
+                         "publish_max": 0.0}
 
     # host I/O callbacks: pull(tick)->ext_in dict, push(tick, ext_out)
     def set_io(self, pull: Optional[Callable] = None, push: Optional[Callable] = None):
@@ -231,9 +239,18 @@ class Ticker(_PacedBeat):
         t0 = time.perf_counter()
         ext_in = self._io_pull(self.stats.ticks) if self._io_pull else {
             k: np.zeros(shape, dtype) for k, (shape, dtype) in self.graph.ext_inputs.items()}
+        t1 = time.perf_counter()
         with devlock.held():
             self.state, ext_out, events = self._step(self.state, self.params,
                                                      ext_in)
+        t2 = time.perf_counter()
+        ph = self.phase_ms
+        d = (t1 - t0) * 1e3
+        ph["pull"] += d
+        ph["pull_max"] = max(ph["pull_max"], d)
+        d = (t2 - t1) * 1e3
+        ph["dispatch"] += d
+        ph["dispatch_max"] = max(ph["dispatch_max"], d)
         if self.pipeline_depth > 0:
             # async: dispatch returned immediately; publish the tick that
             # has had `depth` intervals to complete, then return.
@@ -265,8 +282,12 @@ class Ticker(_PacedBeat):
                 ext_out = {}
         else:
             ext_out = self._publish(self.stats.ticks, ext_out, events)
+        t3 = time.perf_counter()
+        d = (t3 - t2) * 1e3
+        ph["publish"] += d
+        ph["publish_max"] = max(ph["publish_max"], d)
         self.time_ms += self.interval_ms
-        self.stats.record((time.perf_counter() - t0) * 1e3, self.interval_ms)
+        self.stats.record((t3 - t0) * 1e3, self.interval_ms)
         return ext_out
 
     def drain(self):

@@ -489,10 +489,19 @@ class E2EStepper:
         self.stage = np.full((b.K, b.n, b.S8), 0xFF, np.uint8)
         self.cur_tx = np.full((b.K, b.n, b.S8), 0xFF, np.uint8)
         self.q: list = []
+        self._next = None            # opportunistically-popped block result
         self.tick_i = 0
         self.flags_missing = 0
         self.flags_total = 0
         self.late_ticks = 0
+        # co-residency trace: how often the boundary swap had to BLOCK the
+        # shared loop (pipeline slack exhausted) and for how long, plus
+        # worker-side _gpu_block occupancy
+        self.boundary_waits = 0
+        self.boundary_wait_s = 0.0
+        self.w_ms_sum = 0.0
+        self.w_ms_max = 0.0
+        self.w_n = 0
         self._t_start: Optional[float] = None
         self._t_end: Optional[float] = None
         b.warm()
@@ -506,6 +515,23 @@ class E2EStepper:
     @property
     def interval_ms(self) -> float:
         return 10.0
+
+    def _timed_block(self, stage_copy):
+        """_gpu_block with worker-occupancy accounting (runs ON the shared
+        uploader worker; returns the reader future like _gpu_block)."""
+        t0 = time.perf_counter()
+        out = self.b._gpu_block(stage_copy, self.reader)
+        d = (time.perf_counter() - t0) * 1e3
+        self.w_ms_sum += d
+        self.w_ms_max = max(self.w_ms_max, d)
+        self.w_n += 1
+        return out
+
+    def worker_trace(self) -> dict:
+        return {"worker_ms_mean": round(self.w_ms_sum / max(self.w_n, 1), 3),
+                "worker_ms_max": round(self.w_ms_max, 2),
+                "boundary_waits": self.boundary_waits,
+                "boundary_wait_ms": round(self.boundary_wait_s * 1e3, 2)}
 
     def tick(self, late_by: int = 0) -> bool:
         """One 10 ms edge.  late_by: whole intervals the fleet loop was
@@ -534,12 +560,28 @@ class E2EStepper:
             self.flags_total += b.n
             self.flags_missing += int(b.n - fl.sum())
         self.tick_i += 1
+        # Opportunistic pipeline pop: the block due at the NEXT boundary
+        # was submitted D blocks ago — poll it non-blocking each tick so
+        # the boundary swap almost never blocks the shared fleet loop
+        # (the inline .result() there measured 6-8 ms max and, stacked
+        # across co-resident members, stole other members' 10 ms edges).
+        if self._next is None and len(self.q) >= b.D and self.q[0].done():
+            inner = self.q[0].result()
+            if inner.done():
+                self.q.pop(0)
+                self._next = inner.result()
         if k == b.K - 1:
-            self.q.append(self.uploader.submit(b._gpu_block,
-                                               self.stage.copy(),
-                                               self.reader))
-            if len(self.q) > b.D:
-                self.cur_tx, sent_p, recv_p = self.q.pop(0).result().result()
+            self.q.append(self.uploader.submit(self._timed_block,
+                                               self.stage.copy()))
+            in_flight = len(self.q) + (self._next is not None)
+            if in_flight > b.D:
+                if self._next is None:       # pipeline has no slack: wait
+                    t_w = time.perf_counter()
+                    self._next = self.q.pop(0).result().result()
+                    self.boundary_waits += 1
+                    self.boundary_wait_s += time.perf_counter() - t_w
+                self.cur_tx, sent_p, recv_p = self._next
+                self._next = None
                 if measured:
                     b._sent_probe.append(sent_p)
                     b._recv_probe.append(recv_p)
@@ -551,6 +593,11 @@ class E2EStepper:
         b = self.b
         if self._t_end is None:
             self._t_end = time.perf_counter()
+        if self._next is not None:
+            _, sent_p, recv_p = self._next
+            self._next = None
+            b._sent_probe.append(sent_p)
+            b._recv_probe.append(recv_p)
         for fut in self.q:
             _, sent_p, recv_p = fut.result().result()
             b._sent_probe.append(sent_p)

@@ -322,6 +322,12 @@ class MixedFleetBench:
             if lock_on:
                 devlock.enable(True)
             _elevate_paced_thread()          # the loop IS the paced thread
+            # Cap worker-thread GIL holds at 1 ms: the paced loop's sleep
+            # wakeups otherwise slip behind dispatch/codec Python frames
+            # on a 1-core host (measured as whole-interval edge misses).
+            import sys as _sys
+            switch0 = _sys.getswitchinterval()
+            _sys.setswitchinterval(0.001)
             # per-member host-time attribution (MS2TPU_FLEET_TRACE=1, or
             # always-on cheap counters): names which member's tick() work
             # is eating the shared loop when a co-resident run goes late
@@ -331,8 +337,16 @@ class MixedFleetBench:
             sleep_s = 0.0
             t_loop0 = time.perf_counter()
             now = time.perf_counter()
-            # small start stagger so members' edge work interleaves
+            # small start stagger so members' edge work interleaves; srtp
+            # additionally starts HALF a K-block after flagship so their
+            # block-boundary ticks (the loop's costliest, pipeline swap +
+            # submit) alternate instead of stacking inside one 10 ms
+            # window and stealing the opus/video edges
             edges = {n: now + 0.002 * i for i, n in enumerate(steppers)}
+            if "flagship" in steppers and "srtp" in steppers:
+                half_block_s = (steppers["srtp"].interval_ms / 1e3
+                                * self._members["srtp"].K / 2)
+                edges["srtp"] += half_block_s
             order = list(steppers)
             active = set(order)
             while active:
@@ -381,6 +395,9 @@ class MixedFleetBench:
                                       for n in steppers},
                 "per_member_busy_s": {n: round(tick_s[n], 3)
                                       for n in steppers},
+                "per_member_worker": {
+                    n: st.worker_trace() for n, st in steppers.items()
+                    if hasattr(st, "worker_trace")},
             }
             for name, st in steppers.items():
                 if name in errors:
@@ -390,6 +407,11 @@ class MixedFleetBench:
                 except Exception as e:                     # noqa: BLE001
                     errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
         finally:
+            import sys as _sys2
+            try:
+                _sys2.setswitchinterval(switch0)
+            except NameError:        # failed before the loop set it up
+                pass
             if lock_on:
                 devlock.enable(False)
             uploader.shutdown(wait=True)
@@ -466,6 +488,22 @@ class _TickerStepper:
         self._tk = ticker
         self._worker = worker
         self._pending: collections.deque = collections.deque()
+        # worker-side do_tick cost (the time the shared dispatch worker is
+        # OCCUPIED per tick — queueing theory input for backlog lateness)
+        self.w_ms_sum = 0.0
+        self.w_ms_max = 0.0
+        self.w_n = 0
+        self.late_wake = 0      # fleet loop behind at this member's edge
+        self.late_backlog = 0   # worker >MAX_BACKLOG ticks behind
+
+    def _timed_tick(self):
+        t0 = time.perf_counter()
+        out = self._tk.do_tick()
+        d = (time.perf_counter() - t0) * 1e3
+        self.w_ms_sum += d
+        self.w_ms_max = max(self.w_ms_max, d)
+        self.w_n += 1
+        return out
 
     def _reap(self) -> None:
         """Drop completed do_tick futures, re-raising worker errors on
@@ -478,8 +516,21 @@ class _TickerStepper:
         self._reap()
         if len(self._pending) >= self.MAX_BACKLOG:
             return False
-        self._pending.append(self._worker.submit(self._tk.do_tick))
+        self._pending.append(self._worker.submit(self._timed_tick))
         return True
+
+    def worker_trace(self) -> dict:
+        ph = getattr(self._tk, "phase_ms", None)
+        out = {"worker_ms_mean": round(self.w_ms_sum / max(self.w_n, 1), 3),
+               "worker_ms_max": round(self.w_ms_max, 2),
+               "late_wake": self.late_wake,
+               "late_backlog": self.late_backlog}
+        if ph and self.w_n:
+            out["phase_ms_mean"] = {k: round(ph[k] / self.w_n, 3)
+                                    for k in ("pull", "dispatch", "publish")}
+            out["phase_ms_max"] = {k: round(ph[k + "_max"], 2)
+                                   for k in ("pull", "dispatch", "publish")}
+        return out
 
     def _flush(self) -> None:
         while self._pending:
@@ -507,8 +558,10 @@ class _OpusStepper(_TickerStepper):
         if self.i >= self.total:
             return False
         self.fleet_late += late_by
+        self.late_wake += late_by
         if not self._submit_tick():
             self.fleet_late += 1             # backlogged = missed cadence
+            self.late_backlog += 1
         self.i += 1
         return self.i < self.total
 
@@ -557,8 +610,10 @@ class _VideoStepper(_TickerStepper):
             self._snap_fut = self._worker.submit(self._take_snap)
         if self.i >= self.warm_ticks:
             self.fleet_late += late_by
+            self.late_wake += late_by
         if not self._submit_tick() and self.i >= self.warm_ticks:
             self.fleet_late += 1             # backlogged = missed cadence
+            self.late_backlog += 1
         self.i += 1
         return self.i < self.total
 
