@@ -300,7 +300,11 @@ def e2e_trial(n_legs: int, k_block: int, depth: int, srtp: bool = False,
                                pipeline_depth=depth, srtp=srtp,
                                srtp_suite=srtp_suite)
         try:
-            return b.run(blocks or E2E_BLOCKS, paced=True, trace=True)
+            # GC off during the paced window: one gen-2 pause is ~110 ms
+            # on this host — a late-tick cluster in any row (core/rtgc.py)
+            from mediastreamer2_tpu.core.rtgc import paused_gc
+            with paused_gc():
+                return b.run(blocks or E2E_BLOCKS, paced=True, trace=True)
         finally:
             b.close()
     except Exception as e:
@@ -728,7 +732,9 @@ def video_e2e(deadline: float = None) -> tuple:
         try:
             b = VideoE2EBench(Factory(), n, codec="vp8", fps=15.0,
                               pipeline_depth=2, frame_tick=True)
-            res = b.run(seconds=2.5, paced=True)
+            from mediastreamer2_tpu.core.rtgc import paused_gc
+            with paused_gc():                 # see e2e_trial's GC note
+                res = b.run(seconds=2.5, paced=True)
             ok = res.passes()
             print(f"# video-e2e n={n}: {res.ms_per_tick:.2f} ms/tick "
                   f"late={res.late_ticks} fps_min={res.fps_received_min:.1f} "

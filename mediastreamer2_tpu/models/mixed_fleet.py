@@ -38,6 +38,7 @@ passes iff every class does.
 from __future__ import annotations
 
 import collections
+import contextlib
 import dataclasses
 import os
 import threading
@@ -262,18 +263,21 @@ class MixedFleetBench:
         # core/devlock.py). Pipelining between members survives — the
         # lock covers dispatch/transfer, not device compute.
         from mediastreamer2_tpu.core import devlock
+        from mediastreamer2_tpu.core.rtgc import paused_gc
         devlock.enable(True)
         try:
-            for th in runners.values():
-                th.start()
-            # a member must NEVER hang the fleet (a hung join here would
-            # cost the whole bench artifact): bounded join, report the
-            # straggler as an error and move on (threads are daemonic)
-            deadline = time.monotonic() + seconds * 3 + 240
-            for name, th in runners.items():
-                th.join(timeout=max(5.0, deadline - time.monotonic()))
-                if th.is_alive():
-                    errors[name] = "hung (member did not finish in time)"
+            with paused_gc():
+                for th in runners.values():
+                    th.start()
+                # a member must NEVER hang the fleet (a hung join here
+                # would cost the whole bench artifact): bounded join,
+                # report the straggler as an error and move on (threads
+                # are daemonic)
+                deadline = time.monotonic() + seconds * 3 + 240
+                for name, th in runners.items():
+                    th.join(timeout=max(5.0, deadline - time.monotonic()))
+                    if th.is_alive():
+                        errors[name] = "hung (member did not finish in time)"
         finally:
             devlock.enable(False)
         return MixedFleetResult(
@@ -322,6 +326,11 @@ class MixedFleetBench:
             if lock_on:
                 devlock.enable(True)
             _elevate_paced_thread()          # the loop IS the paced thread
+            # A gen-2 GC pause measures ~110 ms on this host — one pause
+            # blows every member's 10 ms edge at once (core/rtgc.py).
+            from mediastreamer2_tpu.core.rtgc import paused_gc
+            gc_guard = contextlib.ExitStack()
+            gc_guard.enter_context(paused_gc())
             # Cap worker-thread GIL holds at 1 ms: the paced loop's sleep
             # wakeups otherwise slip behind dispatch/codec Python frames
             # on a 1-core host (measured as whole-interval edge misses).
@@ -411,6 +420,10 @@ class MixedFleetBench:
             try:
                 _sys2.setswitchinterval(switch0)
             except NameError:        # failed before the loop set it up
+                pass
+            try:
+                gc_guard.close()
+            except NameError:
                 pass
             if lock_on:
                 devlock.enable(False)
