@@ -174,3 +174,28 @@ def normal_priority_pool(max_workers: int = 1, name: str = "ms2tpu-worker"):
     return ThreadPoolExecutor(max_workers=max_workers,
                               thread_name_prefix=name,
                               initializer=reset_thread_priority)
+
+
+def priority_pool(max_workers: int = 1, name: str = "ms2tpu-worker",
+                  nice: int = 0):
+    """ThreadPoolExecutor whose workers run at a FIXED niceness.
+
+    The mixed fleet's shared dispatch worker executes every member's
+    paced-deadline work (do_ticks, block uploads) while publish/codec
+    pools do latency-tolerant work behind a pipeline — on a saturated
+    1-core host the dispatch worker must win the CPU race or worker-side
+    tick durations blow the 10 ms accounting (measured: opus duration-late
+    spikes to 33 ms at ~90% load with NO GIL/tunnel contention —
+    tools/gil_probe.py, tools/hol_probe.py)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _init():
+        try:
+            _os.setpriority(_os.PRIO_PROCESS, threading.get_native_id(),
+                            nice)
+        except (AttributeError, OSError):
+            pass
+
+    return ThreadPoolExecutor(max_workers=max_workers,
+                              thread_name_prefix=name, initializer=_init)

@@ -301,11 +301,16 @@ class MixedFleetBench:
         Missed edges are skipped forward (late accounting, never a burst
         catch-up), exactly like _PacedBeat.run."""
         from mediastreamer2_tpu.core import devlock
-        from mediastreamer2_tpu.core.worker import normal_priority_pool
+        from mediastreamer2_tpu.core.worker import (normal_priority_pool,
+                                                    priority_pool)
         from mediastreamer2_tpu.models.e2e_bench import E2EStepper
         results: Dict[str, object] = {}
         errors: Dict[str, str] = {}
-        uploader = normal_priority_pool(1, "fleet-upload")
+        # dispatch worker at nice -5: between the paced loop (-10) and the
+        # publish/codec pools (0) — it executes every member's deadline
+        # work, so it must not lose the CPU race to pipeline-buffered
+        # publish work (see worker.priority_pool)
+        uploader = priority_pool(1, "fleet-upload", nice=-5)
         reader = normal_priority_pool(1, "fleet-read")
         lock_on = os.environ.get("MS2TPU_FLEET_DEVLOCK", "0") != "0"
         steppers: Dict[str, object] = {}

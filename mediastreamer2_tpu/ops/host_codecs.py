@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import os
 from typing import Optional
 
 import numpy as np
@@ -40,9 +41,28 @@ except OSError:                                    # pragma: no cover
 
 OPUS_APPLICATION_VOIP = 2048
 OPUS_SET_BITRATE_REQUEST = 4002
+OPUS_SET_COMPLEXITY_REQUEST = 4010
 OPUS_SET_INBAND_FEC_REQUEST = 4012
 OPUS_SET_DTX_REQUEST = 4016
 OPUS_SET_PACKET_LOSS_PERC_REQUEST = 4014
+
+
+def _default_opus_complexity() -> int:
+    """CPU-count-scaled encoder complexity, exactly the reference's policy
+    (msopus.c:111-141): env override MS2TPU_OPUS_COMPLEXITY (like
+    MS2_OPUS_COMPLEXITY), else 0 on a 1-core host, 5 on 2 cores, -1
+    (libopus default) otherwise.  libopus' default complexity 9 costs
+    ~3-4x the encode CPU of complexity 0 — on the 1-core bench host that
+    difference is the mixed-fleet opus class's deadline."""
+    env = os.environ.get("MS2TPU_OPUS_COMPLEXITY", "")
+    if env:
+        return max(-1, min(10, int(env)))
+    cores = os.cpu_count() or 1
+    if cores == 1:
+        return 0
+    if cores == 2:
+        return 5
+    return -1
 
 
 def opus_available() -> bool:
@@ -54,7 +74,13 @@ class OpusEncoder:
     packet (ptime aggregation = frames_per_packet)."""
 
     def __init__(self, rate: int = 48000, channels: int = 1,
-                 bitrate: int = 32000, fec: bool = True, dtx: bool = False):
+                 bitrate: int = 32000, fec: bool = True, dtx: bool = False,
+                 complexity: Optional[int] = None):
+        """complexity: 0-10 explicit, or None for the reference's
+        CPU-count-scaled default (_default_opus_complexity).  NOTE
+        complexity 0 — the 1-core default — makes libopus skip LBRR
+        generation, so in-band FEC is ineffective there (same trade the
+        reference makes on single-core devices, msopus.c:130-136)."""
         if _opus is None:
             raise RuntimeError("libopus not available")
         err = ctypes.c_int()
@@ -65,11 +91,18 @@ class OpusEncoder:
             raise RuntimeError(f"opus_encoder_create: {err.value}")
         self.rate, self.channels = rate, channels
         self.set_bitrate(bitrate)
+        cx = (_default_opus_complexity() if complexity is None
+              else max(0, min(10, complexity)))
+        if cx >= 0:
+            self._ctl(OPUS_SET_COMPLEXITY_REQUEST, cx)
         self._ctl(OPUS_SET_INBAND_FEC_REQUEST, 1 if fec else 0)
         # NOTE: libopus embeds FEC bits only when expected loss > 0; that
         # trades primary quality, so the loss expectation is driven by the
         # QoS loop (set_packet_loss from observed loss), not defaulted on
         self._ctl(OPUS_SET_DTX_REQUEST, 1 if dtx else 0)
+        self._out = ctypes.create_string_buffer(4000)
+        self._f32 = None             # lazily sized conversion buffers
+        self._s16 = None
 
     def _ctl(self, req: int, val: int):
         _opus.opus_encoder_ctl(ctypes.c_void_p(self.st), req, ctypes.c_int(val))
@@ -83,14 +116,23 @@ class OpusEncoder:
 
     def encode(self, pcm: np.ndarray) -> bytes:
         """pcm float32 [-1,1], length = frame samples * channels."""
-        s16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
-        out = ctypes.create_string_buffer(4000)
+        # hot path (per leg per tick in the conference fleet): reuse
+        # conversion + output buffers instead of allocating four arrays
+        # per call — measured ~0.4 ms/tick for 8 legs of pure overhead
+        n_s = len(pcm)
+        if self._f32 is None or len(self._f32) != n_s:
+            self._f32 = np.empty(n_s, np.float32)
+            self._s16 = np.empty(n_s, np.int16)
+        np.multiply(pcm, 32768.0, out=self._f32)
+        np.rint(self._f32, out=self._f32)
+        np.clip(self._f32, -32768, 32767, out=self._f32)
+        np.copyto(self._s16, self._f32, casting="unsafe")
         n = _opus.opus_encode(ctypes.c_void_p(self.st),
-                              s16.ctypes.data_as(ctypes.c_void_p),
-                              len(s16) // self.channels, out, 4000)
+                              self._s16.ctypes.data_as(ctypes.c_void_p),
+                              n_s // self.channels, self._out, 4000)
         if n < 0:
             raise RuntimeError(f"opus_encode: {n}")
-        return out.raw[:n]
+        return self._out.raw[:n]
 
 
 class OpusDecoder:
@@ -102,11 +144,18 @@ class OpusDecoder:
         if err.value != 0:
             raise RuntimeError(f"opus_decoder_create: {err.value}")
         self.rate, self.channels = rate, channels
+        self._i16 = None             # lazily sized decode buffer
 
     def decode(self, payload: Optional[bytes], frame_samples: int,
                fec: bool = False) -> np.ndarray:
-        """payload None => PLC (opus native concealment)."""
-        buf = np.zeros(frame_samples * self.channels, np.int16)
+        """payload None => PLC (opus native concealment).
+
+        Returns a FRESH float32 array per call (callers buffer decoded
+        audio across ticks); only the int16 staging buffer is reused."""
+        n_buf = frame_samples * self.channels
+        if self._i16 is None or len(self._i16) != n_buf:
+            self._i16 = np.empty(n_buf, np.int16)
+        buf = self._i16
         if payload is None:
             n = _opus.opus_decode(ctypes.c_void_p(self.st), None, 0,
                                   buf.ctypes.data_as(ctypes.c_void_p),
@@ -118,7 +167,9 @@ class OpusDecoder:
                                   frame_samples, 1 if fec else 0)
         if n < 0:
             raise RuntimeError(f"opus_decode: {n}")
-        return buf[: n * self.channels].astype(np.float32) / 32768.0
+        out = np.empty(n * self.channels, np.float32)
+        np.divide(buf[: n * self.channels], 32768.0, out=out)
+        return out
 
 
 # ---------------------------------------------------------------- speex

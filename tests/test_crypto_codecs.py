@@ -144,8 +144,11 @@ def test_double_encryption():
 # ------------------------------------------------------------ host codecs
 @pytest.mark.skipif(not hc.opus_available(), reason="libopus missing")
 def test_opus_roundtrip_quality():
+    # pin complexity: the quality bar was calibrated at libopus' full
+    # analysis; the CPU-count default is 0 on a 1-core host (reference
+    # policy, msopus.c:130-136) which trades quality for CPU
     rate, frame = 48000, 480
-    enc = hc.OpusEncoder(rate=rate, bitrate=64000)
+    enc = hc.OpusEncoder(rate=rate, bitrate=64000, complexity=9)
     dec = hc.OpusDecoder(rate=rate)
     sig = make_speechlike(frame * 100, rate, seed=4)
     out = np.concatenate([
@@ -216,9 +219,12 @@ def test_video_router_keyframe_switching():
 
 
 # --------------------------------------------------- end-to-end SRTP call
-def test_srtp_opus_call(factory):
+def test_srtp_opus_call(factory, monkeypatch):
     if not hc.opus_available():
         pytest.skip("libopus missing")
+    # quality bars below assume full encoder analysis (see
+    # test_opus_roundtrip_quality's complexity note)
+    monkeypatch.setenv("MS2TPU_OPUS_COMPLEXITY", "9")
     from mediastreamer2_tpu.models.audio_stream import (AudioStreamBatch,
                                                         AudioStreamFeatures)
     from mediastreamer2_tpu.core.block import tick_samples
@@ -287,10 +293,14 @@ def test_stereo_opus_call(factory):
     assert tone_energy(R, 1320) > 10 * tone_energy(R, 440)
 
 
-def test_opus_inband_fec_beats_plc_under_loss(factory):
+def test_opus_inband_fec_beats_plc_under_loss(factory, monkeypatch):
     """Opus payload-picker parity: a lost frame recovers from the NEXT
     packet's in-band FEC (one-packet lookahead) — measurably better than
-    PLC alone under the same loss pattern."""
+    PLC alone under the same loss pattern.
+
+    Complexity pinned: at the 1-core default (0) libopus skips LBRR
+    generation entirely, so there would be no FEC to pick."""
+    monkeypatch.setenv("MS2TPU_OPUS_COMPLEXITY", "9")
     if not hc.opus_available():
         pytest.skip("libopus missing")
     from mediastreamer2_tpu.models.audio_stream import AudioStreamBatch
