@@ -349,6 +349,7 @@ class MixedFleetBench:
             tick_max = {n: 0.0 for n in steppers}
             tick_n = {n: 0 for n in steppers}
             sleep_s = 0.0
+            stalls: list = []       # (t_rel_s, member, behind_ms) capped
             t_loop0 = time.perf_counter()
             now = time.perf_counter()
             # small start stagger so members' edge work interleaves; srtp
@@ -380,6 +381,9 @@ class MixedFleetBench:
                     if behind > iv:
                         late_by = int(behind / iv)
                         edges[name] = now    # skip forward, count the miss
+                        if len(stalls) < 24:
+                            stalls.append((round(now - t_loop0, 3), name,
+                                           round(behind * 1e3, 1)))
                     try:
                         alive = steppers[name].tick(late_by)
                     except Exception as e:                 # noqa: BLE001
@@ -412,6 +416,9 @@ class MixedFleetBench:
                 "per_member_worker": {
                     n: st.worker_trace() for n, st in steppers.items()
                     if hasattr(st, "worker_trace")},
+                # loop-wake stall events (first 24): clustering in time
+                # means ONE host stall charged every member at once
+                "stalls": stalls,
             }
             for name, st in steppers.items():
                 if name in errors:

@@ -635,6 +635,9 @@ class VideoStreamBatch:
         self.assemblers = self.packetizers     # back-compat alias
         self._frame_shape = (self.out_fmt.height * 3 // 2, self.out_fmt.width)
         self._last_rx = np.zeros((batch,) + self._frame_shape, np.float32)
+        self._pull_f32 = None        # reused _pull staging (lazily sized)
+        self._pull_u8 = None
+        self._cam_buf = None
         self._tick_per_frame = max(1, int(round(100.0 / fps)))
         self._ts = 0
         # first frame of every leg is a keyframe; FIR sets this too
@@ -814,7 +817,9 @@ class VideoStreamBatch:
         """Dead-camera detection + static-image fallback (reference:
         videostream.c dead_camera_check -> nowebcam substitution)."""
         shape = self.graph.ext_inputs["cam"][0][1:]
-        out = np.zeros((self.batch,) + shape, np.float32)
+        if self._cam_buf is None or self._cam_buf.shape[1:] != shape:
+            self._cam_buf = np.zeros((self.batch,) + shape, np.float32)
+        out = self._cam_buf               # reused per tick (see _pull note)
         for i in range(self.batch):
             if tick - self._cam_last_tick[i] > self.CAMERA_DEAD_TICKS:
                 if not self._cam_dead[i]:
@@ -824,6 +829,8 @@ class VideoStreamBatch:
             elif self._cam_frames[i] is not None:
                 self._cam_dead[i] = False
                 out[i] = self._cam_frames[i]
+            else:
+                out[i] = 0.0
         return out
 
     def _fallback_frame(self, shape):
@@ -844,9 +851,18 @@ class VideoStreamBatch:
                     continue
                 sess.poll()
         # u8 at the boundary (see _u8_step); _last_rx stays f32 for the
-        # snapshot/analyse APIs
-        ext = {"rx_frames": (np.clip(self._last_rx, 0.0, 1.0)
-                             * 255.0 + 0.5).astype(np.uint8)}
+        # snapshot/analyse APIs.  Reused staging buffers: the naive
+        # clip*255+0.5 chain allocates 4 multi-MB temporaries per frame
+        # tick — measured as page-fault/allocator spikes (77 ms worst) on
+        # the loaded fleet host.
+        if self._pull_f32 is None:
+            self._pull_f32 = np.empty_like(self._last_rx)
+            self._pull_u8 = np.empty(self._last_rx.shape, np.uint8)
+        np.clip(self._last_rx, 0.0, 1.0, out=self._pull_f32)
+        np.multiply(self._pull_f32, 255.0, out=self._pull_f32)
+        np.add(self._pull_f32, 0.5, out=self._pull_f32)
+        np.copyto(self._pull_u8, self._pull_f32, casting="unsafe")
+        ext = {"rx_frames": self._pull_u8}
         if "cam" in self.graph.ext_inputs:
             ext["cam"] = self._camera_block(tick)
         return ext
