@@ -88,10 +88,11 @@ class E2EResult:
     srtp: bool = False          # per-leg AES_CM_128_HMAC_SHA1_80 on the edge
     auth_failures: int = 0      # SRTP auth failures across all legs
     # per-tick phase attribution (ms), present when run(trace=True):
-    # edge = tx pack/crypto/sendmmsg + rx recvmmsg/verify/insert,
-    # submit = staging copy + uploader handoff, pop = wait on the oldest
-    # in-flight block's device round trip.  The SRTP-vs-cleartext capacity
-    # delta reads directly off `edge` (VERDICT r4 item 4).
+    # edge_tx = pack/protect/sendmmsg, edge_rx = recvmmsg/verify/decrypt/
+    # jitter-insert, submit = staging copy + uploader handoff, pop = wait
+    # on the oldest in-flight block's device round trip.  The SRTP-vs-
+    # cleartext capacity delta reads directly off edge_tx/edge_rx
+    # (VERDICT r4 item 4).
     phases_ms: Optional[dict] = None
 
     @property
@@ -275,12 +276,21 @@ class E2EConferenceBench:
 
     def _gpu_block(self, stage_copy, reader):
         """Upload + dispatch one K-tick block (uploader worker), handing
-        the transfer-forcing fetch to the reader worker."""
+        the transfer-forcing fetch to the reader worker.
+
+        The D2H copy is ISSUED here, at dispatch time — not when the reader
+        reaches the block.  With one reader worker, reads serialize; if each
+        read also had to issue its own copy, every block would cost a full
+        tunnel round trip (~26 ms) on the reader, which sinks any config
+        whose block cadence is below the RTT (K=1 at 10 ms/block: the
+        80 ms latency row, VERDICT r4 item 5).  Issued here, all in-flight
+        blocks' copies overlap and the reader's wait is bandwidth-bound."""
         import jax
         with devlock.held():
             x = jax.device_put(stage_copy)
             self.state, self._t_dev, packed = self._run_block(
                 self.state, self._t_dev, x)
+        devlock.issue_copies(packed)
         return reader.submit(self._fetch, packed)
 
     def make_jitter_ctrl(self):
@@ -334,7 +344,12 @@ class E2EConferenceBench:
         import os as _os
         if trace is None:
             trace = _os.environ.get("MS2TPU_E2E_TRACE", "0") != "0"
-        ph = {"edge": 0.0, "submit": 0.0, "pop": 0.0} if trace else None
+        # edge is split tx/rx so an SRTP row's cost lands on the phase
+        # that carries it: edge_tx = pack+protect+sendmmsg, edge_rx =
+        # recvmmsg+verify+decrypt+jitter-insert (VERDICT r4 item 4 asks
+        # the cleartext-vs-SRTP capacity delta to name its thief)
+        ph = ({"edge_tx": 0.0, "edge_rx": 0.0, "submit": 0.0, "pop": 0.0}
+              if trace else None)
         ph_max = dict(ph) if trace else None
         pop_waits: list = [] if trace else None
 
@@ -359,12 +374,18 @@ class E2EConferenceBench:
                     next_edge += interval
                 t_a = time.perf_counter() if trace else 0.0
                 self.tx.send(cur_tx[k], ts_inc=S8)
+                if trace:
+                    t_b = time.perf_counter()
+                    d = t_b - t_a
+                    ph["edge_tx"] += d
+                    ph_max["edge_tx"] = max(ph_max["edge_tx"], d)
+                    t_a = t_b
                 self.rx.poll()
                 pay, fl = self.rx.read_tick()
                 if trace:
                     d = time.perf_counter() - t_a
-                    ph["edge"] += d
-                    ph_max["edge"] = max(ph_max["edge"], d)
+                    ph["edge_rx"] += d
+                    ph_max["edge_rx"] = max(ph_max["edge_rx"], d)
                 stage[k] = pay
                 missing = fl == 0
                 if missing.any():
