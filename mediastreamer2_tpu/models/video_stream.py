@@ -635,8 +635,13 @@ class VideoStreamBatch:
         self.assemblers = self.packetizers     # back-compat alias
         self._frame_shape = (self.out_fmt.height * 3 // 2, self.out_fmt.width)
         self._last_rx = np.zeros((batch,) + self._frame_shape, np.float32)
-        self._pull_f32 = None        # reused _pull staging (lazily sized)
-        self._pull_u8 = None
+        # u8 mirror of _last_rx, maintained incrementally at decode time
+        # (one leg per decoded frame) so _pull never runs a whole-batch
+        # numpy conversion on the paced path — a multi-MB ufunc holds the
+        # GIL for its whole duration and stalls every co-resident member
+        # on a 1-core host (fleet trace: 77 ms pull spike)
+        self._last_rx_u8 = np.zeros((batch,) + self._frame_shape, np.uint8)
+        self._leg_f32 = np.empty(self._frame_shape, np.float32)
         self._cam_buf = None
         self._tick_per_frame = max(1, int(round(100.0 / fps)))
         self._ts = 0
@@ -841,6 +846,17 @@ class VideoStreamBatch:
             self._static_fallback = f
         return self._static_fallback
 
+    def _store_rx_frame(self, leg: int, f: np.ndarray) -> None:
+        """Land a decoded frame: f32 master (snapshot/analyse APIs) + the
+        u8 device-boundary mirror, converted per-leg HERE so the per-tick
+        _pull does no whole-batch work (see _last_rx_u8 note)."""
+        self._last_rx[leg] = f
+        s = self._leg_f32
+        np.clip(f, 0.0, 1.0, out=s)
+        np.multiply(s, 255.0, out=s)
+        np.add(s, 0.5, out=s)
+        np.copyto(self._last_rx_u8[leg], s, casting="unsafe")
+
     def _pull(self, tick: int) -> Dict[str, np.ndarray]:
         # async-publish mode: _push (worker thread) owns ALL session +
         # packetizer state — polling here too would race the worker's
@@ -851,18 +867,10 @@ class VideoStreamBatch:
                     continue
                 sess.poll()
         # u8 at the boundary (see _u8_step); _last_rx stays f32 for the
-        # snapshot/analyse APIs.  Reused staging buffers: the naive
-        # clip*255+0.5 chain allocates 4 multi-MB temporaries per frame
-        # tick — measured as page-fault/allocator spikes (77 ms worst) on
-        # the loaded fleet host.
-        if self._pull_f32 is None:
-            self._pull_f32 = np.empty_like(self._last_rx)
-            self._pull_u8 = np.empty(self._last_rx.shape, np.uint8)
-        np.clip(self._last_rx, 0.0, 1.0, out=self._pull_f32)
-        np.multiply(self._pull_f32, 255.0, out=self._pull_f32)
-        np.add(self._pull_f32, 0.5, out=self._pull_f32)
-        np.copyto(self._pull_u8, self._pull_f32, casting="unsafe")
-        ext = {"rx_frames": self._pull_u8}
+        # snapshot/analyse APIs.  The u8 mirror is maintained per-leg at
+        # decode time (_store_rx_frame), so the paced path hands over a
+        # ready buffer instead of converting the whole batch every tick.
+        ext = {"rx_frames": self._last_rx_u8}
         if "cam" in self.graph.ext_inputs:
             ext["cam"] = self._camera_block(tick)
         return ext
@@ -909,7 +917,7 @@ class VideoStreamBatch:
                 decoded = self.codecs[i].decode(frame)
                 f = self._bytes_to_frame(decoded) if decoded else None
                 if f is not None:
-                    self._last_rx[i] = f
+                    self._store_rx_frame(i, f)
                     self.stats[i].frames_received += 1
                     self.starters[i].on_frame_decoded()
                     if self._await_kf_rx[i]:
