@@ -36,7 +36,11 @@ def main():
               flush=True)
         return
 
-    hard_s = float(os.environ.get("FLEET_PROBE_DEADLINE_S", "600"))
+    # Cold-cache compile of all 4 classes over the tunnel measures ~11 min
+    # (flagship+srtp ~5 min, opus/video the rest); 600 s tripped the
+    # watchdog mid-compile and the os._exit left a stale device claim.
+    # With bench.py's persistent XLA compile cache a re-run is minutes.
+    hard_s = float(os.environ.get("FLEET_PROBE_DEADLINE_S", "1500"))
 
     def fire():
         print(json.dumps({"ok": False,
