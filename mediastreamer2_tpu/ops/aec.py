@@ -107,6 +107,33 @@ def _bf16_shadow_on() -> bool:
             and _os.environ.get("AEC_HALF_UPDATE", "0") == "0")
 
 
+def _circ_hist_on() -> bool:
+    """Circular far-history (A/B knob, default OFF — measured SLOWER):
+    instead of the per-tick history SHIFT (concatenate new block + drop
+    oldest = full [B,P,F] rewrite), keep a [B,2P,F] buffer, write each
+    tick's block at TWO slots (hq and hq+P, hq decrementing mod P), and
+    read the always-lag-ordered window [hq:hq+P] via dynamic_slice.
+    Outputs are BIT-IDENTICAL to the shift form (same quantized values,
+    same reduce order — tests/test_aec.py::test_circular_history_exact).
+
+    MEASURED on v5e @8192 (r5): ec_only 3.747 vs 2.603 ms/tick (+44%),
+    compiled HLO bytes 138.8 vs 113.9 MB/tick — the traced-offset window
+    slice MATERIALIZES instead of fusing into the variadic reduce, and
+    the slot dus pair bills extra writes, so the shift's bandwidth comes
+    back with interest.  Fifth rejected structural alternative (after
+    Pallas megakernel, cond-gated tap writes, select-reorder, half-update
+    NLMS): XLA's fusion of the plain shift remains the best schedule
+    found.  Kept as a knob for re-evaluation on toolchains whose
+    dynamic-slice fusion is stronger.  Read at state-init time; the Xh
+    shape then drives the process path.  Requires the default XLA-fused
+    branch (the pallas/half-update knob paths shift in their own
+    layouts)."""
+    return (_os.environ.get("AEC_CIRC_HIST", "0") == "1"
+            and _os.environ.get("PALLAS_MDF", "0") != "1"
+            and _os.environ.get("AEC_PALLAS_UPDATE", "0") != "1"
+            and _os.environ.get("AEC_HALF_UPDATE", "0") == "0")
+
+
 def _sround_bf16(x, salt):
     """Stochastically round f32 -> bf16 (unbiased; deterministic in
     (shape position, salt)).  IEEE sign-magnitude makes the +rnd carry
@@ -146,13 +173,17 @@ def _aec_init(ctx):
     P = _partitions(ctx)
     F = _padded_bins(S)                    # storage bins (maybe lane-padded)
     sdt = jnp.bfloat16 if _bf16_shadow_on() else jnp.float32
+    circ = _circ_hist_on()
     zc = lambda: jnp.zeros((B, P, F), sdt)
     zh = lambda: jnp.zeros((B, P, F), STORE_DTYPE)
+    # circular history: [B,2P,F] double-buffer, window [hq:hq+P] (see
+    # _circ_hist_on); plain lag-ordered [B,P,F] otherwise
+    zx = lambda: jnp.zeros((B, 2 * P if circ else P, F), STORE_DTYPE)
     st = {
         "Wm_r": zh(), "Wm_i": zh(),        # main (filtering) taps, bf16
         "Ws_r": zc(), "Ws_i": zc(),        # shadow taps (bf16+stochastic
                                            # rounding by default, f32 knob)
-        "Xh_r": zh(), "Xh_i": zh(),        # far-end block spectra history
+        "Xh_r": zx(), "Xh_i": zx(),        # far-end block spectra history
         "far_prev": jnp.zeros((B, S), jnp.float32),   # overlap-save
         "Hp": jnp.zeros((B, F), jnp.float32),   # exact per-bin history power
         "Em": jnp.full((B,), 1e-6, jnp.float32),      # smoothed main error
@@ -165,6 +196,9 @@ def _aec_init(ctx):
         "leak": jnp.ones((B,), jnp.float32),
         "cpos": jnp.zeros((), jnp.int32),   # round-robin constraint cursor
     }
+    if circ:
+        # this tick's write slot; decrements mod P (newest-first window)
+        st["hq"] = jnp.full((), P - 1, jnp.int32)
     if sdt == jnp.bfloat16:
         st["srk"] = jnp.zeros((), jnp.uint32)   # stochastic-rounding salt
     return st
@@ -190,8 +224,9 @@ def _aec_process(state, ins, params, ctx):
     # half-update knob branches are f32-only, so bf16-shadow states always
     # take the default XLA-fused branch regardless of later env flips
     bf16_shadow = state["Ws_r"].dtype == jnp.bfloat16
-    use_pallas = pk.mdf_available(B) and not bf16_shadow
-    half_update = _HALF_UPDATE and not bf16_shadow
+    circ = state["Xh_r"].shape[1] == 2 * P   # circular far-history layout
+    use_pallas = pk.mdf_available(B) and not bf16_shadow and not circ
+    half_update = _HALF_UPDATE and not bf16_shadow and not circ
 
     F_nat = S + 1
     F_pad = state["Hp"].shape[1] - F_nat            # lane padding columns
@@ -202,9 +237,18 @@ def _aec_process(state, ins, params, ctx):
         Xi = jnp.pad(Xi, ((0, 0), (0, F_pad)))
     # the block leaving the far-history window this tick (for the exact
     # running history-power sum; read pre-shift, in the storage dtype so
-    # the telescoping sum adds and removes identical quantized values)
-    drop_pow = cabs2(state["Xh_r"][:, -1].astype(jnp.float32),
-                     state["Xh_i"][:, -1].astype(jnp.float32))
+    # the telescoping sum adds and removes identical quantized values).
+    # Circular layout: slot hq (about to be overwritten) holds the block
+    # written P ticks ago — exactly the one leaving the window.
+    hq = state["hq"] if circ else None
+    if circ:
+        dr = jax.lax.dynamic_slice_in_dim(state["Xh_r"], hq, 1,
+                                          axis=1)[:, 0]
+        di = jax.lax.dynamic_slice_in_dim(state["Xh_i"], hq, 1,
+                                          axis=1)[:, 0]
+    else:
+        dr, di = state["Xh_r"][:, -1], state["Xh_i"][:, -1]
+    drop_pow = cabs2(dr.astype(jnp.float32), di.astype(jnp.float32))
     inst_q = cabs2(Xr.astype(STORE_DTYPE).astype(jnp.float32),
                    Xi.astype(STORE_DTYPE).astype(jnp.float32))
 
@@ -224,11 +268,32 @@ def _aec_process(state, ins, params, ctx):
         y_m = irfft_tail(Ym_r[:, :F_nat], Ym_i[:, :F_nat], two_s)
         y_s = irfft_tail(Ys_r[:, :F_nat], Ys_i[:, :F_nat], two_s)
     else:
-        # history shift in the storage dtype (bf16 traffic), upcast per use
-        Xh_r = jnp.concatenate([Xr[:, None, :].astype(state["Xh_r"].dtype),
-                                state["Xh_r"][:, :-1]], axis=1)
-        Xh_i = jnp.concatenate([Xi[:, None, :].astype(state["Xh_i"].dtype),
-                                state["Xh_i"][:, :-1]], axis=1)
+        if circ:
+            # circular write: the new block lands at slots hq and hq+P
+            # (two one-slot in-place dus; see _circ_hist_on) and the
+            # lag-ordered window is a fusible dynamic_slice — the full
+            # [B,P,F] rewrite of the shift form never happens
+            nr = Xr[:, None, :].astype(state["Xh_r"].dtype)
+            ni = Xi[:, None, :].astype(state["Xh_i"].dtype)
+            Xh_full_r = jax.lax.dynamic_update_slice_in_dim(
+                state["Xh_r"], nr, hq, axis=1)
+            Xh_full_r = jax.lax.dynamic_update_slice_in_dim(
+                Xh_full_r, nr, hq + P, axis=1)
+            Xh_full_i = jax.lax.dynamic_update_slice_in_dim(
+                state["Xh_i"], ni, hq, axis=1)
+            Xh_full_i = jax.lax.dynamic_update_slice_in_dim(
+                Xh_full_i, ni, hq + P, axis=1)
+            Xh_r = jax.lax.dynamic_slice_in_dim(Xh_full_r, hq, P, axis=1)
+            Xh_i = jax.lax.dynamic_slice_in_dim(Xh_full_i, hq, P, axis=1)
+        else:
+            # history shift in the storage dtype (bf16 traffic), upcast
+            # per use
+            Xh_r = jnp.concatenate(
+                [Xr[:, None, :].astype(state["Xh_r"].dtype),
+                 state["Xh_r"][:, :-1]], axis=1)
+            Xh_i = jnp.concatenate(
+                [Xi[:, None, :].astype(state["Xh_i"].dtype),
+                 state["Xh_i"][:, :-1]], axis=1)
 
         # BOTH filter applications as ONE variadic (multi-output) reduce:
         # XLA emits a single fusion whose loop body loads Wm/Ws/Xh once
@@ -502,6 +567,10 @@ def _aec_process(state, ins, params, ctx):
     if use_pallas:
         Xh_r = Xh_r.astype(STORE_DTYPE)
         Xh_i = Xh_i.astype(STORE_DTYPE)
+    # what the state carries forward: the full ring (circ) or the shifted
+    # lag-ordered window (all other paths)
+    Xh_st_r = Xh_full_r if circ else Xh_r
+    Xh_st_i = Xh_full_i if circ else Xh_i
     e = jnp.where(params["enabled"][:, None], e, near)
 
     # --- residual echo suppression ------------------------------------------
@@ -514,11 +583,13 @@ def _aec_process(state, ins, params, ctx):
         # the runtime `suppress` param only masks the OUTPUT, XLA still
         # computes the stage)
         new_state = {"Wm_r": Wm_r, "Wm_i": Wm_i, "Ws_r": Ws_r,
-                     "Ws_i": Ws_i, "Xh_r": Xh_r, "Xh_i": Xh_i,
+                     "Ws_i": Ws_i, "Xh_r": Xh_st_r, "Xh_i": Xh_st_i,
                      "far_prev": far, "Hp": Hp, "Em": Em, "Es": Es,
                      "Dn": Dn, "Nf": Nf, "leak": state["leak"],
                      "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt,
                      "diverge_cnt": diverge_cnt, "cpos": (cpos + 1) % P}
+        if circ:
+            new_state["hq"] = (hq + P - 1) % P
         if bf16_shadow:
             new_state["srk"] = state["srk"] + jnp.uint32(1)
         return new_state, (e,), {}
@@ -540,13 +611,15 @@ def _aec_process(state, ins, params, ctx):
     out = jnp.where((params["suppress"] & params["enabled"])[:, None], e_sup, e)
 
     new_state = {"Wm_r": Wm_r, "Wm_i": Wm_i, "Ws_r": Ws_r, "Ws_i": Ws_i,
-                 "Xh_r": Xh_r, "Xh_i": Xh_i, "far_prev": far,
+                 "Xh_r": Xh_st_r, "Xh_i": Xh_st_i, "far_prev": far,
                  "Hp": Hp,
                  "Em": Em, "Es": Es, "Dn": Dn, "Nf": Nf,
                  "leak": leak,
                  "promote_cnt": promote_cnt, "reseed_cnt": reseed_cnt,
                  "diverge_cnt": diverge_cnt,
                  "cpos": (cpos + 1) % P}
+    if circ:
+        new_state["hq"] = (hq + P - 1) % P
     if bf16_shadow:
         new_state["srk"] = state["srk"] + jnp.uint32(1)
     return new_state, (out,), {}

@@ -126,3 +126,27 @@ def test_aec_bf16_shadow_quality_parity(factory, monkeypatch):
     e16 = erle_db(echo16, out16, converged)
     assert e16 > 15, f"bf16-shadow converged ERLE {e16:.1f} dB"
     assert e16 > e32 - 2.0, f"bf16 {e16:.1f} vs f32 {e32:.1f} dB"
+
+
+def test_circular_history_exact(factory, monkeypatch):
+    """The circular far-history layout (AEC_CIRC_HIST, ops/aec.py
+    _circ_hist_on) is a pure BANDWIDTH change: the dynamic_slice window
+    holds the same quantized blocks in the same lag order as the shift
+    form, so outputs and taps must be BIT-IDENTICAL — over enough ticks
+    to wrap the ring many times (P=8 for the 80 ms tail here)."""
+    monkeypatch.setenv("AEC_CIRC_HIST", "0")
+    _, _, _, out_shift, st_shift = simulate(factory, B=2, ticks=60)
+    monkeypatch.setenv("AEC_CIRC_HIST", "1")
+    _, _, _, out_circ, st_circ = simulate(factory, B=2, ticks=60)
+    P = st_shift["ec"]["Wm_r"].shape[1]
+    assert st_circ["ec"]["Xh_r"].shape[1] == 2 * P      # ring layout on
+    assert st_shift["ec"]["Xh_r"].shape[1] == P         # shift layout off
+    np.testing.assert_array_equal(out_circ, out_shift)
+    for k in ("Wm_r", "Wm_i", "Ws_r", "Ws_i", "Hp"):
+        np.testing.assert_array_equal(np.asarray(st_circ["ec"][k]),
+                                      np.asarray(st_shift["ec"][k]))
+    # the ring window equals the shift history (lag order), wrapped
+    hq = int(st_circ["ec"]["hq"])           # next write slot
+    q_now = (hq + 1) % P                    # this state's window start
+    win = np.asarray(st_circ["ec"]["Xh_r"])[:, q_now:q_now + P]
+    np.testing.assert_array_equal(win, np.asarray(st_shift["ec"]["Xh_r"]))

@@ -345,7 +345,13 @@ def test_video_e2e_transient_near_miss_retried_once(monkeypatch):
 def test_mixed_fleet_search_brackets_edge_and_confirms(monkeypatch):
     """The fleet search shrinks on a fail, CONFIRMS a pass by re-running
     the same built fleet, grows toward the known-fail point, and publishes
-    the confirmed passing operating point (never an oversized failure)."""
+    the confirmed passing operating point (never an oversized failure).
+
+    cpu_count is pinned: the start size is host-core-dependent (1-core
+    hosts start at the probe-validated floor) and this test exercises the
+    multi-core start=512 bracket path regardless of the box it runs on."""
+    import os as _os
+    monkeypatch.setattr(_os, "cpu_count", lambda: 8)
     import mediastreamer2_tpu.models.mixed_fleet as mf
     built = []
 
@@ -385,7 +391,10 @@ def test_mixed_fleet_search_brackets_edge_and_confirms(monkeypatch):
 
 def test_mixed_fleet_grows_from_passing_floor(monkeypatch):
     """When the floor passes outright the search grows (doubling, capped by
-    the homogeneous halves) instead of publishing the floor."""
+    the homogeneous halves) instead of publishing the floor.  cpu_count
+    pinned for a host-independent start size (see bracket test above)."""
+    import os as _os
+    monkeypatch.setattr(_os, "cpu_count", lambda: 8)
     import mediastreamer2_tpu.models.mixed_fleet as mf
     built = []
 

@@ -80,15 +80,28 @@ def flagship_flops_per_leg_tick() -> dict:
     return d
 
 
+def _shadow_itemsize() -> int:
+    """Bytes per shadow-tap element in the PRODUCT path: 2 when the
+    bf16+stochastic-rounding shadow is active (ops/aec.py, default on),
+    4 under AEC_BF16_SHADOW=0.  The model must track the shipped dtype
+    or the table silently re-bills the bandwidth the bf16 change saved."""
+    try:
+        from mediastreamer2_tpu.ops.aec import _bf16_shadow_on
+        return 2 if _bf16_shadow_on() else 4
+    except Exception:
+        return 4
+
+
 def flagship_bytes_per_leg_tick() -> dict:
     """HBM bytes per leg per tick (state read+write; activations that XLA
     cannot keep in registers across ops).  The [B,P,F] NLMS gradient is no
     longer billed: fc3b2c-era fusion folds it into the tap update (no HBM
     materialization — VERDICT r3 weak item 4)."""
     f32, bf16 = 4, 2
+    sdt = _shadow_itemsize()                            # tracks ops/aec.py
     d = {}
     d["taps_main_read"] = 2 * P * F * bf16              # Wm r/i, read
-    d["taps_shadow_rw"] = 2 * 2 * P * F * f32           # Ws r/i, read+write
+    d["taps_shadow_rw"] = 2 * 2 * P * F * sdt           # Ws r/i, read+write
     d["far_hist_rw"] = 2 * 2 * P * F * bf16             # Xh r/i, read+write
     d["bins_vectors"] = 8 * F * f32                     # Hp, inv_norm, E, X...
     d["audio_blocks"] = 10 * S * f32                    # mic/far/e/y/out...
@@ -217,6 +230,12 @@ def measure(batch: int, rtt: float) -> dict:
     res["dft_prod_bf16in_ms"] = _time_scan(dft_set(jnp.bfloat16), (x0,), rtt)
 
     # --- piece 2: MDF elementwise chain over [B,P,F] ----------------------
+    # Shadow taps stored at the PRODUCT dtype (bf16 by default since the
+    # stochastic-rounding change in ops/aec.py; f32 under
+    # AEC_BF16_SHADOW=0) — the r4-era f32-only proxy kept measuring byte
+    # traffic the product no longer pays.
+    sdt = jnp.bfloat16 if _shadow_itemsize() == 2 else jnp.float32
+
     def mdf_elem(st):
         Wm_r, Wm_i, Ws_r, Ws_i, Xh_r, Xh_i, Er, Ei, inv_norm = st
         Xh_r2 = jnp.concatenate([Er[:, None, :].astype(jnp.bfloat16),
@@ -227,19 +246,20 @@ def measure(batch: int, rtt: float) -> dict:
         xi = Xh_i2.astype(jnp.float32)
         Ym_r = jnp.sum(Wm_r.astype(jnp.float32) * xr
                        - Wm_i.astype(jnp.float32) * xi, axis=1)
-        Ys_r = jnp.sum(Ws_r * xr - Ws_i * xi, axis=1)
+        Ys_r = jnp.sum(Ws_r.astype(jnp.float32) * xr
+                       - Ws_i.astype(jnp.float32) * xi, axis=1)
         Gr = (xr * Er[:, None, :] + xi * Ei[:, None, :]) * inv_norm[:, None, :]
         Gi = (xr * Ei[:, None, :] - xi * Er[:, None, :]) * inv_norm[:, None, :]
-        Ws_r2 = Ws_r + 0.5 * Gr
-        Ws_i2 = Ws_i + 0.5 * Gi
+        Ws_r2 = (Ws_r.astype(jnp.float32) + 0.5 * Gr).astype(sdt)
+        Ws_i2 = (Ws_i.astype(jnp.float32) + 0.5 * Gi).astype(sdt)
         return (Wm_r, Wm_i, Ws_r2, Ws_i2, Xh_r2, Xh_i2,
                 Ym_r * 1e-6 + Er, Ys_r * 1e-6 + Ei, inv_norm)
 
     zb = lambda: jnp.zeros((batch, P, F), jnp.bfloat16)
-    zf = lambda: jnp.zeros((batch, P, F), jnp.float32)
+    zs = lambda: jnp.zeros((batch, P, F), sdt)
     vf = lambda k: 0.01 * jax.random.normal(jax.random.key(k), (batch, F),
                                             jnp.float32)
-    st0 = (zb(), zb(), zf(), zf(), zb(), zb(), vf(1), vf(2),
+    st0 = (zb(), zb(), zs(), zs(), zb(), zb(), vf(1), vf(2),
            jnp.ones((batch, F), jnp.float32))
     info = {}
     res["mdf_elem_ms"] = _time_scan(mdf_elem, st0, rtt, out_info=info)
@@ -392,8 +412,11 @@ def summarize(batch: int, res: dict) -> dict:
         rate(dft_flops, res["dft_prod_bf16in_ms"]) / peak_bf16, 3)
     out["mdf_elem_GBps"] = round(rate(mdf_bytes, res["mdf_elem_ms"]) / 1e9, 1)
     out["mdf_elem_bw_util"] = round(rate(mdf_bytes, res["mdf_elem_ms"]) / peak_hbm, 3)
-    # stream footprint: 4 bf16 + 2 f32 [B,P,F] tensors + 3 f32 [B,F], r+w
-    stream_bytes = batch * 2 * (P * F * (4 * 2 + 2 * 4) + 3 * F * 4)
+    # stream footprint: 4 bf16 + 2 shadow-dtype [B,P,F] tensors + 3 f32
+    # [B,F], r+w — the shadow itemsize must track ops/aec.py or the util
+    # reads >1 (the r5 interim probe printed 1.284 exactly this way)
+    stream_bytes = batch * 2 * (P * F * (4 * 2 + 2 * _shadow_itemsize())
+                                + 3 * F * 4)
     out["hbm_stream_GBps"] = round(
         rate(stream_bytes, res["hbm_stream_ms"]) / 1e9, 1)
     out["hbm_stream_util"] = round(
