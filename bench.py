@@ -632,10 +632,12 @@ def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
         "n_srtp": max(128, n_srtp // 2 // 128 * 128),
         "n_opus": 64, "n_video": 4,
     }
-    # few-core hosts start at the probe-validated point (256/128/8/2 passes
-    # on the 1-core bench host, tools/fleet_probe.py r5) — starting higher
-    # burns a ~4 min build+compile cycle on a near-certain fail
-    sizes = ({"n_flagship": 256, "n_srtp": 128, "n_opus": 8, "n_video": 2}
+    # few-core hosts start at the floor that passes RELIABLY (128/64/8/1:
+    # confirmed twice in the r5 official run; the probe-validated
+    # 256/128/8/2 passed the probe but failed the official first attempt
+    # on one CFS transient) and GROW — a guaranteed early confirmed pass
+    # beats opening with a coin-flip fail on the round's #1 row
+    sizes = ({"n_flagship": 128, "n_srtp": 64, "n_opus": 8, "n_video": 1}
              if cores <= 2 else
              {"n_flagship": 512, "n_srtp": 256, "n_opus": 32, "n_video": 2})
     sizes = {k: min(v, caps[k]) for k, v in sizes.items()}
@@ -739,6 +741,7 @@ def video_e2e(deadline: float = None) -> tuple:
     best, best_res, recovery = 0, None, False
     n = 4
     retried_at = None
+    fail_at = None                 # smallest stream count that failed
     trials = 0
     while 1 <= n <= 256 and trials < 10:
         if trials and _expired(deadline):
@@ -770,12 +773,24 @@ def video_e2e(deadline: float = None) -> tuple:
                     and res.fps_received_min >= 0.5 * res.fps_nominal):
                 retried_at = n
                 continue
+            fail_at = n if fail_at is None else min(fail_at, n)
             if best == 0 and n > 1:
                 n //= 2             # walk DOWN: 1 stream beats a zero row
                 continue
+            # bisect the best..fail gap instead of publishing the last
+            # power of two (8 passing with 16 failing leaves 10-14
+            # unexplored — r5 official run published 8 exactly this way)
+            nxt = (best + fail_at) // 2 // 2 * 2
+            if best and best < nxt < fail_at:
+                n = nxt
+                continue
             break
         best, best_res = n, res
-        n *= 2
+        nxt = (n * 2 if fail_at is None
+               else (n + fail_at) // 2 // 2 * 2)
+        if nxt <= n or (fail_at is not None and nxt >= fail_at):
+            break                   # at the cap / the edge is bracketed
+        n = nxt
     return best, best_res, recovery
 
 

@@ -314,6 +314,34 @@ def test_video_e2e_walks_down_to_a_nonzero_row(monkeypatch):
     assert tried[:2] == [4, 2]          # walked down, then climbed back
 
 
+def test_video_e2e_bisects_the_pass_fail_gap(monkeypatch):
+    """After a pass at 8 and a decisive fail at 16 the walk bisects
+    (12, then 14) instead of publishing the last power of two — the r5
+    official run left 10-14 streams unexplored exactly this way."""
+    import mediastreamer2_tpu.models.video_e2e_bench as veb
+    tried = []
+
+    class FakeBench:
+        def __init__(self, factory, n, **kw):
+            self.n = n
+            tried.append(n)
+
+        def run(self, **kw):
+            return _FakeVideoRes(self.n <= 12,
+                                 fps_min=14.2 if self.n <= 12 else 3.0)
+
+        def run_loss_recovery(self, **kw):
+            return True
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(veb, "VideoE2EBench", FakeBench)
+    best, res, rec = bench.video_e2e()
+    assert best == 12
+    assert tried == [4, 8, 16, 12, 14]
+
+
 def test_video_e2e_transient_near_miss_retried_once(monkeypatch):
     """A near-miss (frames flowed, fps just short) is retried once at the
     same N before the search walks down — same policy as latency rows."""
