@@ -344,6 +344,26 @@ class E2EConferenceBench:
         import os as _os
         if trace is None:
             trace = _os.environ.get("MS2TPU_E2E_TRACE", "0") != "0"
+        # Paced-loop priority: the deadline thread runs at nice -10 (CFS
+        # weight ~10x) over the nice-0 upload/read workers — the policy
+        # the mixed fleet measured into its default (_elevate_paced_thread,
+        # models/mixed_fleet.py; reference ticker parity msticker.c:330).
+        # The standalone bench rows previously ran at nice 0 and their
+        # edge-phase TAILS (SRTP edge_rx_max 16.7 ms vs 1.0 ms mean, r5
+        # artifact) are CFS wakeup losses, not work.  MS2TPU_E2E_NICE
+        # overrides; restored on exit (root can re-raise).
+        nice_prev = None
+        if paced:
+            try:
+                import threading as _th
+                want = int(_os.environ.get("MS2TPU_E2E_NICE", "-10"))
+                tid = _th.get_native_id()
+                cur = _os.getpriority(_os.PRIO_PROCESS, tid)
+                if want != cur:
+                    _os.setpriority(_os.PRIO_PROCESS, tid, want)
+                    nice_prev = (tid, cur)
+            except (AttributeError, OSError, ValueError):
+                pass
         # edge is split tx/rx so an SRTP row's cost lands on the phase
         # that carries it: edge_tx = pack+protect+sendmmsg, edge_rx =
         # recvmmsg+verify+decrypt+jitter-insert (VERDICT r4 item 4 asks
@@ -422,6 +442,14 @@ class E2EConferenceBench:
             self._recv_probe.append(recv_p)
         uploader.shutdown(wait=True)
         reader.shutdown(wait=True)
+        if nice_prev is not None:
+            # best-effort restore (root may lower niceness); an exception
+            # path leaves the thread elevated, which is benign — the same
+            # thread is the paced loop of any next trial
+            try:
+                _os.setpriority(_os.PRIO_PROCESS, *nice_prev)
+            except OSError:
+                pass
         ticks_timed = (n_blocks - warmup_blocks) * K
         auth_fail = 0
         if self.srtp:
