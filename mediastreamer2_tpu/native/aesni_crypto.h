@@ -302,6 +302,91 @@ static inline void sha1_compress(Sha1State* st, const uint8_t* data) {
   state[4] = (uint32_t)_mm_extract_epi32(E0, 3);
 }
 
+// Two independent SHA-1 compressions, interleaved (2-buffer SHA).
+// sha1rnds4 is a ~6-cycle-latency serial chain per block; a second
+// INDEPENDENT chain fills the latency slots, so two blocks finish in
+// ~1.2x the time of one.  Same math as sha1_compress (loop form of the
+// identical schedule: e_in(g) = nexte(ABCD at start of group g-1, W_g)),
+// verified bit-exact against the 1-buffer path by the SRTP KATs and
+// test_srtp_edge's native<->Python cross-check.
+static inline void sha1_compress_x2(Sha1State* s0, const uint8_t* d0,
+                                    Sha1State* s1, const uint8_t* d1) {
+  const __m128i MASK =
+      _mm_set_epi64x(0x0001020304050607ULL, 0x08090a0b0c0d0e0fULL);
+  Sha1State* s[2] = {s0, s1};
+  const uint8_t* d[2] = {d0, d1};
+  // Same rolling-register schedule as sha1_compress, every statement
+  // doubled with explicit per-lane variables (token-pasted) so both
+  // chains stay in registers: ~14 live xmm, saves may spill (cold).
+  __m128i ABCD_0, ABCD_1, E0_0, E0_1, E1_0, E1_1;
+  __m128i M0_0, M0_1, M1_0, M1_1, M2_0, M2_1, M3_0, M3_1;
+  ABCD_0 = _mm_shuffle_epi32(_mm_loadu_si128((const __m128i*)s[0]->h), 0x1B);
+  ABCD_1 = _mm_shuffle_epi32(_mm_loadu_si128((const __m128i*)s[1]->h), 0x1B);
+  E0_0 = _mm_set_epi32((int)s[0]->h[4], 0, 0, 0);
+  E0_1 = _mm_set_epi32((int)s[1]->h[4], 0, 0, 0);
+  const __m128i AS_0 = ABCD_0, AS_1 = ABCD_1, ES_0 = E0_0, ES_1 = E0_1;
+  M0_0 = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)d[0]), MASK);
+  M0_1 = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)d[1]), MASK);
+  M1_0 = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(d[0] + 16)), MASK);
+  M1_1 = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(d[1] + 16)), MASK);
+  M2_0 = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(d[0] + 32)), MASK);
+  M2_1 = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(d[1] + 32)), MASK);
+  M3_0 = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(d[0] + 48)), MASK);
+  M3_1 = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(d[1] + 48)), MASK);
+  // group 0: E0 carries H4 directly
+  E0_0 = _mm_add_epi32(E0_0, M0_0);
+  E0_1 = _mm_add_epi32(E0_1, M0_1);
+  E1_0 = ABCD_0;
+  E1_1 = ABCD_1;
+  ABCD_0 = _mm_sha1rnds4_epu32(ABCD_0, E0_0, 0);
+  ABCD_1 = _mm_sha1rnds4_epu32(ABCD_1, E0_1, 0);
+// Middle group: Ein absorbs W; Eout saves pre-round ABCD; optional
+// schedule updates (msg2 target, msg1 target, xor target) compile away
+// when the flag literal is 0.  Lane-1 statements are interleaved after
+// each lane-0 statement so the two serial chains overlap.
+#define MS2_G2(Ein, Eout, W, do2, T2, rnd, do1, T1, dox, TX)              \
+  Ein##_0 = _mm_sha1nexte_epu32(Ein##_0, W##_0);                          \
+  Ein##_1 = _mm_sha1nexte_epu32(Ein##_1, W##_1);                          \
+  Eout##_0 = ABCD_0;                                                      \
+  Eout##_1 = ABCD_1;                                                      \
+  if (do2) T2##_0 = _mm_sha1msg2_epu32(T2##_0, W##_0);                    \
+  if (do2) T2##_1 = _mm_sha1msg2_epu32(T2##_1, W##_1);                    \
+  ABCD_0 = _mm_sha1rnds4_epu32(ABCD_0, Ein##_0, (rnd));                   \
+  ABCD_1 = _mm_sha1rnds4_epu32(ABCD_1, Ein##_1, (rnd));                   \
+  if (do1) T1##_0 = _mm_sha1msg1_epu32(T1##_0, W##_0);                    \
+  if (do1) T1##_1 = _mm_sha1msg1_epu32(T1##_1, W##_1);                    \
+  if (dox) TX##_0 = _mm_xor_si128(TX##_0, W##_0);                         \
+  if (dox) TX##_1 = _mm_xor_si128(TX##_1, W##_1);
+  MS2_G2(E1, E0, M1, 0, M0, 0, 1, M0, 0, M0)   // g1
+  MS2_G2(E0, E1, M2, 0, M0, 0, 1, M1, 1, M0)   // g2
+  MS2_G2(E1, E0, M3, 1, M0, 0, 1, M2, 1, M1)   // g3
+  MS2_G2(E0, E1, M0, 1, M1, 0, 1, M3, 1, M2)   // g4
+  MS2_G2(E1, E0, M1, 1, M2, 1, 1, M0, 1, M3)   // g5
+  MS2_G2(E0, E1, M2, 1, M3, 1, 1, M1, 1, M0)   // g6
+  MS2_G2(E1, E0, M3, 1, M0, 1, 1, M2, 1, M1)   // g7
+  MS2_G2(E0, E1, M0, 1, M1, 1, 1, M3, 1, M2)   // g8
+  MS2_G2(E1, E0, M1, 1, M2, 1, 1, M0, 1, M3)   // g9
+  MS2_G2(E0, E1, M2, 1, M3, 2, 1, M1, 1, M0)   // g10
+  MS2_G2(E1, E0, M3, 1, M0, 2, 1, M2, 1, M1)   // g11
+  MS2_G2(E0, E1, M0, 1, M1, 2, 1, M3, 1, M2)   // g12
+  MS2_G2(E1, E0, M1, 1, M2, 2, 1, M0, 1, M3)   // g13
+  MS2_G2(E0, E1, M2, 1, M3, 2, 1, M1, 1, M0)   // g14
+  MS2_G2(E1, E0, M3, 1, M0, 3, 1, M2, 1, M1)   // g15
+  MS2_G2(E0, E1, M0, 1, M1, 3, 1, M3, 1, M2)   // g16
+  MS2_G2(E1, E0, M1, 1, M2, 3, 0, M0, 1, M3)   // g17
+  MS2_G2(E0, E1, M2, 1, M3, 3, 0, M0, 0, M0)   // g18
+  MS2_G2(E1, E0, M3, 0, M0, 3, 0, M0, 0, M0)   // g19
+#undef MS2_G2
+  E0_0 = _mm_sha1nexte_epu32(E0_0, ES_0);
+  E0_1 = _mm_sha1nexte_epu32(E0_1, ES_1);
+  ABCD_0 = _mm_shuffle_epi32(_mm_add_epi32(ABCD_0, AS_0), 0x1B);
+  ABCD_1 = _mm_shuffle_epi32(_mm_add_epi32(ABCD_1, AS_1), 0x1B);
+  _mm_storeu_si128((__m128i*)s[0]->h, ABCD_0);
+  _mm_storeu_si128((__m128i*)s[1]->h, ABCD_1);
+  s[0]->h[4] = (uint32_t)_mm_extract_epi32(E0_0, 3);
+  s[1]->h[4] = (uint32_t)_mm_extract_epi32(E0_1, 3);
+}
+
 // Finish a SHA-1 whose first `prefix_bytes` were already compressed into
 // `st` (HMAC midstate), over data1||data2.  data1 may be any length
 // (whole blocks are compressed in place, no copy); data2 must be small
@@ -342,6 +427,65 @@ static inline void hmac_sha1_tag(const Sha1State& inner,
   uint8_t ihash[20];
   sha1_tail(inner, 64, data, len, rocb, 4, ihash);
   sha1_tail(outer, 64, ihash, 20, nullptr, 0, digest);
+}
+
+// Pairwise HMAC-SHA1 over two EQUAL-LENGTH messages (the batched-edge
+// case: every SRTP packet in a tick shares one wire size), each message
+// data||roc(4B BE), lanes on independent midstates/keys.  Identical
+// block structure lets every compress run through the interleaved
+// 2-buffer kernel: ~1.6x the per-packet MAC throughput.
+static inline void hmac_sha1_tag_x2(const Sha1State& in0,
+                                    const Sha1State& out0, const uint8_t* d0,
+                                    uint32_t roc0, const Sha1State& in1,
+                                    const Sha1State& out1, const uint8_t* d1,
+                                    uint32_t roc1, int len, uint8_t dig0[20],
+                                    uint8_t dig1[20]) {
+  Sha1State a = in0, b = in1;
+  uint64_t total_bits = (64 + uint64_t(len) + 4) * 8;
+  int full = len & ~63;
+  for (int off = 0; off < full; off += 64)
+    sha1_compress_x2(&a, d0 + off, &b, d1 + off);
+  // tail: remainder + roc(4) + 0x80 + pad + length — same layout both lanes
+  uint8_t bufa[192], bufb[192];
+  int n = len - full;
+  memcpy(bufa, d0 + full, size_t(n));
+  memcpy(bufb, d1 + full, size_t(n));
+  for (int i = 0; i < 4; i++) {
+    bufa[n + i] = uint8_t(roc0 >> (24 - 8 * i));
+    bufb[n + i] = uint8_t(roc1 >> (24 - 8 * i));
+  }
+  n += 4;
+  bufa[n] = bufb[n] = 0x80;
+  n++;
+  while (n % 64 != 56) bufa[n] = bufb[n] = 0, n++;
+  for (int i = 0; i < 8; i++)
+    bufa[n + i] = bufb[n + i] = uint8_t(total_bits >> (56 - 8 * i));
+  n += 8;
+  for (int off = 0; off < n; off += 64)
+    sha1_compress_x2(&a, bufa + off, &b, bufb + off);
+  uint8_t ia[20], ib[20];
+  for (int i = 0; i < 5; i++)
+    for (int j = 0; j < 4; j++) {
+      ia[4 * i + j] = uint8_t(a.h[i] >> (24 - 8 * j));
+      ib[4 * i + j] = uint8_t(b.h[i] >> (24 - 8 * j));
+    }
+  // outer: one 64-byte block each (20-byte digest + pad), interleaved
+  memset(bufa, 0, 64);
+  memset(bufb, 0, 64);
+  memcpy(bufa, ia, 20);
+  memcpy(bufb, ib, 20);
+  bufa[20] = bufb[20] = 0x80;
+  uint64_t obits = (64 + 20) * 8;
+  for (int i = 0; i < 8; i++)
+    bufa[56 + i] = bufb[56 + i] = uint8_t(obits >> (56 - 8 * i));
+  a = out0;
+  b = out1;
+  sha1_compress_x2(&a, bufa, &b, bufb);
+  for (int i = 0; i < 5; i++)
+    for (int j = 0; j < 4; j++) {
+      dig0[4 * i + j] = uint8_t(a.h[i] >> (24 - 8 * j));
+      dig1[4 * i + j] = uint8_t(b.h[i] >> (24 - 8 * j));
+    }
 }
 
 static inline void hmac_midstates(const uint8_t* k_a, int ka_len,

@@ -590,8 +590,14 @@ class RtpTx {
   int send_range(int lo, int hi, const uint8_t* payloads, const uint8_t* mask,
                  uint32_t ts_inc, TxScratch& sc) {
     int pending = 0, sent_total = 0;
+    MacQueue mq;
     for (int i = lo; i < hi; i++) {
       TxLeg& l = legs_[i];
+      if (i + 1 < hi) {                  // SrtpLeg is multi-line key state
+        __builtin_prefetch(&legs_[i + 1].srtp, 0, 1);
+        __builtin_prefetch(reinterpret_cast<const char*>(&legs_[i + 1].srtp) +
+                           128, 0, 1);
+      }
       if (!l.enabled) continue;
       if (mask && !mask[i]) {
         l.ts += ts_inc;
@@ -611,7 +617,7 @@ class RtpTx {
       f[10] = uint8_t(l.ssrc >> 8);
       f[11] = uint8_t(l.ssrc);
       memcpy(f + kHdr, payloads + size_t(i) * psz_, psz_);
-      int flen = protect(l, f);
+      int flen = protect(l, f, mq);
       l.seq++;
       if (l.seq == 0) l.srtp.roc++;      // tx ROC on wrap (RFC 3711 §3.3.1)
       l.ts += ts_inc;
@@ -624,18 +630,60 @@ class RtpTx {
       m.msg_hdr.msg_iov = &sc.iov[pending];
       m.msg_hdr.msg_iovlen = 1;
       if (++pending == kMmsgChunk) {
+        mac_flush(mq);                   // tags valid before the wire
         sent_total += flush(sc, pending);
         pending = 0;
       }
     }
+    mac_flush(mq);
     if (pending) sent_total += flush(sc, pending);
     return sent_total;
   }
 
   static constexpr int kMaxSegs = 64;    // kernel UDP_MAX_SEGMENTS
 
+#if defined(MS2_HW_CRYPTO)
+  // Deferred CM auth tags, drained pairwise through the interleaved
+  // 2-buffer SHA kernel (hmac_sha1_tag_x2).  All frames in a batch share
+  // one authenticated length (kHdr + psz_), so any two pend entries pair.
+  // MUST be drained (mac_flush) before the frames leave via sendmmsg/GSO.
+  struct MacQueue {
+    struct {
+      const ms2hw::Sha1State* inner;
+      const ms2hw::Sha1State* outer;
+      const uint8_t* data;
+      uint32_t roc;
+      uint8_t* tag;
+      uint8_t tag_len;
+    } q[2];
+    int n = 0;
+  };
+
+  void mac_flush(MacQueue& mq) {
+    const int alen = kHdr + psz_;
+    uint8_t d0[20], d1[20];
+    if (mq.n == 2) {
+      ms2hw::hmac_sha1_tag_x2(*mq.q[0].inner, *mq.q[0].outer, mq.q[0].data,
+                              mq.q[0].roc, *mq.q[1].inner, *mq.q[1].outer,
+                              mq.q[1].data, mq.q[1].roc, alen, d0, d1);
+      memcpy(mq.q[0].tag, d0, mq.q[0].tag_len);
+      memcpy(mq.q[1].tag, d1, mq.q[1].tag_len);
+    } else if (mq.n == 1) {
+      ms2hw::hmac_sha1_tag(*mq.q[0].inner, *mq.q[0].outer, mq.q[0].data, alen,
+                           mq.q[0].roc, d0);
+      memcpy(mq.q[0].tag, d0, mq.q[0].tag_len);
+    }
+    mq.n = 0;
+  }
+#else
+  struct MacQueue {};
+  void mac_flush(MacQueue&) {}
+#endif
+
   // Encrypt payload in place + append auth tag; returns wire frame length.
-  int protect(TxLeg& l, uint8_t* f) {
+  // CM tags are queued on `mq` (written at mac_flush time), not yet valid
+  // on return.
+  int protect(TxLeg& l, uint8_t* f, MacQueue& mq) {
     int flen = kHdr + psz_;
     if (!l.srtp.tag_len) return flen;
     if (l.srtp.gcm) {
@@ -644,7 +692,14 @@ class RtpTx {
     }
     uint64_t index = (uint64_t(l.srtp.roc) << 16) | l.seq;
     l.srtp.ctr_xor(l.ssrc, index, f + kHdr, psz_);
+#if defined(MS2_HW_CRYPTO)
+    mq.q[mq.n++] = {&l.srtp.hw_inner, &l.srtp.hw_outer, f, l.srtp.roc,
+                    f + flen, l.srtp.tag_len};
+    if (mq.n == 2) mac_flush(mq);
+#else
     l.srtp.auth_tag(f, flen, l.srtp.roc, f + flen);
+    (void)mq;
+#endif
     return flen + l.srtp.tag_len;
   }
 
@@ -653,8 +708,14 @@ class RtpTx {
     // GSO requires uniform segment size: all enabled legs must share one
     // tag_len (the batched-bench case); a mid-batch change flushes first.
     int in_buf = 0, sent_total = 0, frame = 0;
+    MacQueue mq;
     for (int i = lo; i < hi; i++) {
       TxLeg& l = legs_[i];
+      if (i + 1 < hi) {
+        __builtin_prefetch(&legs_[i + 1].srtp, 0, 1);
+        __builtin_prefetch(reinterpret_cast<const char*>(&legs_[i + 1].srtp) +
+                           128, 0, 1);
+      }
       if (!l.enabled) continue;
       if (mask && !mask[i]) {
         l.ts += ts_inc;
@@ -662,6 +723,7 @@ class RtpTx {
       }
       int flen_i = kHdr + psz_ + l.srtp.tag_len;
       if (in_buf && flen_i != frame) {
+        mac_flush(mq);
         sent_total += gso_flush(sc, in_buf, frame);
         in_buf = 0;
       }
@@ -680,15 +742,17 @@ class RtpTx {
       f[10] = uint8_t(l.ssrc >> 8);
       f[11] = uint8_t(l.ssrc);
       memcpy(f + kHdr, payloads + size_t(i) * psz_, psz_);
-      protect(l, f);
+      protect(l, f, mq);
       l.seq++;
       if (l.seq == 0) l.srtp.roc++;
       l.ts += ts_inc;
       if (++in_buf == kMaxSegs) {
+        mac_flush(mq);
         sent_total += gso_flush(sc, in_buf, frame);
         in_buf = 0;
       }
     }
+    mac_flush(mq);
     if (in_buf) sent_total += gso_flush(sc, in_buf, frame);
     return sent_total;
   }
@@ -843,15 +907,11 @@ class RtpRx {
           // per non-owned segment they pay one int compare, not a parse
           const int T = pool_->workers();
           pool_->run([&](int part) {
-            for (const Seg& s : segs_) {
-              if (s.leg < 0 || s.leg % T != part) continue;
-              insert_leg(s.leg, s.p, s.len, gcm_tmp_[part]);
-            }
+            drain_segs(gcm_tmp_[part],
+                       [&](int leg) { return leg % T == part; });
           });
         } else {
-          for (const Seg& s : segs_) {
-            if (s.leg >= 0) insert_leg(s.leg, s.p, s.len, gcm_tmp_[0]);
-          }
+          drain_segs(gcm_tmp_[0], [](int) { return true; });
         }
         if (r < kRxChunk) break;
       }
@@ -931,8 +991,61 @@ class RtpRx {
     return it == ssrc_to_leg_.end() ? -1 : it->second;
   }
 
+  // Drain this worker's share of segs_, batching CM auth tags pairwise
+  // through the interleaved 2-buffer SHA kernel.  A CM segment is held
+  // until a second one arrives (or the chunk ends); digests computed at
+  // a guessed ROC are handed to insert_leg, which accepts them only when
+  // its own est_roc agrees (so intra-pair state changes stay sound and
+  // the ROC-retry fallback is untouched).
+  template <typename Owns>
+  void drain_segs(std::vector<uint8_t>& gcm_tmp, Owns owns) {
+    const Seg* pend = nullptr;
+#if defined(MS2_HW_CRYPTO)
+    uint32_t pend_roc = 0;
+    int pend_alen = 0;
+#endif
+    for (const Seg& s : segs_) {
+      if (s.leg < 0 || !owns(s.leg)) continue;
+#if defined(MS2_HW_CRYPTO)
+      RxLeg& l = legs_[s.leg];
+      if (l.srtp.tag_len && !l.srtp.gcm &&
+          s.len >= kHdr + psz_ + l.srtp.tag_len) {
+        uint16_t seq = uint16_t((s.p[2] << 8) | s.p[3]);
+        uint32_t roc = est_roc(l.srtp, seq);
+        int alen = s.len - l.srtp.tag_len;
+        if (!pend) {
+          pend = &s;
+          pend_roc = roc;
+          pend_alen = alen;
+          continue;
+        }
+        if (alen == pend_alen) {
+          const RxLeg& pl = legs_[pend->leg];
+          uint8_t d0[20], d1[20];
+          ms2hw::hmac_sha1_tag_x2(pl.srtp.hw_inner, pl.srtp.hw_outer, pend->p,
+                                  pend_roc, l.srtp.hw_inner, l.srtp.hw_outer,
+                                  s.p, roc, alen, d0, d1);
+          insert_leg(pend->leg, pend->p, pend->len, gcm_tmp, d0, pend_roc);
+          insert_leg(s.leg, s.p, s.len, gcm_tmp, d1, roc);
+          pend = nullptr;
+          continue;
+        }
+        // length mismatch: settle the held one, hold this one
+        insert_leg(pend->leg, pend->p, pend->len, gcm_tmp);
+        pend = &s;
+        pend_roc = roc;
+        pend_alen = alen;
+        continue;
+      }
+#endif
+      insert_leg(s.leg, s.p, s.len, gcm_tmp);
+    }
+    if (pend) insert_leg(pend->leg, pend->p, pend->len, gcm_tmp);
+  }
+
   void insert_leg(int leg, const uint8_t* p, int len,
-                  std::vector<uint8_t>& gcm_tmp) {
+                  std::vector<uint8_t>& gcm_tmp,
+                  const uint8_t* pre_digest = nullptr, uint32_t pre_roc = 0) {
     uint32_t ssrc = (uint32_t(p[8]) << 24) | (uint32_t(p[9]) << 16) |
                     (uint32_t(p[10]) << 8) | p[11];
     RxLeg& l = legs_[leg];
@@ -970,8 +1083,15 @@ class RtpRx {
         gcm_decrypted = true;
       } else {
         uint8_t tag[kMaxTag];
-        l.srtp.auth_tag(p, alen, roc, tag);
-        if (memcmp(tag, p + alen, l.srtp.tag_len) != 0) {
+        bool first_ok;
+        if (pre_digest && pre_roc == roc) {
+          // pairwise pre-verified digest (drain_segs), same ROC guess
+          first_ok = memcmp(pre_digest, p + alen, l.srtp.tag_len) == 0;
+        } else {
+          l.srtp.auth_tag(p, alen, roc, tag);
+          first_ok = memcmp(tag, p + alen, l.srtp.tag_len) == 0;
+        }
+        if (!first_ok) {
           bool ok = false;
           for (int ri = 0; ri < n_retry; ri++) {
             l.srtp.auth_tag(p, alen, retry[ri], tag);
