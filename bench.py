@@ -506,12 +506,43 @@ def latency_curve(n_head: int, rtt_ms_meas: float = None,
     goes down to 64 legs (a 64-leg low-latency point beats a zero), and
     a pass climbs while budget remains so the row isn't capped by a
     conservative start."""
+    from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
     rows = []
-    for K, D, want_confirm in LATENCY_LADDER:
+    n_rungs = len(LATENCY_LADDER)
+    for idx, (K, D, want_confirm) in enumerate(LATENCY_LADDER):
         if _expired(deadline) and rows:
             print("# latency curve: section budget reached — remaining "
                   "rows skipped", file=sys.stderr)
             break
+        # An RTT-infeasible rung needs NO trials: the oldest in-flight
+        # block cannot complete its device round trip inside K*D ticks at
+        # ANY leg count, so publish the physics directly (r5b burned
+        # ~12 min of trials on the K=1,D=1 rung re-proving a bound the
+        # measured RTT already states, and the later rungs never ran).
+        budget_ms = K * D * 10.0
+        if rtt_ms_meas is not None and rtt_ms_meas >= budget_ms:
+            print(f"# latency K={K} D={D}: rtt {rtt_ms_meas:.1f} ms >= "
+                  f"in-flight budget {budget_ms:.0f} ms — infeasible, "
+                  "no trials", file=sys.stderr)
+            rows.append({
+                "K": K, "D": D,
+                "added_latency_ms":
+                    E2EConferenceBench.added_latency_ms(K, D),
+                "legs": 0, "ms_per_tick": None,
+                "inflight_budget_ms": budget_ms,
+                "rtt_ms": round(rtt_ms_meas, 2),
+                "infeasible_rtt_bound": True,
+            })
+            continue
+        # Per-rung slice of the remaining section budget: one slow rung
+        # (cold compiles on a degraded tunnel) must not starve the later
+        # rungs — each rung may use at most its share of what is left.
+        rung_dl = deadline
+        if deadline is not None:
+            rem = deadline - time.perf_counter()
+            rung_dl = min(deadline,
+                          time.perf_counter() + max(60.0,
+                                                    rem / (n_rungs - idx)))
         # smaller K amortizes less transfer: start lower
         n = max(64, min(n_head, n_head * K // 64) // 64 * 64)
         best = None
@@ -519,8 +550,9 @@ def latency_curve(n_head: int, rtt_ms_meas: float = None,
         retried_here = False
         first_fail = None
         for _ in range(7):                       # bounded trial budget
-            if _expired(deadline) and (best or rows):
+            if _expired(rung_dl) and (best or rows):
                 break
+            t_tr = time.perf_counter()
             res = e2e_trial(n, K, D, blocks=max(12, 256 // max(K, 8)))
             ok = e2e_passes(res)
             print(f"# latency K={K} D={D} n={n}: "
@@ -528,7 +560,8 @@ def latency_curve(n_head: int, rtt_ms_meas: float = None,
                   f"ms/tick late={getattr(res, 'late_ticks', '-')} "
                   f"loss={None if res is None else round(res.loss_rate, 4)} "
                   f"fid={None if res is None else round(res.fidelity, 3)} "
-                  f"-> {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+                  f"-> {'PASS' if ok else 'FAIL'} "
+                  f"[{time.perf_counter() - t_tr:.0f}s]", file=sys.stderr)
             if ok:
                 best = (n, res)
                 # climb while budget lasts (at least one 64-leg step:
@@ -562,6 +595,10 @@ def latency_curve(n_head: int, rtt_ms_meas: float = None,
             passes_needed = 1
             trials_left = 4
             while trials_left > 0:
+                if _expired(rung_dl):
+                    print(f"# latency K={K} D={D}: confirm cut short by "
+                          "rung budget", file=sys.stderr)
+                    break
                 trials_left -= 1
                 res_c = e2e_trial(n_c, K, D,
                                   blocks=max(12, 256 // max(K, 8)))
@@ -578,7 +615,6 @@ def latency_curve(n_head: int, rtt_ms_meas: float = None,
                 else:
                     n_c = max(64, n_c * 3 // 4 // 64 * 64)
                     passes_needed = 2          # fresh point: two fresh passes
-        from mediastreamer2_tpu.models.e2e_bench import E2EConferenceBench
         row = {
             "K": K, "D": D,
             "added_latency_ms": (best[1].mouth_to_ear_ms if best
@@ -674,7 +710,7 @@ def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
         finally:
             fleet.close()
 
-    for attempt in range(4):
+    for attempt in range(6):
         if attempts and _expired(deadline):
             print("# mixed-fleet: section budget reached", file=sys.stderr)
             break
@@ -712,7 +748,20 @@ def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
             fail_at = (sizes["n_flagship"] if fail_at is None
                        else min(fail_at, sizes["n_flagship"]))
             if best is not None:
-                break                 # edge found; keep the confirmed pass
+                # bisect the pass/fail bracket (same upgrade as the video
+                # walk: a 512-pass/1024-fail must not publish 512 with
+                # 640-896 unexplored) while the section budget holds
+                fl_pass = int((best.get("flagship") or {}).get("legs") or 0)
+                nxt = (fl_pass + fail_at) // 2 // 128 * 128
+                if nxt <= fl_pass or nxt >= fail_at or _expired(deadline):
+                    break             # bracket tight / out of budget
+                sizes = dict(sizes,
+                             n_flagship=nxt,
+                             n_srtp=min(caps["n_srtp"],
+                                        max(64, sizes["n_srtp"] * nxt
+                                            // max(sizes["n_flagship"], 1)
+                                            // 64 * 64)))
+                continue
             shrunk = {
                 "n_flagship": max(128, sizes["n_flagship"] // 2
                                   // 128 * 128),

@@ -449,6 +449,73 @@ def test_mixed_fleet_grows_from_passing_floor(monkeypatch):
     assert out["flagship"]["legs"] > 512     # grew past the floor
 
 
+def test_latency_curve_skips_rtt_infeasible_rungs(monkeypatch):
+    """Rungs whose in-flight budget (K*D ticks) is under the measured RTT
+    publish the physics row directly with ZERO trials — r5b burned ~12
+    minutes of slow-day trials re-proving the K=1,D=1 bound the RTT
+    measurement already states, starving the later rungs."""
+    calls = []
+
+    class FakeRes:
+        ticks = 100
+        late_ticks = 0
+        ms_per_tick = 9.9
+        loss_rate = 0.0
+        fidelity = 1.0
+        mouth_to_ear_ms = 0.0
+        phases_ms = None
+
+    def fake_trial(n, K, D, **kw):
+        calls.append((K, D))
+        r = FakeRes()
+        r.mouth_to_ear_ms = K * D * 10.0 + 40.0
+        return r
+
+    monkeypatch.setattr(bench, "e2e_trial", fake_trial)
+    rows = bench.latency_curve(1024, rtt_ms_meas=27.5)
+    assert len(rows) == len(bench.LATENCY_LADDER)
+    r0 = rows[0]
+    assert (r0["K"], r0["D"], r0["legs"]) == (1, 1, 0)
+    assert r0["infeasible_rtt_bound"] is True
+    assert r0["rtt_ms"] == 27.5
+    assert (1, 1) not in calls               # no trials burned on physics
+    assert (1, 4) in calls                   # feasible rungs still run
+    assert rows[1]["legs"] > 0
+
+
+def test_mixed_fleet_bisects_after_doubling_fail(monkeypatch):
+    """A pass followed by a doubling fail must BISECT the bracket (the
+    r5 official run published 512 after a 1024 fail with 640-896 never
+    probed — same upgrade as the video walk).  Fake edge at 799: expect
+    512 pass -> 1024 fail -> 768 pass -> 896 fail -> publish 768."""
+    import os as _os
+    monkeypatch.setattr(_os, "cpu_count", lambda: 8)
+    import mediastreamer2_tpu.models.mixed_fleet as mf
+    built = []
+
+    class FakeFleet:
+        def __init__(self, factory_cls, n_flagship, **kw):
+            self.n = n_flagship
+            built.append(n_flagship)
+
+        def run(self, seconds):
+            n = self.n
+
+            class R:
+                def summary(self):
+                    return {"passes": n <= 799, "flagship": {"legs": n}}
+            return R()
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(mf, "MixedFleetBench", FakeFleet)
+    out = bench.mixed_fleet(n_flagship=4096, n_srtp=2048)
+    assert out["passes"] is True and out["confirmed"] is True
+    assert built == [512, 1024, 768, 896]
+    assert out["flagship"]["legs"] == 768
+
+
 def test_mixed_fleet_structural_error_does_not_retry(monkeypatch):
     import mediastreamer2_tpu.models.mixed_fleet as mf
     built = []
