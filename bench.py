@@ -691,6 +691,7 @@ def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
     attempts = []
     best = None
     fail_at = None                 # smallest flagship size that failed
+    floor_retries = 2              # transient-fail retries at the floor
 
     def one_fleet(sz):
         """Build+run at sz; on a pass, immediately confirm on the SAME
@@ -771,6 +772,24 @@ def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
                 "n_video": min(sizes["n_video"], 1),
             }
             if shrunk == sizes:
+                # At the floor a TRANSIENT-looking fail (audio delivered
+                # with full fidelity, only late-tick counts over bar — the
+                # signature of a host CFS stall cluster, r5c: opus 38 late
+                # from two ~45 ms stalls) gets the same one-retry courtesy
+                # every homogeneous row already has; the round's #1 row
+                # must not die on one scheduler hiccup with zero retries.
+                transient = (not out.get("errors")
+                             and all((out.get(m) or {}).get("fidelity", 1.0)
+                                     >= 0.9
+                                     for m in ("flagship", "srtp"))
+                             and (out.get("opus") or {}).get(
+                                 "delivery", 1.0) >= 0.9)
+                if transient and floor_retries > 0 \
+                        and not _expired(deadline):
+                    floor_retries -= 1
+                    print("# mixed-fleet: floor fail looks transient — "
+                          "retrying", file=sys.stderr)
+                    continue
                 break                 # already at the floor
             sizes = shrunk
     if best is not None:

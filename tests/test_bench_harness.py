@@ -516,6 +516,43 @@ def test_mixed_fleet_bisects_after_doubling_fail(monkeypatch):
     assert out["flagship"]["legs"] == 768
 
 
+def test_mixed_fleet_floor_transient_fail_retries(monkeypatch):
+    """A transient-looking fail AT THE FLOOR (fidelity/delivery held, only
+    late ticks over bar — a host CFS stall cluster) retries instead of
+    publishing the round's #1 row as a failure after a single attempt
+    (r5c: opus 38 late from two ~45 ms stalls killed the row outright)."""
+    import os as _os
+    monkeypatch.setattr(_os, "cpu_count", lambda: 1)
+    import mediastreamer2_tpu.models.mixed_fleet as mf
+    runs = []
+
+    class FakeFleet:
+        def __init__(self, factory_cls, n_flagship, **kw):
+            self.n = n_flagship
+
+        def run(self, seconds):
+            runs.append(self.n)
+            ok = len(runs) > 1                 # first floor attempt fails
+            n = self.n
+
+            class R:
+                def summary(self):
+                    return {"passes": ok, "errors": None,
+                            "flagship": {"legs": n, "fidelity": 1.0},
+                            "srtp": {"legs": n // 2, "fidelity": 1.0},
+                            "opus": {"legs": 8, "delivery": 1.0,
+                                     "late_ticks": 38}}
+            return R()
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(mf, "MixedFleetBench", FakeFleet)
+    out = bench.mixed_fleet(n_flagship=256, n_srtp=128)
+    assert out["passes"] is True               # the retry rescued the row
+    assert runs[0] == runs[1] == 128           # same floor size, retried
+
+
 def test_mixed_fleet_structural_error_does_not_retry(monkeypatch):
     import mediastreamer2_tpu.models.mixed_fleet as mf
     built = []
