@@ -692,6 +692,7 @@ def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
     best = None
     fail_at = None                 # smallest flagship size that failed
     floor_retries = 2              # transient-fail retries at the floor
+    retried_sizes = set()          # growth sizes granted a transient retry
 
     def one_fleet(sz):
         """Build+run at sz; on a pass, immediately confirm on the SAME
@@ -711,7 +712,7 @@ def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
         finally:
             fleet.close()
 
-    for attempt in range(6):
+    for attempt in range(8):       # retries consume attempts; budget gates
         if attempts and _expired(deadline):
             print("# mixed-fleet: section budget reached", file=sys.stderr)
             break
@@ -746,6 +747,25 @@ def mixed_fleet(n_flagship: int, n_srtp: int, deadline: float = None) -> dict:
                                     max(64, sizes["n_srtp"] * nxt
                                         // max(fl, 1) // 64 * 64)))
         else:
+            # One transient-retry courtesy at ANY size (not just the floor):
+            # r5d's growth attempt at 256/128 failed on a single 60 ms CFS
+            # stall cluster (opus 22 late, delivery 1.0, fidelity 1.0) and
+            # the bisect floor-clamped immediately — one scheduler hiccup
+            # must not halve the published fleet.  Same signature test as
+            # the floor retry; each size gets at most one.
+            transient_grow = (not out.get("errors")
+                              and all((out.get(m) or {}).get("fidelity", 1.0)
+                                      >= 0.9
+                                      for m in ("flagship", "srtp"))
+                              and (out.get("opus") or {}).get(
+                                  "delivery", 1.0) >= 0.9)
+            if (transient_grow and sizes["n_flagship"] not in retried_sizes
+                    and not _expired(deadline)):
+                retried_sizes.add(sizes["n_flagship"])
+                print("# mixed-fleet: fail at "
+                      f"{sizes['n_flagship']} looks transient — retrying",
+                      file=sys.stderr)
+                continue
             fail_at = (sizes["n_flagship"] if fail_at is None
                        else min(fail_at, sizes["n_flagship"]))
             if best is not None:

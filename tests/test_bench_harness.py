@@ -410,8 +410,10 @@ def test_mixed_fleet_search_brackets_edge_and_confirms(monkeypatch):
     assert out["confirmed"] is True          # pass re-ran on the same fleet
     assert out["flagship"]["legs"] == 256    # the edge point, not the fail
     assert len(out["attempts"]) >= 2
-    # first attempt failed (512 on this fake host) -> shrink happened
-    assert built[1]["n_flagship"] < built[0]["n_flagship"]
+    # first attempt failed (512 on this fake host); every fail gets ONE
+    # same-size retry (the walks' courtesy), then the shrink happened
+    assert built[1]["n_flagship"] == built[0]["n_flagship"]
+    assert built[2]["n_flagship"] < built[0]["n_flagship"]
     # after the pass the search probed BETWEEN the pass and the known fail
     assert built[0]["n_flagship"] > built[-1]["n_flagship"] > 256
     assert "host_cores" in out and out["mode"] in ("loop", "threads")
@@ -487,7 +489,8 @@ def test_mixed_fleet_bisects_after_doubling_fail(monkeypatch):
     """A pass followed by a doubling fail must BISECT the bracket (the
     r5 official run published 512 after a 1024 fail with 640-896 never
     probed — same upgrade as the video walk).  Fake edge at 799: expect
-    512 pass -> 1024 fail -> 768 pass -> 896 fail -> publish 768."""
+    512 pass -> 1024 fail (x2: one same-size retry per failing size) ->
+    768 pass -> 896 fail (x2) -> publish 768."""
     import os as _os
     monkeypatch.setattr(_os, "cpu_count", lambda: 8)
     import mediastreamer2_tpu.models.mixed_fleet as mf
@@ -512,7 +515,7 @@ def test_mixed_fleet_bisects_after_doubling_fail(monkeypatch):
     monkeypatch.setattr(mf, "MixedFleetBench", FakeFleet)
     out = bench.mixed_fleet(n_flagship=4096, n_srtp=2048)
     assert out["passes"] is True and out["confirmed"] is True
-    assert built == [512, 1024, 768, 896]
+    assert built == [512, 1024, 1024, 768, 896, 896]
     assert out["flagship"]["legs"] == 768
 
 
@@ -551,6 +554,45 @@ def test_mixed_fleet_floor_transient_fail_retries(monkeypatch):
     out = bench.mixed_fleet(n_flagship=256, n_srtp=128)
     assert out["passes"] is True               # the retry rescued the row
     assert runs[0] == runs[1] == 128           # same floor size, retried
+
+
+def test_mixed_fleet_growth_transient_fail_retries(monkeypatch):
+    """A transient fail during GROWTH (r5d: 256/128 failed on one 60 ms
+    CFS stall cluster and the search floor-clamped) gets one same-size
+    retry; when the retry passes, the LARGER fleet is published."""
+    import os as _os
+    monkeypatch.setattr(_os, "cpu_count", lambda: 1)
+    import mediastreamer2_tpu.models.mixed_fleet as mf
+    runs = []
+
+    class FakeFleet:
+        def __init__(self, factory_cls, n_flagship, **kw):
+            self.n = n_flagship
+
+        def run(self, seconds):
+            runs.append(self.n)
+            # the FIRST attempt at 256 fails (stall cluster); its retry
+            # and everything else up to 256 passes
+            ok = self.n < 256 or runs.count(256) > 1
+            n = self.n
+
+            class R:
+                def summary(self):
+                    return {"passes": ok, "errors": None,
+                            "flagship": {"legs": n, "fidelity": 1.0},
+                            "srtp": {"legs": n // 2, "fidelity": 1.0},
+                            "opus": {"legs": 8, "delivery": 1.0,
+                                     "late_ticks": 22 if not ok else 0}}
+            return R()
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(mf, "MixedFleetBench", FakeFleet)
+    out = bench.mixed_fleet(n_flagship=512, n_srtp=256)
+    assert out["passes"] is True
+    assert out["flagship"]["legs"] == 256    # retry rescued the growth step
+    assert runs.count(256) >= 2              # the same size was retried
 
 
 def test_mixed_fleet_structural_error_does_not_retry(monkeypatch):
